@@ -1,0 +1,26 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Determinism helpers for oracle-comparable aggregates.
+  *
+  * Floating-point SUM/AVG are order-dependent: Spark's partial+final hash
+  * aggregation and DuckDB's aggregation visit rows in different orders, so
+  * `sum(double)` differs between the two engines in the last few ulps — enough
+  * to fail a hash compare. The fix is exact arithmetic: round each input row
+  * to a fixed scale (deterministic given identical input doubles), then sum
+  * as DECIMAL (exact, order-independent), then cast the final result back to
+  * DOUBLE (deterministic). Both engines produce bit-identical results.
+  *
+  * SQL-side mirror (DuckDB): `CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE)`.
+  */
+object Det {
+  /** Exact, order-independent sum of a double expression. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 6))).cast(DoubleType)
+
+  /** Exact average: exact decimal sum divided (in double) by non-null count.
+    * Mirrors SQL `CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) / COUNT(x)`. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+}

@@ -1,0 +1,39 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog over the driver's parquet testdata (TESTDATA.md) and the
+  * reference's covid CSVs.
+  *
+  * The reference loads its tables by enumerating a SQLite catalog and
+  * `SELECT *`-ing each table into a dict (reference main.py:225-233). Here the
+  * catalog is the parquet directory; `registerAll` is the Spark-native
+  * equivalent (temp views over lazy scans — nothing is materialized until a
+  * query runs, unlike the reference's eager full-table loads).
+  */
+object Tables {
+  val testdataTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Lazy parquet scan for one table. Column pruning + predicate pushdown
+    * reach the scan because this is a plain file-source relation.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects by default; read it as a nanosecond long (legacy conf) and
+    * convert with exact integer arithmetic (`div 1000` — a double division
+    * would lose precision above 2^53 ns). The driver data carries only
+    * microsecond precision, so the conversion is lossless.
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every testdata table as a temp view (S3/S4 analogue). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    testdataTables.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}
