@@ -1,0 +1,88 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Ordered-series operators (SURVEY.md §2.5, W1-W6): the Spark-native form of
+  * the reference's pandas `diff` / `cumsum` / `iloc` / interpolation.
+  *
+  * Every function takes explicit partition keys. The reference's series are
+  * tiny and global (one country, 188 days), so it can afford a single ordered
+  * frame; at 100 TB the same semantics must run per-entity, so windows here
+  * are `Window.partitionBy(keys).orderBy(order)` — one partition per entity,
+  * all entities parallel, no global sort. Pass no keys only when the series
+  * is genuinely global and bounded (e.g. one row per day after aggregation).
+  */
+object TimeSeries {
+
+  private def w(partCols: Seq[String], order: Seq[Column]) = {
+    val base = if (partCols.isEmpty) Window.partitionBy() else Window.partitionBy(partCols.map(col): _*)
+    base.orderBy(order: _*)
+  }
+
+  /** W1 — day-over-day delta: `x - lag(x, 1)`; first row per partition null
+    * (pandas `diff()` leading NaN, main.py:66). */
+  def lagDiff(c: Column, partCols: Seq[String], order: Seq[Column]): Column =
+    c - lag(c, 1).over(w(partCols, order))
+
+  /** W2 — running total (pandas `cumsum`, main.py:260-262). Decimal-exact so
+    * results are order-of-evaluation independent (oracle-comparable). */
+  def cumSum(c: Column, partCols: Seq[String], order: Seq[Column]): Column =
+    sum(c.cast(DecimalType(25, 6)))
+      .over(w(partCols, order).rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      .cast(DoubleType)
+
+  /** W6 — 1-based position within the ordered partition (main.py:414-415). */
+  def rowIndex(partCols: Seq[String], order: Seq[Column]): Column =
+    row_number().over(w(partCols, order))
+
+  /** W4 — keep the last n rows per partition (pandas `iloc[-(n):]`,
+    * main.py:652). */
+  def tailSlice(df: DataFrame, n: Int, partCols: Seq[String], orderDesc: Seq[Column]): DataFrame =
+    df.withColumn("__rn_desc", row_number().over(w(partCols, orderDesc)))
+      .filter(col("__rn_desc") <= n)
+      .drop("__rn_desc")
+
+  /** W5 — the reference's gap-fill linear interpolation
+    * (`manual_interpolate_column`, main.py:392-419), as pure built-in windows
+    * (no UDF, stays inside codegen):
+    *
+    *   - interior null run: linear blend between previous non-null (value v_j
+    *     at position j) and next non-null (v_k at k) by *integer row position*
+    *     (quirk Q6b — not date distance): v_j + (v_k - v_j) * (i-j)/(k-j)
+    *   - leading null run (no previous non-null): 0.0
+    *   - trailing null run (no next non-null): carry last non-null forward
+    *   - all-null partition: 0.0
+    *
+    * The reference's scan is O(n·gap) imperative Python; this plan is two
+    * forward and two backward running windows — O(n) per partition, all
+    * partitions parallel.
+    *
+    * Returns the input plus `<valueCol>_interp`.
+    */
+  def interpolateLinear(df: DataFrame, valueCol: String,
+      partCols: Seq[String], order: Seq[Column]): DataFrame = {
+    val v = col(valueCol)
+    // Two passes: row positions first (a window function can't nest inside
+    // another window's aggregate), then the forward/backward running windows
+    // ordered by that position.
+    val withRn = df.withColumn("__rn", row_number().over(w(partCols, order)))
+    val ww = w(partCols, Seq(col("__rn")))
+    val back = ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ww.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rn = col("__rn")
+    val prevV = last(v, ignoreNulls = true).over(back)
+    val nextV = first(v, ignoreNulls = true).over(fwd)
+    val prevRn = max(when(v.isNotNull, rn)).over(back)
+    val nextRn = min(when(v.isNotNull, rn)).over(fwd)
+    val blend = prevV + (nextV - prevV) *
+      ((rn - prevRn).cast(DoubleType) / (nextRn - prevRn).cast(DoubleType))
+    val filled = when(v.isNotNull, v)
+      .when(prevV.isNull, lit(0.0)) // leading run (and all-null partition) → 0
+      .when(nextV.isNull, prevV)    // trailing run → carry forward
+      .otherwise(blend)
+    withRn.withColumn(s"${valueCol}_interp", filled).drop("__rn")
+  }
+}

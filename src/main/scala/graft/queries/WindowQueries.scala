@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.engine.Det.dsum
+import graft.engine.Tables.t
+import graft.engine.TimeSeries
+
+/** Window / time-series operators (SURVEY.md §2.5 W1-W6, §2.6 O1-O3, §2.3
+  * J2/J3, §2.8 C12) over the `events` table. Ordering is always
+  * (ts, event_id) — event_id breaks timestamp ties, so every window frame is
+  * uniquely determined and the output is oracle-comparable.
+  *
+  * Scale: all per-entity windows partition by user_id (parallel across
+  * entities, no global sort). The only global windows run over day-level
+  * aggregates — bounded by calendar days, not data size.
+  */
+object WindowQueries {
+
+  /** W1 — lag diff over the daily aggregate series (main.py:66 `diff()`). */
+  val windowLag: Q = Q(
+    "q_window_lag",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+      |  FROM events GROUP BY 1)
+      |SELECT day, total, total - LAG(total) OVER (ORDER BY day) AS delta
+      |FROM daily ORDER BY day""".stripMargin) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(dsum(col("value")).as("total"))
+    daily
+      .withColumn("delta", TimeSeries.lagDiff(col("total"), Seq.empty, Seq(col("day"))))
+      .orderBy("day")
+  }
+
+  /** W2 — per-user running total (main.py:260-262 `cumsum`), decimal-exact. */
+  val windowCumsum: Q = Q(
+    "q_window_cumsum",
+    """SELECT event_id, user_id,
+      |       CAST(SUM(CAST(value AS DECIMAL(25,6)))
+      |            OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("running",
+        TimeSeries.cumSum(col("value"), Seq("user_id"), Seq(col("ts"), col("event_id"))))
+      .select("event_id", "user_id", "running")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Ranking family (SURVEY §7.3 window extensions): rank / dense_rank /
+    * row_number over a unique ordering; top-3 suppliers per nation. */
+  val windowRank: Q = Q(
+    "q_window_rank",
+    """SELECT * FROM (
+      |  SELECT s_nationkey, s_suppkey, s_acctbal,
+      |         RANK()       OVER w AS rnk,
+      |         DENSE_RANK() OVER w AS drnk,
+      |         ROW_NUMBER() OVER w AS rn
+      |  FROM supplier
+      |  WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey))
+      |WHERE rn <= 3
+      |ORDER BY s_nationkey, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("s_nationkey").orderBy(desc("s_acctbal"), asc("s_suppkey"))
+    t(s, dir, "supplier")
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("s_nationkey", "rn")
+  }
+
+  /** Sliding frame: 7-row moving average per user (frame-spec extension). */
+  val windowMovAvg: Q = Q(
+    "q_window_movavg",
+    """SELECT event_id, user_id,
+      |       CAST(SUM(CAST(value AS DECIMAL(25,6)))
+      |            OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |       / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mov_avg
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("mov_avg",
+        sum(col("value").cast(DecimalType(25, 6))).over(w).cast(DoubleType) /
+          count(col("value")).over(w))
+      .select("event_id", "user_id", "mov_avg")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** W3 — first/last row per entity (pandas `iloc[0]` / `iloc[-1]`,
+    * main.py:49-51, 656) via row_number from both ends. */
+  val firstLast: Q = Q(
+    "q_first_last",
+    """WITH numbered AS (
+      |  SELECT user_id, value,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_asc,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_desc
+      |  FROM events)
+      |SELECT user_id,
+      |       MAX(CASE WHEN rn_asc = 1 THEN value END) AS first_value,
+      |       MAX(CASE WHEN rn_desc = 1 THEN value END) AS last_value
+      |FROM numbered GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val wAsc = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val wDesc = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("value"),
+        row_number().over(wAsc).as("rn_asc"),
+        row_number().over(wDesc).as("rn_desc"))
+      .groupBy("user_id")
+      .agg(
+        max(when(col("rn_asc") === 1, col("value"))).as("first_value"),
+        max(when(col("rn_desc") === 1, col("value"))).as("last_value"))
+      .orderBy("user_id")
+  }
+
+  /** W4 — tail slice: last 3 events per user (pandas `iloc[-(n+1):]`,
+    * main.py:652). */
+  val tailSlice: Q = Q(
+    "q_tail_slice",
+    """SELECT user_id, event_id, value FROM (
+      |  SELECT user_id, event_id, value,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn <= 3
+      |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    TimeSeries.tailSlice(t(s, dir, "events"), 3,
+        Seq("user_id"), Seq(desc("ts"), desc("event_id")))
+      .select("user_id", "event_id", "value")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** J2 — positional alignment join (main.py:645-655): zip the click series
+    * against the purchase series by row index and compare. */
+  val rowAlignJoin: Q = Q(
+    "q_row_align_join",
+    """WITH a AS (
+      |  SELECT value AS click_value,
+      |         ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE event_type = 'click'),
+      |b AS (
+      |  SELECT value AS purchase_value,
+      |         ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT a.rn, a.click_value, b.purchase_value,
+      |       a.click_value - b.purchase_value AS diff
+      |FROM a JOIN b ON a.rn = b.rn
+      |ORDER BY a.rn""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    def side(tpe: String, alias: String) =
+      ev.filter(col("event_type") === tpe)
+        .select(col("value").as(alias),
+          row_number().over(Window.orderBy(col("ts"), col("event_id"))).as("rn"))
+    side("click", "click_value")
+      .join(side("purchase", "purchase_value"), "rn")
+      .select(col("rn"), col("click_value"), col("purchase_value"),
+        (col("click_value") - col("purchase_value")).as("diff"))
+      .orderBy("rn")
+  }
+
+  /** W5 — the reference's position-based linear interpolation
+    * (main.py:392-419) with nulls injected deterministically
+    * (event_id % 7 = 0). Leading run → 0, trailing run → carry-forward,
+    * interior → linear blend by row position (quirk Q6). */
+  val interpolate: Q = Q(
+    "q_interpolate",
+    """WITH base AS (
+      |  SELECT event_id, user_id, ts,
+      |         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      |  FROM events),
+      |num AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM base),
+      |ctx AS (
+      |  SELECT *,
+      |    MAX(CASE WHEN v IS NOT NULL THEN rn END) OVER wb AS prev_rn,
+      |    MIN(CASE WHEN v IS NOT NULL THEN rn END) OVER wf AS next_rn,
+      |    LAST_VALUE(v IGNORE NULLS) OVER wb AS prev_v,
+      |    FIRST_VALUE(v IGNORE NULLS) OVER wf AS next_v
+      |  FROM num
+      |  WINDOW
+      |    wb AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_id, user_id,
+      |       CASE WHEN v IS NOT NULL THEN v
+      |            WHEN prev_v IS NULL THEN 0.0
+      |            WHEN next_v IS NULL THEN prev_v
+      |            ELSE prev_v + (next_v - prev_v) *
+      |                 (CAST(rn - prev_rn AS DOUBLE) / CAST(next_rn - prev_rn AS DOUBLE))
+      |       END AS v_interp
+      |FROM ctx
+      |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    val base = t(s, dir, "events")
+      .withColumn("v", when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+    TimeSeries.interpolateLinear(base, "v", Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select("event_id", "user_id", "v_interp")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** C12 — accounting-invariant imputation (main.py:421-433): synthesize the
+    * reference's Confirmed = Active + Deaths + Recovered identity over
+    * events, null exactly one component per row (deterministic), and solve
+    * for the missing field with pure when/otherwise — no UDF. */
+  val imputeInvariant: Q = Q(
+    "q_impute_invariant",
+    """WITH base AS (
+      |  SELECT event_id,
+      |         CASE WHEN event_id % 4 = 0 THEN NULL ELSE value * 1.75 END AS confirmed,
+      |         CASE WHEN event_id % 4 = 1 THEN NULL ELSE value END AS active,
+      |         CASE WHEN event_id % 4 = 2 THEN NULL ELSE value * 0.5 END AS deaths,
+      |         value * 0.25 AS recovered
+      |  FROM events)
+      |SELECT event_id,
+      |       COALESCE(confirmed, active + deaths + recovered) AS confirmed,
+      |       COALESCE(active, confirmed - deaths - recovered) AS active,
+      |       COALESCE(deaths, confirmed - active - recovered) AS deaths,
+      |       recovered
+      |FROM base
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val base = t(s, dir, "events").select(
+      col("event_id"),
+      when(col("event_id") % 4 === 0, lit(null)).otherwise(col("value") * 1.75).as("confirmed"),
+      when(col("event_id") % 4 === 1, lit(null)).otherwise(col("value")).as("active"),
+      when(col("event_id") % 4 === 2, lit(null)).otherwise(col("value") * 0.5).as("deaths"),
+      (col("value") * 0.25).as("recovered"))
+    base.select(
+      col("event_id"),
+      coalesce(col("confirmed"), col("active") + col("deaths") + col("recovered")).as("confirmed"),
+      coalesce(col("active"), col("confirmed") - col("deaths") - col("recovered")).as("active"),
+      coalesce(col("deaths"), col("confirmed") - col("active") - col("recovered")).as("deaths"),
+      col("recovered"))
+      .orderBy("event_id")
+  }
+
+  /** K18 — cumulative fraction of an entity total (main.py:248-293): running
+    * sum divided by a per-key scalar lookup (J1 + W2 composed). */
+  val cumFraction: Q = Q(
+    "q_cum_fraction",
+    """WITH tot AS (
+      |  SELECT user_id,
+      |         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS user_total
+      |  FROM events GROUP BY user_id)
+      |SELECT e.event_id, e.user_id,
+      |       CAST(SUM(CAST(e.value AS DECIMAL(25,6)))
+      |            OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |       / t.user_total AS cum_frac
+      |FROM events e JOIN tot t ON e.user_id = t.user_id
+      |ORDER BY e.user_id, e.event_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val tot = ev.groupBy("user_id").agg(dsum(col("value")).as("user_total"))
+    ev.join(broadcast(tot), "user_id")
+      .withColumn("running",
+        TimeSeries.cumSum(col("value"), Seq("user_id"), Seq(col("ts"), col("event_id"))))
+      .select(col("event_id"), col("user_id"),
+        (col("running") / col("user_total")).as("cum_frac"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    windowLag, windowCumsum, windowRank, windowMovAvg, firstLast, tailSlice,
+    rowAlignJoin, interpolate, imputeInvariant, cumFraction)
+}

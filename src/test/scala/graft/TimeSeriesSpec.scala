@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.TimeSeries
+
+/** Golden fixtures (FIXTURES.md §B) + seeded property checks (SURVEY §5.2-3)
+  * for the W5 position-based interpolation — exact semantics of reference
+  * main.py:392-419. */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def interp(xs: Seq[Option[Double]]): Seq[Double] = {
+    val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("pos", "v")
+    TimeSeries.interpolateLinear(df, "v", Seq.empty, Seq(col("pos")))
+      .orderBy("pos").select("v_interp").as[Double].collect().toSeq
+  }
+
+  test("interior gap: position-linear blend") {
+    assert(interp(Seq(None, Some(2), None, None, Some(8))) == Seq(0.0, 2.0, 4.0, 6.0, 8.0))
+  }
+  test("leading null run -> 0") {
+    assert(interp(Seq(None, None, Some(3))) == Seq(0.0, 0.0, 3.0))
+  }
+  test("trailing null run -> carry forward") {
+    assert(interp(Seq(Some(5), None, None)) == Seq(5.0, 5.0, 5.0))
+  }
+  test("all-null -> zeros") {
+    assert(interp(Seq(None, None)) == Seq(0.0, 0.0))
+  }
+
+  test("properties: fixed point on null-free; never-null; pass-through; monotone") {
+    val rnd = new scala.util.Random(42)
+    // A direct Scala port of the reference algorithm as the property oracle.
+    def oracle(xs: Seq[Option[Double]]): Seq[Double] = {
+      val n = xs.length
+      val out = Array.ofDim[Double](n)
+      for (i <- 0 until n) xs(i) match {
+        case Some(v) => out(i) = v
+        case None =>
+          val j = (i - 1 to 0 by -1).find(xs(_).isDefined)
+          val k = (i + 1 until n).find(xs(_).isDefined)
+          out(i) = (j, k) match {
+            case (None, _)            => 0.0
+            case (Some(a), None)      => xs(a).get
+            case (Some(a), Some(b))   =>
+              val (vj, vk) = (xs(a).get, xs(b).get)
+              vj + (vk - vj) * ((i - a).toDouble / (b - a).toDouble)
+          }
+      }
+      out.toSeq
+    }
+    for (_ <- 1 to 25) {
+      val n = 1 + rnd.nextInt(20)
+      val xs = Seq.fill(n)(if (rnd.nextBoolean()) Some(rnd.nextDouble() * 100) else None)
+      val got = interp(xs)
+      assert(got == oracle(xs), s"input $xs")
+      assert(got.forall(v => !v.isNaN))
+      xs.zip(got).collect { case (Some(v), o) => assert(o == v) }
+    }
+    // null-free fixed point
+    val clean = Seq.fill(10)(Some(rnd.nextDouble() * 1000))
+    assert(interp(clean) == clean.map(_.get))
+  }
+
+  test("lagDiff: first row null, rest are deltas") {
+    val df = Seq((1, 10.0), (2, 13.0), (3, 11.5)).toDF("pos", "x")
+    val out = df.withColumn("d", TimeSeries.lagDiff(col("x"), Seq.empty, Seq(col("pos"))))
+      .orderBy("pos").select("d").collect().map(r => Option(r.get(0)))
+    assert(out.toSeq == Seq(None, Some(3.0), Some(-1.5)))
+  }
+
+  test("cumSum: exact running total (decimal-backed)") {
+    val df = Seq((1, 1.1), (2, 2.2), (3, 3.3)).toDF("pos", "x")
+    val out = df.withColumn("c", TimeSeries.cumSum(col("x"), Seq.empty, Seq(col("pos"))))
+      .orderBy("pos").select("c").as[Double].collect().toSeq
+    assert(out == Seq(1.1, 3.3, 6.6))
+  }
+
+  test("tailSlice keeps exactly the last n per partition") {
+    val df = (1 to 10).map(i => (i % 2, i)).toDF("k", "pos")
+    val out = TimeSeries.tailSlice(df, 2, Seq("k"), Seq(desc("pos")))
+      .orderBy("k", "pos").as[(Int, Int)].collect().toSeq
+    assert(out == Seq((0, 8), (0, 10), (1, 7), (1, 9)))
+  }
+}
