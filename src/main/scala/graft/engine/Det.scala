@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, TimestampType}
 
 /** Determinism helpers for oracle-comparable aggregates.
   *
@@ -14,13 +14,24 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * as DECIMAL (exact, order-independent), then cast the final result back to
   * DOUBLE (deterministic). Both engines produce bit-identical results.
   *
-  * SQL-side mirror (DuckDB): `CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE)`.
+  * Results are quantized to 6 decimal places at the *row* level — a documented
+  * engine-level contract (the oracle mirrors it). DECIMAL(38,6) leaves 32
+  * integer digits of headroom, so the sum cannot overflow at any realistic
+  * scale (100 TB of 1e6-scale values is ~1e20 « 1e32); with ANSI off an
+  * overflow would silently return NULL, so the headroom is the safety story.
+  *
+  * SQL-side mirror (DuckDB): `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)`.
   */
 object Det {
   /** Exact, order-independent sum of a double expression. */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 6))).cast(DoubleType)
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
 
   /** Exact average: exact decimal sum divided (in double) by non-null count.
-    * Mirrors SQL `CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) / COUNT(x)`. */
+    * Mirrors SQL `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x)`. */
   def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Session-timezone-safe timestamp literal: parsed under
+    * spark.sql.session.timeZone (UTC here), unlike java.sql.Timestamp.valueOf
+    * which uses the JVM default zone. Mirrors DuckDB's naive TIMESTAMP 'x'. */
+  def ts(s: String): Column = lit(s).cast(TimestampType)
 }

@@ -26,9 +26,19 @@ object Tables {
     * would lose precision above 2^53 ns). The driver data carries only
     * microsecond precision, so the conversion is lossless.
     */
+  /** The one session conf the testdata needs. Our entry points (Verify,
+    * Bench, test sessions) set it at session build; this fallback covers a
+    * driver-constructed session. Guarded so an already-configured session is
+    * never mutated mid-query (the value is a constant either way). */
+  def ensureNanosConf(spark: SparkSession): Unit =
+    if (!spark.conf.getOption(NanosKey).contains("true"))
+      spark.conf.set(NanosKey, "true")
+
+  val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      ensureNanosConf(spark)
       spark.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")

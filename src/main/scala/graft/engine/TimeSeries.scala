@@ -30,7 +30,7 @@ object TimeSeries {
   /** W2 — running total (pandas `cumsum`, main.py:260-262). Decimal-exact so
     * results are order-of-evaluation independent (oracle-comparable). */
   def cumSum(c: Column, partCols: Seq[String], order: Seq[Column]): Column =
-    sum(c.cast(DecimalType(25, 6)))
+    sum(c.cast(DecimalType(38, 6)))
       .over(w(partCols, order).rowsBetween(Window.unboundedPreceding, Window.currentRow))
       .cast(DoubleType)
 
@@ -47,14 +47,22 @@ object TimeSeries {
 
   /** W5 — the reference's gap-fill linear interpolation
     * (`manual_interpolate_column`, main.py:392-419), as pure built-in windows
-    * (no UDF, stays inside codegen):
+    * (no UDF, stays inside codegen).
     *
-    *   - interior null run: linear blend between previous non-null (value v_j
-    *     at position j) and next non-null (v_k at k) by *integer row position*
-    *     (quirk Q6b — not date distance): v_j + (v_k - v_j) * (i-j)/(k-j)
-    *   - leading null run (no previous non-null): 0.0
-    *   - trailing null run (no next non-null): carry last non-null forward
-    *   - all-null partition: 0.0
+    * The reference fills **in place** while scanning left to right, so a null
+    * at position 0 becomes 0 and that 0 then acts as a real anchor for the
+    * rest of the leading run: `[null,null,3]` → `[0,1.5,3]` (ramp from the
+    * injected 0), not `[0,0,3]`. Interior runs are unaffected by the in-place
+    * fill because a linear blend is self-consistent (filling (j,k) one row at
+    * a time from already-blended neighbors lands on the same line). Semantics:
+    *
+    *   - first row null → 0.0, and it participates as a non-null anchor
+    *   - interior null run: linear blend between previous anchor (value v_j
+    *     at position j) and next *original* non-null (v_k at k) by integer
+    *     row position (quirk Q6b — not date distance):
+    *     v_j + (v_k - v_j) * (i-j)/(k-j)
+    *   - trailing null run (no next non-null): carry last anchor forward
+    *     (so an all-null partition is all 0.0)
     *
     * The reference's scan is O(n·gap) imperative Python; this plan is two
     * forward and two backward running windows — O(n) per partition, all
@@ -73,16 +81,19 @@ object TimeSeries {
     val back = ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = ww.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val rn = col("__rn")
-    val prevV = last(v, ignoreNulls = true).over(back)
+    // Backward anchors see the injected 0 at row 1 (the in-place semantics);
+    // forward scans see only original non-nulls (rows ahead are unfilled when
+    // the reference reaches them).
+    val vEff = when(v.isNull && rn === 1, lit(0.0)).otherwise(v)
+    val prevV = last(vEff, ignoreNulls = true).over(back)
+    val prevRn = max(when(vEff.isNotNull, rn)).over(back)
     val nextV = first(v, ignoreNulls = true).over(fwd)
-    val prevRn = max(when(v.isNotNull, rn)).over(back)
     val nextRn = min(when(v.isNotNull, rn)).over(fwd)
     val blend = prevV + (nextV - prevV) *
       ((rn - prevRn).cast(DoubleType) / (nextRn - prevRn).cast(DoubleType))
     val filled = when(v.isNotNull, v)
-      .when(prevV.isNull, lit(0.0)) // leading run (and all-null partition) → 0
-      .when(nextV.isNull, prevV)    // trailing run → carry forward
-      .otherwise(blend)
+      .when(nextV.isNull, prevV) // trailing run (and all-null partition)
+      .otherwise(blend)          // leading run blends from the rn=1 anchor
     withRn.withColumn(s"${valueCol}_interp", filled).drop("__rn")
   }
 }

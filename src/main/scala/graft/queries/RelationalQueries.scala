@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.engine.Det.{davg, dsum}
+import graft.engine.Det.{davg, dsum, ts}
 import graft.engine.Tables.t
 
 /** Core relational operators (SURVEY.md §2.1-§2.4, §2.6, §2.7) re-expressed
@@ -20,7 +20,7 @@ object RelationalQueries {
   val topkRevenue: Q = Q(
     "q_topk_revenue",
     """SELECT l_suppkey,
-      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
       |FROM lineitem
       |GROUP BY l_suppkey
       |ORDER BY revenue DESC, l_suppkey
@@ -37,18 +37,18 @@ object RelationalQueries {
   val pricingSummary: Q = Q(
     "q_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-      |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
-      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
-      |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-      |       CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      |       CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
       |       COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
     t(s, dir, "lineitem")
-      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
@@ -74,8 +74,8 @@ object RelationalQueries {
     t(s, dir, "lineitem")
       .filter(col("l_returnflag") === "R" && col("l_quantity") > 30 &&
         col("l_shipdate").between(
-          lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
-          lit(java.sql.Timestamp.valueOf("1997-12-31 00:00:00"))))
+          ts("1996-01-01 00:00:00"),
+          ts("1997-12-31 00:00:00")))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_shipdate").cast("date").as("ship_date"))
       .orderBy("l_orderkey", "l_linenumber")
@@ -88,7 +88,7 @@ object RelationalQueries {
   val joinBroadcastStar: Q = Q(
     "q_join_broadcast_star",
     """SELECT r.r_name, n.n_name,
-      |       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+      |       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
       |       COUNT(*) AS n_items
       |FROM lineitem l
       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -116,7 +116,7 @@ object RelationalQueries {
     "q_join_shuffle",
     """SELECT o.o_orderpriority,
       |       COUNT(*) AS n_lines,
-      |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+      |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
       |FROM orders o
       |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |GROUP BY o.o_orderpriority
@@ -156,7 +156,7 @@ object RelationalQueries {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
     val early = t(s, dir, "orders")
-      .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      .filter(col("o_orderdate") < ts("1996-01-01 00:00:00"))
     t(s, dir, "customer")
       .join(early, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_nationkey")
@@ -192,7 +192,7 @@ object RelationalQueries {
   val scalarLookup: Q = Q(
     "q_scalar_lookup",
     """SELECT o_orderkey,
-      |       o_totalprice / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) FROM orders) AS share
+      |       o_totalprice / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) FROM orders) AS share
       |FROM orders
       |ORDER BY o_orderkey
       |LIMIT 100""".stripMargin) { (s, dir) =>
@@ -212,7 +212,7 @@ object RelationalQueries {
       |       c.c_acctbal - n.nat_avg AS bal_minus_nation_avg
       |FROM customer c
       |JOIN (SELECT c_nationkey,
-      |             CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(c_acctbal) AS nat_avg
+      |             CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(c_acctbal) AS nat_avg
       |      FROM customer GROUP BY c_nationkey) n
       |  ON c.c_nationkey = n.c_nationkey
       |ORDER BY c.c_custkey
@@ -252,7 +252,7 @@ object RelationalQueries {
     "q_rollup",
     """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
       |       COALESCE(l_linestatus, 'ALL') AS linestatus,
-      |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
@@ -272,7 +272,7 @@ object RelationalQueries {
     """SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
       |       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
       |       COUNT(*) AS n_orders,
-      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY orderstatus, orderpriority""".stripMargin) { (s, dir) =>

@@ -23,7 +23,7 @@ object WindowQueries {
     "q_window_lag",
     """WITH daily AS (
       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-      |         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+      |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
       |  FROM events GROUP BY 1)
       |SELECT day, total, total - LAG(total) OVER (ORDER BY day) AS delta
       |FROM daily ORDER BY day""".stripMargin) { (s, dir) =>
@@ -39,7 +39,7 @@ object WindowQueries {
   val windowCumsum: Q = Q(
     "q_window_cumsum",
     """SELECT event_id, user_id,
-      |       CAST(SUM(CAST(value AS DECIMAL(25,6)))
+      |       CAST(SUM(CAST(value AS DECIMAL(38,6)))
       |            OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
       |FROM events
@@ -77,7 +77,7 @@ object WindowQueries {
   val windowMovAvg: Q = Q(
     "q_window_movavg",
     """SELECT event_id, user_id,
-      |       CAST(SUM(CAST(value AS DECIMAL(25,6)))
+      |       CAST(SUM(CAST(value AS DECIMAL(38,6)))
       |            OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
       |       / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -88,7 +88,7 @@ object WindowQueries {
       .rowsBetween(-6, Window.currentRow)
     t(s, dir, "events")
       .withColumn("mov_avg",
-        sum(col("value").cast(DecimalType(25, 6))).over(w).cast(DoubleType) /
+        sum(col("value").cast(DecimalType(38, 6))).over(w).cast(DoubleType) /
           count(col("value")).over(w))
       .select("event_id", "user_id", "mov_avg")
       .orderBy("user_id", "event_id")
@@ -166,8 +166,9 @@ object WindowQueries {
 
   /** W5 — the reference's position-based linear interpolation
     * (main.py:392-419) with nulls injected deterministically
-    * (event_id % 7 = 0). Leading run → 0, trailing run → carry-forward,
-    * interior → linear blend by row position (quirk Q6). */
+    * (event_id % 7 = 0). A null first row becomes 0 and anchors the rest of
+    * the leading run (in-place fill semantics); trailing run carries forward;
+    * interior runs blend linearly by row position (quirk Q6). */
   val interpolate: Q = Q(
     "q_interpolate",
     """WITH base AS (
@@ -177,19 +178,21 @@ object WindowQueries {
       |num AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       |  FROM base),
+      |eff AS (
+      |  SELECT *, CASE WHEN v IS NULL AND rn = 1 THEN 0.0 ELSE v END AS v_eff
+      |  FROM num),
       |ctx AS (
       |  SELECT *,
-      |    MAX(CASE WHEN v IS NOT NULL THEN rn END) OVER wb AS prev_rn,
+      |    MAX(CASE WHEN v_eff IS NOT NULL THEN rn END) OVER wb AS prev_rn,
       |    MIN(CASE WHEN v IS NOT NULL THEN rn END) OVER wf AS next_rn,
-      |    LAST_VALUE(v IGNORE NULLS) OVER wb AS prev_v,
+      |    LAST_VALUE(v_eff IGNORE NULLS) OVER wb AS prev_v,
       |    FIRST_VALUE(v IGNORE NULLS) OVER wf AS next_v
-      |  FROM num
+      |  FROM eff
       |  WINDOW
       |    wb AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
       |    wf AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
       |SELECT event_id, user_id,
       |       CASE WHEN v IS NOT NULL THEN v
-      |            WHEN prev_v IS NULL THEN 0.0
       |            WHEN next_v IS NULL THEN prev_v
       |            ELSE prev_v + (next_v - prev_v) *
       |                 (CAST(rn - prev_rn AS DOUBLE) / CAST(next_rn - prev_rn AS DOUBLE))
@@ -244,10 +247,10 @@ object WindowQueries {
     "q_cum_fraction",
     """WITH tot AS (
       |  SELECT user_id,
-      |         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS user_total
+      |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS user_total
       |  FROM events GROUP BY user_id)
       |SELECT e.event_id, e.user_id,
-      |       CAST(SUM(CAST(e.value AS DECIMAL(25,6)))
+      |       CAST(SUM(CAST(e.value AS DECIMAL(38,6)))
       |            OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
       |       / t.user_total AS cum_frac

@@ -6,10 +6,10 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every declared query executes on sf0.001") {
+  test("every declared query returns rows on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
-      assert(n >= 0, s"$name failed")
+      assert(n > 0, s"$name returned no rows")
     }
   }
 

@@ -18,8 +18,11 @@ class TimeSeriesSpec extends SparkSpec {
   test("interior gap: position-linear blend") {
     assert(interp(Seq(None, Some(2), None, None, Some(8))) == Seq(0.0, 2.0, 4.0, 6.0, 8.0))
   }
-  test("leading null run -> 0") {
-    assert(interp(Seq(None, None, Some(3))) == Seq(0.0, 0.0, 3.0))
+  test("leading null run ramps from the injected 0 anchor") {
+    // Reference fills in place: index 0 -> 0, then index 1 interpolates
+    // between that 0 and the 3 (main.py:397-416), so [0, 1.5, 3].
+    assert(interp(Seq(None, None, Some(3))) == Seq(0.0, 1.5, 3.0))
+    assert(interp(Seq(None, None, None, Some(3))) == Seq(0.0, 1.0, 2.0, 3.0))
   }
   test("trailing null run -> carry forward") {
     assert(interp(Seq(Some(5), None, None)) == Seq(5.0, 5.0, 5.0))
@@ -30,30 +33,60 @@ class TimeSeriesSpec extends SparkSpec {
 
   test("properties: fixed point on null-free; never-null; pass-through; monotone") {
     val rnd = new scala.util.Random(42)
-    // A direct Scala port of the reference algorithm as the property oracle.
-    def oracle(xs: Seq[Option[Double]]): Seq[Double] = {
+    // Strict sequential port of the reference (main.py:392-419) including its
+    // in-place fill: earlier filled values are visible to the backward scan.
+    def strictPort(xs: Seq[Option[Double]]): Seq[Double] = {
       val n = xs.length
-      val out = Array.ofDim[Double](n)
-      for (i <- 0 until n) xs(i) match {
-        case Some(v) => out(i) = v
-        case None =>
-          val j = (i - 1 to 0 by -1).find(xs(_).isDefined)
-          val k = (i + 1 until n).find(xs(_).isDefined)
-          out(i) = (j, k) match {
-            case (None, _)            => 0.0
-            case (Some(a), None)      => xs(a).get
-            case (Some(a), Some(b))   =>
-              val (vj, vk) = (xs(a).get, xs(b).get)
-              vj + (vk - vj) * ((i - a).toDouble / (b - a).toDouble)
+      val s = xs.toArray
+      for (i <- 0 until n) if (s(i).isEmpty) {
+        if (i == 0) s(i) = Some(0.0)
+        else {
+          val j = (i - 1 to 0 by -1).find(s(_).isDefined)
+          j match {
+            case None => s(i) = Some(0.0)
+            case Some(a) =>
+              val k = (i + 1 until n).find(s(_).isDefined)
+              s(i) = k match {
+                case Some(b) =>
+                  Some(s(a).get + (s(b).get - s(a).get) * ((i - a).toDouble / (b - a).toDouble))
+                case None => s(a)
+              }
           }
+        }
       }
-      out.toSeq
+      s.map(_.get).toSeq
+    }
+    // Closed-form oracle: same anchors as the strict port (original non-nulls
+    // plus the injected 0 at index 0) but one direct blend per null instead of
+    // the sequential one-step recurrence. Identical in exact arithmetic; the
+    // engine (and its DuckDB oracle) use this form, which can differ from the
+    // strict port by IEEE754 rounding in the last couple of ulps on interior
+    // runs — a documented, bounded deviation.
+    def closedForm(xs: Seq[Option[Double]]): Seq[Double] = {
+      val n = xs.length
+      val e = xs.zipWithIndex.map { case (v, i) => if (i == 0) v.orElse(Some(0.0)) else v }
+      (0 until n).map { i =>
+        xs(i).getOrElse {
+          if (i == 0) 0.0
+          else {
+            val a = (i - 1 to 0 by -1).find(e(_).isDefined).get
+            (i + 1 until n).find(xs(_).isDefined) match {
+              case Some(b) =>
+                e(a).get + (xs(b).get - e(a).get) * ((i - a).toDouble / (b - a).toDouble)
+              case None => e(a).get
+            }
+          }
+        }
+      }
     }
     for (_ <- 1 to 25) {
       val n = 1 + rnd.nextInt(20)
       val xs = Seq.fill(n)(if (rnd.nextBoolean()) Some(rnd.nextDouble() * 100) else None)
       val got = interp(xs)
-      assert(got == oracle(xs), s"input $xs")
+      assert(got == closedForm(xs), s"input $xs")
+      got.lazyZip(strictPort(xs)).foreach { (g, p) =>
+        assert(math.abs(g - p) <= 1e-12 * math.max(1.0, math.abs(p)), s"input $xs")
+      }
       assert(got.forall(v => !v.isNaN))
       xs.zip(got).collect { case (Some(v), o) => assert(o == v) }
     }
