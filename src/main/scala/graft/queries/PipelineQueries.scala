@@ -1,8 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.engine.Det.dsum
 import graft.engine.Tables.t
-import graft.engine.Wrangle
+import graft.engine.{Sir, SirParams, SirSeriesRow, Wrangle}
 
 /** Declared queries for the K12 wrangling pipeline (reference main.py:449-498)
   * over driver testdata, so the DuckDB oracle can exercise the composed
@@ -130,5 +132,26 @@ object PipelineQueries {
       .orderBy("uid", "day")
   }
 
-  val all: Seq[Q] = Seq(wrangle)
+  /** U4/K5 scale-out — one SIR Euler recurrence per user over its daily
+    * series (groupByKey.flatMapGroups; SURVEY §4.3). A sequential coupled
+    * fold is not SQL-expressible, so there is no DuckDB oracle (driver
+    * records a rows-only check); golden parity for the fold itself lives in
+    * SirSpec against reference-derived constants. */
+  val sirSimulate: Q = Q.noOracle("q_sir_simulate") { (s, dir) =>
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(dsum(col("value")).as("a"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val series = daily.select(
+      col("user_id").as("key"),
+      (row_number().over(w) - 1).as("step"),
+      col("a").as("i"), (col("a") * 0.2).as("r"), (col("a") * 0.3).as("d"))
+      .as[SirSeriesRow]
+    Sir.simulatePerKey(series, SirParams(0.0111, 0.25, 0.1, 0.002), 1000000.0)
+      .toDF()
+      .orderBy("key", "step")
+  }
+
+  val all: Seq[Q] = Seq(wrangle, sirSimulate)
 }

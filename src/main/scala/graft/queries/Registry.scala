@@ -3,7 +3,9 @@ package graft.queries
 /** All declared queries, one per implemented operator family
   * (SURVEY.md §2 inventory + §7.5 extensions). */
 object Registry {
-  def all: Seq[Q] = RelationalQueries.all ++ WindowQueries.all ++ PipelineQueries.all
+  def all: Seq[Q] =
+    RelationalQueries.all ++ WindowQueries.all ++ PipelineQueries.all ++
+      StatQueries.all
 
   def queries = all.map(q => q.name -> q.build).toMap
   def oracleSql = all.flatMap(q => q.oracle.map(q.name -> _)).toMap
