@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline surface
+  * (north-star extensions; no counterpart in the reference, which has no
+  * string processing beyond one whole-value replace — main.py:350).
+  *
+  * Everything here is a pure Column expression (codegen-friendly, no UDFs)
+  * with an exact DuckDB mirror, so every operator built on these is
+  * oracle-checkable. Tokenization is single-space split — the contract for
+  * the `documents` corpus; swap the delimiter for real-world whitespace.
+  */
+object Text {
+
+  /** Whitespace tokens (DuckDB mirror: string_split(text, ' ')). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Tokens matching a fixed stopword list, via a higher-order filter
+    * (DuckDB mirror: len(list_filter(string_split(..), x -> x IN (...)))). */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(lit): _*)))
+
+  /** Stopword fraction of all tokens — the classic cheap language-ID /
+    * quality signal. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordHits(text, stopwords).cast("double") / tokenCount(text)
+
+  /** Content fingerprint: md5 of the lowercased text. Grouping by the
+    * fingerprint instead of the raw text keeps shuffle keys 32 bytes at
+    * 100 TB (DuckDB mirror: md5(lower(text))). */
+  def fingerprint(text: Column): Column = md5(lower(text).cast("binary"))
+
+  /** Mean token length, derived without a second pass:
+    * (chars - (n_tokens - 1) separators) / n_tokens. */
+  def avgTokenLen(text: Column): Column =
+    (length(text) - tokenCount(text) + 1).cast("double") / tokenCount(text)
+
+  /** Composite quality score in [0,1]: length band + stopword presence +
+    * plausible mean token length. Weights are engine policy (documented),
+    * each term a deterministic 0/1 step so the score is oracle-exact. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nt = tokenCount(text)
+    val lenOk = when(nt.between(20, 400), 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text, stopwords) >= 0.02, 1.0).otherwise(0.0)
+    val tokOk = when(avgTokenLen(text).between(3.0, 8.0), 1.0).otherwise(0.0)
+    lenOk * 0.5 + stopOk * 0.3 + tokOk * 0.2
+  }
+}

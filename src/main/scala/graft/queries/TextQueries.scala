@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Det.davg
+import graft.engine.Tables.t
+import graft.functions.Text
+
+/** LLM-data-pipeline batch 1: exact deduplication and text analysis over the
+  * `documents` table (north-star extensions, SURVEY §7.5). Every query is
+  * hash-grouped — dedup NEVER compares pairs of documents directly; near-dup
+  * candidates come from bucketed token joins (q_jaccard_neardup) so the pair
+  * space is bounded by bucket size, not corpus size. */
+object TextQueries {
+
+  private val Stopwords = Seq("the", "a")
+
+  /** Exact dedup: duplicates planted deterministically (a second copy of
+    * every doc under a shifted id), then group by content fingerprint
+    * keeping the smallest doc_id — the 100-TB shape (shuffle key is a
+    * 32-byte hash, one aggregation, no pairwise compare). */
+  val dedupExact: Q = Q(
+    "q_dedup_exact",
+    """WITH planted AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+      |keyed AS (SELECT doc_id, md5(lower(text)) AS fp FROM planted)
+      |SELECT fp, MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies
+      |FROM keyed
+      |GROUP BY fp
+      |ORDER BY canonical_doc""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.unionAll(
+      docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    planted
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("canonical_doc"), count(lit(1)).as("n_copies"))
+      .orderBy("canonical_doc")
+  }
+
+  /** Corpus statistics per (lang, source): counts, token totals, char
+    * stats — the profiling pass a training-data pipeline runs first. */
+  val textStats: Q = Q(
+    "q_text_stats",
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |       SUM(len(string_split(text, ' '))) AS total_tokens,
+      |       CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+      |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        davg(col("n_chars")).as("avg_chars"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("lang", "source")
+  }
+
+  /** Cheap language-ID heuristic: stopword-ratio against an English list,
+    * thresholded. (An n-gram-profile classifier is the production form; the
+    * ratio is the oracle-checkable core of it.) */
+  val langId: Q = Q(
+    "q_lang_id",
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS n_tokens,
+      |       len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS en_hits,
+      |       CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+      |         / len(string_split(text, ' ')) AS en_ratio,
+      |       CASE WHEN CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+      |                 / len(string_split(text, ' ')) >= 0.05
+      |            THEN 'en_like' ELSE 'other' END AS guess
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val ratio = Text.stopwordRatio(col("text"), Stopwords)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.stopwordHits(col("text"), Stopwords).as("en_hits"),
+        ratio.as("en_ratio"),
+        when(ratio >= 0.05, "en_like").otherwise("other").as("guess"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document profile: content fingerprint + quality score (length band,
+    * stopword presence, mean token length — each a deterministic step). */
+  val docProfile: Q = Q(
+    "q_doc_profile",
+    """SELECT doc_id, md5(lower(text)) AS fp,
+      |       len(string_split(text, ' ')) AS n_tokens,
+      |       CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |         / len(string_split(text, ' ')) AS avg_token_len,
+      |       (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 400 THEN 1.0 ELSE 0.0 END) * 0.5
+      |     + (CASE WHEN CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+      |                  / len(string_split(text, ' ')) >= 0.02 THEN 1.0 ELSE 0.0 END) * 0.3
+      |     + (CASE WHEN CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |                  / len(string_split(text, ' ')) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) * 0.2
+      |       AS quality
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        Text.fingerprint(col("text")).as("fp"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.avgTokenLen(col("text")).as("avg_token_len"),
+        Text.qualityScore(col("text"), Stopwords).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-set Jaccard near-dup detection, bucketed: candidate pairs share a
+    * (lang, n_chars%7) bucket AND a token, so the join is keyed — never an
+    * all-pairs crossJoin. At 100 TB the same shape holds with MinHash bands
+    * as the bucket key (see SimilarityQueries). */
+  val jaccardNearDup: Q = Q(
+    "q_jaccard_neardup",
+    """WITH docs2 AS (
+      |  SELECT doc_id, lang, n_chars % 7 AS lb, text FROM documents),
+      |tok AS (
+      |  SELECT DISTINCT doc_id, lang, lb, unnest(string_split(text, ' ')) AS tok
+      |  FROM docs2),
+      |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS it
+      |  FROM tok a JOIN tok b
+      |    ON a.lang = b.lang AND a.lb = b.lb AND a.tok = b.tok
+      |   AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2,
+      |       CAST(it AS DOUBLE) / (sa.nt + sb.nt - it) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = d1
+      |JOIN sizes sb ON sb.doc_id = d2
+      |WHERE CAST(it AS DOUBLE) / (sa.nt + sb.nt - it) >= 0.8
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    val docs2 = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), (col("n_chars") % 7).as("lb"), col("text"))
+    val tok = docs2
+      .select(col("doc_id"), col("lang"), col("lb"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val a = tok.select(col("doc_id").as("d1"), col("lang"), col("lb"), col("tok"))
+    val b = tok.select(col("doc_id").as("d2"), col("lang"), col("lb"), col("tok"))
+    val inter = a.join(b, Seq("lang", "lb", "tok"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("it"))
+    val jaccard = col("it").cast("double") /
+      (col("na") + col("nb") - col("it"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("nt").as("na")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("nt").as("nb")), "d2")
+      .filter(jaccard >= 0.8)
+      .select(col("d1"), col("d2"), jaccard.as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  val all: Seq[Q] = Seq(dedupExact, textStats, langId, docProfile, jaccardNearDup)
+}
