@@ -5,7 +5,7 @@ package graft.queries
 object Registry {
   def all: Seq[Q] =
     RelationalQueries.all ++ WindowQueries.all ++ PipelineQueries.all ++
-      StatQueries.all ++ TextQueries.all
+      StatQueries.all ++ TextQueries.all ++ SimilarityQueries.all
 
   def queries = all.map(q => q.name -> q.build).toMap
   def oracleSql = all.flatMap(q => q.oracle.map(q.name -> _)).toMap

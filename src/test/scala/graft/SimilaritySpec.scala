@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Similarity
+import graft.functions.Vectors
+
+/** Behavior checks for the non-oracle similarity machinery: MinHash+LSH
+  * banding, SimHash, hyperplane-LSH buckets, and the cosine expressions. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: exact on known vectors") {
+    val df = Seq((Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)),
+      (Array(1.0, 2.0, 2.0), Array(1.0, 2.0, 2.0)),
+      (Array(1.0, 0.0, 0.0), Array(-1.0, 0.0, 0.0))).toDF("a", "b")
+    val got = df.select(Vectors.cosine(col("a"), col("b"))).as[Double].collect().toSeq
+    assert(got == Seq(0.0, 1.0, -1.0))
+  }
+
+  test("minhash+LSH: identical docs always pair; disjoint docs never do") {
+    val docs = Seq(
+      (1L, "spark shuffle partition join agg window scan filter"),
+      (2L, "spark shuffle partition join agg window scan filter"), // exact twin of 1
+      (3L, "spark shuffle partition join agg window scan filters"), // near twin (1 token differs)
+      (4L, "entirely different vocabulary nothing shared here at all")).toDF("doc_id", "text")
+    val sig = Similarity.minhashSignatures(docs, "doc_id", "text", k = 16)
+    assert(sig.columns.length == 17)
+    val pairs = Similarity.lshCandidatePairs(sig, "doc_id", k = 16, bands = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"exact twin must collide in every band: $pairs")
+    assert(pairs.contains((1L, 3L)) == pairs.contains((2L, 3L)),
+      "near-twin collisions must be consistent for identical docs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"disjoint doc must never be a candidate: $pairs")
+  }
+
+  test("simhash16: identical -> distance 0; near twin close; disjoint far") {
+    val docs = Seq(
+      (1L, "spark shuffle partition join agg window scan filter stage task"),
+      (2L, "spark shuffle partition join agg window scan filter stage task"),
+      (3L, "spark shuffle partition join agg window scan filter stage tasks"),
+      (4L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")).toDF("doc_id", "text")
+    val sh = Similarity.simhash16(docs, "doc_id", "text")
+    val m = sh.as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(m(a) ^ m(b))
+    assert(ham(1, 2) == 0)
+    assert(ham(1, 3) <= 6, s"near twin too far: ${ham(1, 3)}")
+    assert(ham(1, 4) > ham(1, 3), "disjoint doc should be farther than near twin")
+    // the column-level hamming matches the driver-side computation
+    val pairHam = sh.as("x").join(sh.as("y"),
+        col("x.doc_id") === 1 && col("y.doc_id") === 3)
+      .select(Similarity.hamming16(col("x.simhash"), col("y.simhash")))
+      .as[Int].head()
+    assert(pairHam == ham(1, 3))
+  }
+
+  test("hyperplane LSH: planted twin shares the bucket and is found top-1") {
+    val emb = graft.engine.Tables.t(spark, sf, "embeddings").limit(50)
+    // plant an exact twin of vec 0 under id 9999
+    val twin = emb.filter(col("vec_id") === 0)
+      .select(lit(9999L).as("vec_id"), col("embedding"), col("label"))
+    val indexed = Similarity.lshIndex(
+      emb.select("vec_id", "embedding", "label").unionAll(twin),
+      "vec_id", "embedding", dim = 64, nPlanes = 4)
+    val b = indexed.filter(col("vec_id").isin(0L, 9999L))
+      .select("bucket").as[Long].collect().toSet
+    assert(b.size == 1, "identical vectors must share the LSH bucket")
+    // within the twin's bucket, the nearest neighbor of 9999 is vec 0 (cos=1)
+    val bucketVal = b.head
+    val cands = indexed.filter(col("bucket") === bucketVal && col("vec_id") =!= 9999L)
+    val qv = indexed.filter(col("vec_id") === 9999L)
+      .select(Vectors.asDouble(col("embedding")).as("qv"))
+    val top = cands.crossJoin(qv)
+      .select(col("vec_id"),
+        Vectors.cosine(col("qv"), Vectors.asDouble(col("embedding"))).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(1).as[(Long, Double)].head()
+    assert(top._1 == 0L && math.abs(top._2 - 1.0) < 1e-12, s"got $top")
+  }
+}
