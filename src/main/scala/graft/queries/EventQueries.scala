@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Det.dsum
+import graft.engine.Tables.t
+
+/** Semi-structured extraction + event-time windowing over `events`
+  * (SURVEY §2.9/§7.5 extensions; the reference is batch-only, so these are
+  * the engine's own surface — expressed in batch form here, with the same
+  * operators reusable under Structured Streaming, see graft.streaming).
+  *
+  * All window aggregations are per (window, key) hash aggregations — partial
+  * aggregation applies map-side, nothing sorts globally. Sliding windows
+  * multiply rows by windows-per-event (4 here) BEFORE the aggregation, the
+  * standard Spark shape.
+  */
+object EventQueries {
+
+  /** JSON field extraction (`props` payload) + aggregation on the extracted
+    * value. get_json_object stays inside codegen; the extracted string is
+    * cast to a numeric type explicitly (both engines null on malformed). */
+  val jsonExtract: Q = Q(
+    "q_json_extract",
+    """SELECT event_type,
+      |       COUNT(*) AS n_events,
+      |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(k).as("sum_k"),
+        min(k).as("min_k"), max(k).as("max_k"))
+      .orderBy("event_type")
+  }
+
+  /** Tumbling event-time window (1 hour) per event_type. */
+  val windowTumbling: Q = Q(
+    "q_window_tumbling",
+    """SELECT date_trunc('hour', ts) AS wstart, event_type,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total"))
+      .select(col("w.start").as("wstart"), col("event_type"),
+        col("n_events"), col("total"))
+      .orderBy("wstart", "event_type")
+  }
+
+  /** Sliding event-time window (1 hour every 15 minutes): each event lands
+    * in exactly 4 overlapping windows. The DuckDB mirror expands the windows
+    * with a 4-element series join on the 15-minute-aligned start. */
+  val windowSliding: Q = Q(
+    "q_window_sliding",
+    """WITH expanded AS (
+      |  SELECT e.ts, e.value,
+      |         e.ts - to_microseconds(epoch_us(e.ts) % 900000000)
+      |              - to_microseconds(g.k * 900000000) AS wstart
+      |  FROM events e
+      |  CROSS JOIN (SELECT unnest(range(4)) AS k) g)
+      |SELECT wstart,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+      |FROM expanded
+      |GROUP BY wstart
+      |ORDER BY wstart""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total"))
+      .select(col("w.start").as("wstart"), col("n_events"), col("total"))
+      .orderBy("wstart")
+  }
+
+  /** Session window (10-minute gap) per user. Spark sessions are half-open
+    * [start, last_event + gap): a new session begins when the inter-event
+    * gap is >= the timeout. The DuckDB mirror is the gaps-and-islands form:
+    * flag gap >= 10 min, running-sum the flags into session ids, aggregate. */
+  val windowSession: Q = Q(
+    "q_window_session",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         CASE WHEN LAG(ts) OVER w IS NULL
+      |                OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |       MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+      |FROM sessions
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val all: Seq[Q] = Seq(jsonExtract, windowTumbling, windowSliding, windowSession)
+}

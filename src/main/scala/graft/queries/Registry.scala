@@ -5,7 +5,8 @@ package graft.queries
 object Registry {
   def all: Seq[Q] =
     RelationalQueries.all ++ WindowQueries.all ++ PipelineQueries.all ++
-      StatQueries.all ++ TextQueries.all ++ SimilarityQueries.all
+      StatQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
+      EventQueries.all
 
   def queries = all.map(q => q.name -> q.build).toMap
   def oracleSql = all.flatMap(q => q.oracle.map(q.name -> _)).toMap
