@@ -38,6 +38,35 @@ object TimeSeries {
   def rowIndex(partCols: Seq[String], order: Seq[Column]): Column =
     row_number().over(w(partCols, order))
 
+  /** Distributed GLOBAL row number — the scale-safe replacement for
+    * `row_number().over(Window.orderBy(...))`, which funnels every row
+    * through one task. Rows are numbered locally within `bucketCol`
+    * partitions, then shifted by broadcast per-bucket prefix offsets (the
+    * zipWithIndex pattern, purely declarative):
+    *
+    *   - `bucketCol` MUST be a prefix of the global ordering (e.g. the day
+    *     of a timestamp ordered by that timestamp) so local order + bucket
+    *     order = global order;
+    *   - the offsets side is one row per bucket (bounded — calendar days
+    *     here), aggregated with a self-join instead of a global window, so
+    *     NO operator in the plan ever sees a single-partition sort.
+    *
+    * Adds `asCol` (long). */
+  def globalRowNumber(df: DataFrame, bucketCol: Column, order: Seq[Column],
+      asCol: String): DataFrame = {
+    val local = df.withColumn("__bucket", bucketCol)
+      .withColumn("__lrn",
+        row_number().over(Window.partitionBy(col("__bucket")).orderBy(order: _*)))
+    val counts = local.groupBy("__bucket").agg(count(lit(1)).as("__cnt"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.__bucket") < col("a.__bucket"), "left")
+      .groupBy(col("a.__bucket").as("__bucket"))
+      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__offset"))
+    local.join(broadcast(offsets), "__bucket")
+      .withColumn(asCol, col("__offset") + col("__lrn"))
+      .drop("__bucket", "__lrn", "__offset")
+  }
+
   /** W4 — keep the last n rows per partition (pandas `iloc[-(n):]`,
     * main.py:652). */
   def tailSlice(df: DataFrame, n: Int, partCols: Seq[String], orderDesc: Seq[Column]): DataFrame =

@@ -238,11 +238,20 @@ object RelationalQueries {
       |SELECT 'all' AS tag, k FROM
       |  (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier) t3
       |ORDER BY tag, k""".stripMargin) { (s, dir) =>
-    val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
-    val sp = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
-    c.intersect(sp).select(lit("both").as("tag"), col("k"))
-      .unionAll(c.except(sp).select(lit("customer_only").as("tag"), col("k")))
-      .unionAll(c.union(sp).distinct().select(lit("all").as("tag"), col("k")))
+    // Single-pass form: distinct keys per side, ONE full-outer join, tags
+    // derived and exploded — instead of three separate wide shuffles
+    // (intersect + except + union) over the same two inputs.
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("k")).distinct()
+      .withColumn("in_c", lit(true))
+    val sp = t(s, dir, "supplier").select(col("s_nationkey").as("k")).distinct()
+      .withColumn("in_s", lit(true))
+    val joined = c.join(sp, Seq("k"), "full_outer")
+    val tags = array(
+      when(col("in_c").isNotNull && col("in_s").isNotNull, "both"),
+      when(col("in_c").isNotNull && col("in_s").isNull, "customer_only"),
+      lit("all"))
+    joined
+      .select(explode(filter(tags, _.isNotNull)).as("tag"), col("k"))
       .orderBy("tag", "k")
   }
 

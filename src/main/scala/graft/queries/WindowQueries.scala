@@ -107,16 +107,15 @@ object WindowQueries {
       |       MAX(CASE WHEN rn_asc = 1 THEN value END) AS first_value,
       |       MAX(CASE WHEN rn_desc = 1 THEN value END) AS last_value
       |FROM numbered GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
-    val wAsc = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
-    val wDesc = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    // min_by/max_by over the (ts, event_id) ordering struct: ONE hash
+    // aggregation, no window sorts at all (the round-1 form sorted every
+    // partition twice, once per direction).
+    val ord = struct(col("ts"), col("event_id"))
     t(s, dir, "events")
-      .select(col("user_id"), col("value"),
-        row_number().over(wAsc).as("rn_asc"),
-        row_number().over(wDesc).as("rn_desc"))
       .groupBy("user_id")
       .agg(
-        max(when(col("rn_asc") === 1, col("value"))).as("first_value"),
-        max(when(col("rn_desc") === 1, col("value"))).as("last_value"))
+        min_by(col("value"), ord).as("first_value"),
+        max_by(col("value"), ord).as("last_value"))
       .orderBy("user_id")
   }
 
@@ -153,10 +152,15 @@ object WindowQueries {
       |FROM a JOIN b ON a.rn = b.rn
       |ORDER BY a.rn""".stripMargin) { (s, dir) =>
     val ev = t(s, dir, "events")
+    // Global index WITHOUT a global window: day-bucketed local numbering +
+    // broadcast prefix offsets (TimeSeries.globalRowNumber). The day bucket
+    // is a prefix of the (ts, event_id) ordering, so the index is identical
+    // to a global row_number — but every stage stays partition-parallel.
     def side(tpe: String, alias: String) =
-      ev.filter(col("event_type") === tpe)
-        .select(col("value").as(alias),
-          row_number().over(Window.orderBy(col("ts"), col("event_id"))).as("rn"))
+      TimeSeries.globalRowNumber(
+        ev.filter(col("event_type") === tpe),
+        date_trunc("day", col("ts")), Seq(col("ts"), col("event_id")), "rn")
+        .select(col("value").as(alias), col("rn"))
     side("click", "click_value")
       .join(side("purchase", "purchase_value"), "rn")
       .select(col("rn"), col("click_value"), col("purchase_value"),
