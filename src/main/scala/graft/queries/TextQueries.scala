@@ -157,5 +157,34 @@ object TextQueries {
       .orderBy("d1", "d2")
   }
 
-  val all: Seq[Q] = Seq(dedupExact, textStats, langId, docProfile, jaccardNearDup)
+  /** Multimodal plumbing check (graft.engine.Multimodal): media as opaque
+    * binary payloads + typed metadata — the metadata aggregates here are the
+    * oracle-checkable face of the binary column (decode itself is the
+    * documented stub, covered by MultimodalSpec). */
+  val mediaMeta: Q = Q(
+    "q_media_meta",
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |         encode(text) AS payload
+      |  FROM documents)
+      |SELECT kind, COUNT(*) AS n_items,
+      |       SUM(octet_length(payload)) AS total_bytes,
+      |       MIN(octet_length(payload)) AS min_bytes,
+      |       MAX(octet_length(payload)) AS max_bytes
+      |FROM media
+      |GROUP BY kind
+      |ORDER BY kind""".stripMargin) { (s, dir) =>
+    graft.engine.Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_items"),
+        sum(octet_length(col("payload"))).as("total_bytes"),
+        min(octet_length(col("payload"))).as("min_bytes"),
+        max(octet_length(col("payload"))).as("max_bytes"))
+      .orderBy("kind")
+  }
+
+  val all: Seq[Q] =
+    Seq(dedupExact, textStats, langId, docProfile, jaccardNearDup, mediaMeta)
 }

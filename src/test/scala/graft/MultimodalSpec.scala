@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{MediaItem, Multimodal, Tables}
+
+/** The decode is a documented stub; these tests pin the REAL parts — schema,
+  * determinism, batch plumbing, frame-sampling row algebra — so swapping in
+  * an actual codec only changes feature values, not shapes. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Multimodal
+    .mediaFromDocuments(Tables.t(spark, sf, "documents"))
+    .as[MediaItem]
+
+  test("media schema: opaque binary payload + typed metadata") {
+    val df = media.toDF()
+    assert(df.schema("payload").dataType.typeName == "binary")
+    assert(df.schema("kind").dataType.typeName == "string")
+    val kinds = df.select("kind").distinct().as[String].collect().toSet
+    assert(kinds == Set("image", "audio", "video"))
+  }
+
+  test("extractFeatures: fixed dim, deterministic, byte counts correct") {
+    val feats = Multimodal.extractFeatures(media, dim = 32).cache()
+    assert(feats.count() == media.count())
+    assert(feats.filter(size(col("feature")) =!= 32).isEmpty)
+    // deterministic: two runs agree exactly
+    val a = feats.orderBy("media_id").limit(5).collect()
+    val b = Multimodal.extractFeatures(media, dim = 32)
+      .orderBy("media_id").limit(5).collect()
+    a.lazyZip(b).foreach { (x, y) =>
+      assert(x.media_id == y.media_id && x.feature.sameElements(y.feature))
+    }
+    // n_bytes is the payload length (UTF-8 text here)
+    val doc = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"))
+    val joined = feats.toDF().join(doc, col("media_id") === col("doc_id"))
+      .filter(col("n_bytes") =!= col("len"))
+    assert(joined.isEmpty)
+  }
+
+  test("resize rewrites metadata and shrinks payloads") {
+    val resized = Multimodal.resize(media.filter(col("kind") === "image").as[MediaItem],
+      targetW = 8, targetH = 8, dim = 16)
+    val rows = resized.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(m => m.width == 8 && m.height == 8))
+    assert(rows.forall(_.payload.nonEmpty))
+  }
+
+  test("sampleFrames: every stride-th fixed-size chunk becomes a row") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2, dim = 8)
+      .cache()
+    val counts = frames.groupBy("media_id").count()
+    val expected = media.filter(col("kind") === "video")
+      .select(col("media_id"),
+        ceil(ceil(length(col("payload")).cast("double") / 64) / 2).as("want"))
+    val bad = counts.join(expected, "media_id")
+      .filter(col("count") =!= col("want"))
+    assert(bad.isEmpty, s"frame counts off: ${bad.collect().mkString(",")}")
+    assert(frames.filter(size(col("feature")) =!= 8).isEmpty)
+  }
+}
