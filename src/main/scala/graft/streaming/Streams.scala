@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Event row for the streaming surface (events-table shaped). */
+final case class StreamEvent(user_id: Long, ts: java.sql.Timestamp,
+    event_type: String, value: Double)
+
+/** Running per-user aggregate carried across micro-batches. */
+final case class UserRunning(user_id: Long, n_events: Long, total: Double)
+
+/** Closed (or force-flushed) session emitted by the custom state machine. */
+final case class UserSession(user_id: Long, start_ms: Long, end_ms: Long,
+    n_events: Long, total: Double)
+
+private final case class SessionState(start_ms: Long, last_ms: Long,
+    n: Long, total: Double)
+
+/** Structured Streaming surface (north-star extension — the reference is
+  * batch-only, SURVEY §2.9). The transforms are written against plain
+  * DataFrames/Datasets so the SAME code runs in batch (`spark.read`) and
+  * incremental (`spark.readStream`) mode — Spark's unified model; only the
+  * source/sink differ. See StreamingSpec for the MemoryStream harness.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late rows beyond it are dropped and their state evicted); the custom
+  * session state machine keeps ONE small state object per active key, and
+  * every key's state lives in the state store partition that owns the key —
+  * state scales out with shuffle partitions.
+  */
+object Streams {
+
+  /** Watermarked tumbling-window totals per event type: the streaming form
+    * of q_window_tumbling. Append-mode emits each window once its watermark
+    * passes; state for closed windows is evicted. */
+  def windowedTotals(events: DataFrame, watermark: String = "30 minutes",
+      window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total"))
+      .select(col("w.start").as("wstart"), col("event_type"),
+        col("n_events"), col("total"))
+
+  /** Cross-batch running totals per user via mapGroupsWithState: minimal
+    * custom-state shape (the KeyValueGroupedDataset API the reference's
+    * per-country accumulations would need incrementally). */
+  def runningTotals(events: Dataset[StreamEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[StreamEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          val next = batch.foldLeft(prev)((acc, e) =>
+            acc.copy(n_events = acc.n_events + 1, total = acc.total + e.value))
+          state.update(next)
+          next
+      }
+  }
+
+  /** Custom sessionization via flatMapGroupsWithState: a session closes when
+    * a later event arrives at >= `gapMs` after the last one (emitting the
+    * closed session) — the stateful twin of q_window_session's batch
+    * gaps-and-islands. The still-open session stays in state across
+    * batches. */
+  def sessionize(events: Dataset[StreamEvent], gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[StreamEvent], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption.orNull
+          val closed = Seq.newBuilder[UserSession]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case null =>
+                cur = SessionState(t, t, 1L, e.value)
+              case s if t - s.last_ms >= gapMs =>
+                closed += UserSession(user, s.start_ms, s.last_ms + gapMs, s.n, s.total)
+                cur = SessionState(t, t, 1L, e.value)
+              case s =>
+                cur = s.copy(last_ms = t, n = s.n + 1, total = s.total + e.value)
+            }
+          }
+          if (cur != null) state.update(cur) else state.remove()
+          closed.result().iterator
+      }
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{StreamEvent, Streams}
+
+/** MemoryStream-driven checks for the Structured Streaming surface:
+  * watermarked window emission, cross-batch custom state, and session
+  * closure — and batch/streaming unification of the same transform. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(user: Long, minute: Int, tpe: String = "click", v: Double = 1.0) =
+    StreamEvent(user, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), tpe, v)
+  private def evAt(user: Long, hhmm: String, v: Double) =
+    StreamEvent(user, Timestamp.valueOf(s"2024-01-01 $hhmm:00"), "click", v)
+
+  test("windowedTotals: append emits a window only after the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val q = Streams.windowedTotals(in.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("wt").outputMode("append").start()
+    try {
+      in.addData(evAt(1, "10:05", 2.0), evAt(1, "10:20", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("wt").count() == 0, "window must stay open before watermark")
+      // event at 12:00 pushes the watermark to 11:30 > [10:00,11:00) close
+      in.addData(evAt(1, "12:00", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wt")
+        .select("wstart", "n_events", "total").as[(Timestamp, Long, Double)]
+        .collect().toSet
+      assert(rows == Set((Timestamp.valueOf("2024-01-01 10:00:00"), 2L, 5.0)), s"$rows")
+    } finally q.stop()
+  }
+
+  test("runningTotals: state accumulates across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val q = Streams.runningTotals(in.toDS())
+      .writeStream.format("memory").queryName("rt").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(ev(1, 1, v = 10.0), ev(1, 2, v = 5.0), ev(2, 1, v = 1.0))
+      q.processAllAvailable()
+      in.addData(ev(1, 3, v = 2.5))
+      q.processAllAvailable()
+      val last = spark.table("rt").as[(Long, Long, Double)].collect()
+        .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+      assert(last(1L) == ((1L, 3L, 17.5)), s"${last(1L)}")
+      assert(last(2L) == ((2L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: a gap closes the session; open sessions survive batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val gapMs = 10 * 60 * 1000L
+    val q = Streams.sessionize(in.toDS(), gapMs)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      in.addData(ev(7, 0, v = 1.0), ev(7, 5, v = 2.0)) // one open session
+      q.processAllAvailable()
+      assert(spark.table("sess").count() == 0, "open session must not emit")
+      in.addData(ev(7, 30, v = 4.0)) // 25-min gap closes the first session
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      val start = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      val lastT = Timestamp.valueOf("2024-01-01 10:05:00").getTime
+      assert(rows == Seq((7L, start, lastT + gapMs, 2L, 3.0)), s"$rows")
+    } finally q.stop()
+  }
+
+  test("the same transform runs in batch mode (unified API)") {
+    val batch = Seq(evAt(1, "10:05", 2.0), evAt(1, "10:20", 3.0), evAt(2, "11:05", 7.0))
+      .toDF()
+    val out = Streams.windowedTotals(batch)
+      .orderBy("wstart").as[(Timestamp, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L, 5.0),
+      (Timestamp.valueOf("2024-01-01 11:00:00"), "click", 1L, 7.0)))
+  }
+}
