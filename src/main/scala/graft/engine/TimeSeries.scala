@@ -57,6 +57,9 @@ object TimeSeries {
     val local = df.withColumn("__bucket", bucketCol)
       .withColumn("__lrn",
         row_number().over(Window.partitionBy(col("__bucket")).orderBy(order: _*)))
+    // counts derive from `local` (not `df`) so the bucket-hash exchange
+    // feeding the window is identical on both subtrees and ReuseExchange
+    // scans the source once instead of twice per side
     val counts = local.groupBy("__bucket").agg(count(lit(1)).as("__cnt"))
     val offsets = counts.as("a")
       .join(counts.as("b"), col("b.__bucket") < col("a.__bucket"), "left")
