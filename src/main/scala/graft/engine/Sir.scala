@@ -116,6 +116,70 @@ object Sir {
     (row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
   }
 
+  /** K10 fit-test output: per-day estimated parameters from the param
+    * entity plus the simulated finals for the sim entity. */
+  final case class FitResult(nSteps: Int, alpha: Vector[Double],
+      beta: Vector[Double], mu: Vector[Double], finals: SirPoint)
+
+  /** K10 — cross-entity fit test (main.py:629-726): estimate time-varying
+    * parameters from `paramKey`'s wrangled series
+    * (estimates_country_complete, main.py:536-556, with its epsilon clamps),
+    * then simulate `simKey` from ITS trailing slice's initial conditions.
+    *
+    * Quirk Q12 preserved: the actual series aligns by TRAILING slice while
+    * parameter rows index from the START of the param series. Quirk Q9
+    * preserved too: the reference's near-zero Recovered_change days produce
+    * enormous alpha values and the simulation overflows to NaN — its README
+    * (README.md:131-140) documents exactly this blow-up; we reproduce it
+    * bit-for-bit rather than "fixing" the semantics.
+    *
+    * Series are collected per entity (bounded, same honesty as the driver
+    * fold); for the all-entities form, the identical arithmetic runs
+    * distributed in q_r0_trajectory. */
+  def fitTest(wrangled: DataFrame, keyCol: String, dateCol: String,
+      paramKey: String, simKey: String,
+      populations: Map[String, Double]): FitResult = {
+    val eps = 0.00001
+    val gamma = 1.0 / 4.5
+    def series(key: String): Array[(Double, Double, Double, Double)] =
+      wrangled.filter(col(keyCol) === key).orderBy(dateCol)
+        .select(col("Confirmed").cast("double"), col("Active").cast("double"),
+          col("Deaths").cast("double"), col("Recovered").cast("double"))
+        .collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+
+    val p = series(paramKey)
+    val popP = populations(paramKey)
+    // elementwise, indices 1..len-1 (pandas .diff().iloc[1:])
+    val (alphaT, betaT, muT) = {
+      val a = Vector.newBuilder[Double]; val b = Vector.newBuilder[Double]
+      val m = Vector.newBuilder[Double]
+      var i = 1
+      while (i < p.length) {
+        val (_, act, dth, rec) = p(i)
+        val dA = act - p(i - 1)._2
+        val dD = dth - p(i - 1)._3
+        val dR = rec - p(i - 1)._4
+        val sT = popP - (act + rec + dth)
+        val mu = dD / math.max(act, eps)
+        a += (gamma * act - dR) / math.max(dR, eps)
+        b += (dA / math.max(act, 1.0) + mu + gamma) / math.max(sT, eps)
+        m += mu
+        i += 1
+      }
+      (a.result(), b.result(), m.result())
+    }
+
+    val actual = series(simKey)
+    val nSteps = math.min(alphaT.length, actual.length - 1)
+    val tail = actual.drop(actual.length - (nSteps + 1))
+    val (_, i0, d0, r0) = tail.head
+    val nSim = populations(simKey)
+    val sim = simulateTimeVarying(alphaT, betaT, muT, gamma,
+      nSim - i0 - r0 - d0, i0, r0, d0, nSim, nSteps)
+    FitResult(nSteps, alphaT, betaT, muT, sim.last)
+  }
+
   /** Actual-series frame for [[mse]] from a day_wise-shaped table: 0-based
     * step by date order, S_real = N - Active - Recovered - Deaths
     * (main.py:149-154). */

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.engine._
 
 /** U4/K5/K6 golden parity: constants recorded by executing the reference's
@@ -55,6 +56,34 @@ class SirSpec extends SparkSpec {
       Vector.fill(50)(p.alpha), Vector.fill(50)(p.beta), Vector.fill(50)(p.mu),
       p.gamma, init._1, init._2, init._3, init._4, n, 50)
     assert(const == tv)
+  }
+
+  test("K10 fit test golden: params exact, blow-up reproduced (quirk Q9/Q12)") {
+    // Golden values from executing reference main.py:536-556 + 629-726 on the
+    // shipped complete.csv with synthesized populations (the reference's db
+    // is an absent LFS pointer; FIXTURES.md §A4). The reference's own fit
+    // test overflows to NaN — its README documents the blow-up
+    // (README.md:131-140); parity means reproducing it, not fixing it.
+    val pops = Map("Netherlands" -> 17134872.0, "Belgium" -> 11589623.0)
+    val wrangled = {
+      val complete = Covid.complete(spark)
+        .withColumnRenamed("Country.Region", "country")
+        .select("country", "Date", "Confirmed", "Active", "Deaths", "Recovered")
+      Wrangle.processComplete(complete, "country", "Date")
+    }
+    val r = Sir.fitTest(wrangled, "country", "Date", "Netherlands", "Belgium", pops)
+    assert(r.nSteps == 151)
+    assert(r.alpha.take(3) == Vector(22222.22222222222, 133333.3333333333, 222222.22222222222),
+      s"alpha head ${r.alpha.take(3)}")
+    assert(r.beta.take(3) == Vector(1.296900468186905e-8, 6.160279021473268e-8, 3.6313232182565706e-8),
+      s"beta head ${r.beta.take(3)}")
+    assert(r.mu.take(3) == Vector(0.0, 0.0, 0.0))
+    assert(r.finals.s.isNaN && r.finals.i.isNaN && r.finals.r.isNaN && r.finals.d.isNaN,
+      s"reference blow-up must reproduce: ${r.finals}")
+
+    val r2 = Sir.fitTest(wrangled, "country", "Date", "Belgium", "Netherlands", pops)
+    assert(r2.nSteps == 151)
+    assert(r2.alpha.head == 22222.22222222222 && r2.beta.head == 1.9174242457797347e-8)
   }
 
   test("simulatePerKey matches the driver fold per entity") {
