@@ -34,4 +34,18 @@ object Det {
     * spark.sql.session.timeZone (UTC here), unlike java.sql.Timestamp.valueOf
     * which uses the JVM default zone. Mirrors DuckDB's naive TIMESTAMP 'x'. */
   def ts(s: String): Column = lit(s).cast(TimestampType)
+
+  /** Pandas/IEEE754 division (quirk Q9): x/0 -> ±Infinity, 0/0 -> NaN,
+    * null propagates. Spark's own `/` returns NULL on a zero divisor for
+    * EVERY numeric type (ANSI or not), which silently drops the reference's
+    * documented blow-up rows; this wrapper restores the float semantics the
+    * reference relies on (README.md:134). Deviation: a negative-zero divisor
+    * gets the +0.0 sign (pandas would flip the infinity). */
+  def pdiv(num: Column, den: Column): Column =
+    when(den === 0.0,
+      when(num.isNull, lit(null))
+        .when(num > 0, lit(Double.PositiveInfinity))
+        .when(num < 0, lit(Double.NegativeInfinity))
+        .otherwise(lit(Double.NaN)))
+      .otherwise(num / den)
 }
