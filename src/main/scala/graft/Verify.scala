@@ -14,6 +14,7 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // quirk Q9: pandas float semantics (x/0 -> inf, 0/0 -> NaN), not ANSI errors
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

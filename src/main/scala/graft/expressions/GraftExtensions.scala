@@ -1,0 +1,21 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Engine extension point: registers the native expressions with the
+  * session's function registry. Wire with
+  * `.config("spark.sql.extensions", "graft.expressions.GraftExtensions")`
+  * (all engine entry points do); after that `expr("graft_dot(a, b)")` and
+  * SQL both resolve, and the expression participates in whole-stage
+  * codegen like any built-in. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(children.head, children(1))))
+  }
+}

@@ -29,6 +29,15 @@ object Vectors {
   /** Cosine similarity, computed as dot / (norm * norm). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Native-expression forms (graft.expressions.DotProduct, registered by
+    * GraftExtensions): a codegen'd primitive loop instead of the HOF's
+    * zipped-array allocation + per-element lambda. Same sequential
+    * accumulation order, so bit-identical results — only faster. */
+  def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def cosineNative(a: Column, b: Column): Column =
+    dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
+
   /** Sign-random-projection LSH bucket (Charikar SimHash for vectors):
     * `nPlanes` Rademacher (+1/-1) hyperplanes derived deterministically from
     * xxhash64(plane, dim) — no stored plane matrix, so executors rebuild the

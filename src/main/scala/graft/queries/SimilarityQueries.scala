@@ -52,7 +52,7 @@ object SimilarityQueries {
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        Vectors.cosine(col("qv"), col("v")).as("cos"))
+        Vectors.cosineNative(col("qv"), col("v")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
@@ -84,7 +84,7 @@ object SimilarityQueries {
     val scored = e.join(broadcast(q), "label")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        Vectors.cosine(col("qv"), col("v")).as("cos"))
+        Vectors.cosineNative(col("qv"), col("v")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
@@ -105,7 +105,7 @@ object SimilarityQueries {
     val scored = e.join(broadcast(q), "bucket")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        Vectors.cosine(col("qv"), col("v")).as("cos"))
+        Vectors.cosineNative(col("qv"), col("v")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)

@@ -9,6 +9,23 @@ import graft.functions.Vectors
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("native graft_dot: codegen expression bit-matches the HOF fold") {
+    val emb = graft.engine.Tables.t(spark, sf, "embeddings").limit(20)
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .select(
+        Vectors.dot(col("a.v"), col("b.v")).as("hof"),
+        Vectors.dotNative(col("a.v"), col("b.v")).as("native"))
+    // bit-identical, not approximately equal: same sequential fold order
+    assert(pairs.filter(col("hof") =!= col("native")).isEmpty)
+    // SQL resolution through the injected function registry
+    emb.createOrReplaceTempView("emb_native_test")
+    val viaSql = spark.sql(
+      "SELECT graft_dot(v, v) FROM emb_native_test ORDER BY vec_id LIMIT 1")
+      .as[Double].head()
+    assert(math.abs(viaSql - 1.0) < 1e-5) // embeddings are ~unit-norm
+  }
+
   test("cosine: exact on known vectors") {
     val df = Seq((Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)),
       (Array(1.0, 2.0, 2.0), Array(1.0, 2.0, 2.0)),
