@@ -15,6 +15,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM paths (parquet reader, codegen compiler, shuffle) once so
+    // startup cost isn't attributed to whichever query happens to run first
+    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).limit(1).count())
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every row and column (count() would let

@@ -71,5 +71,8 @@ class WrangleSpec extends SparkSpec {
     assert(complete.count() == 49256)
     // literal NA tokens must become real nulls (S2)
     assert(complete.filter(col("Confirmed").isNull).count() == 10093)
+    // country_wise is loaded-but-unused in the reference (quirk Q2) — the
+    // catalog must still serve it
+    assert(Covid.countryWise(spark).count() == 187)
   }
 }
