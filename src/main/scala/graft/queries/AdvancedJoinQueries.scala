@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Det.dsum
+import graft.engine.Tables.t
+
+/** Operators Spark's join menu lacks natively, re-expressed Spark-first
+  * (brief: "compose existing ops if semantics allow" — both compose, no
+  * custom physical operator needed, and neither ever builds an inequality
+  * cross product):
+  *
+  *  - AS-OF join: tag the two streams, union them, and carry the last
+  *    left-side value forward with an ignoreNulls window inside each key
+  *    partition — O(n log n) per key, the classic stream-merge form.
+  *  - RANGE join: bucketize event time, explode the probe side to its
+  *    candidate buckets, equi-join on (key, bucket), post-filter the exact
+  *    bounds. The bucket width equals the range, so each probe row touches
+  *    at most two buckets and the join stays keyed at any scale.
+  */
+object AdvancedJoinQueries {
+
+  /** Each purchase picks up the latest click at-or-before it (per user).
+    * Tie rule: a click at exactly the purchase timestamp is visible
+    * (clicks sort before purchases at equal ts). */
+  val asofJoin: Q = Q(
+    "q_asof_join",
+    """WITH c AS (
+      |  SELECT user_id, ts, event_id, value AS cv, 0 AS is_b,
+      |         CAST(NULL AS BIGINT) AS pid, CAST(NULL AS DOUBLE) AS pv
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, ts, event_id, CAST(NULL AS DOUBLE) AS cv, 1 AS is_b,
+      |         event_id AS pid, value AS pv
+      |  FROM events WHERE event_type = 'purchase'),
+      |u AS (SELECT * FROM c UNION ALL SELECT * FROM p),
+      |w AS (
+      |  SELECT *, LAST_VALUE(cv IGNORE NULLS) OVER (
+      |           PARTITION BY user_id ORDER BY ts, is_b, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+      |  FROM u)
+      |SELECT user_id, pid AS purchase_id, pv AS purchase_value, last_click
+      |FROM w WHERE is_b = 1
+      |ORDER BY user_id, purchase_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val c = ev.filter(col("event_type") === "click").select(
+      col("user_id"), col("ts"), col("event_id"), col("value").as("cv"),
+      lit(0).as("is_b"), lit(null).cast("long").as("pid"),
+      lit(null).cast("double").as("pv"))
+    val p = ev.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"), col("event_id"),
+      lit(null).cast("double").as("cv"), lit(1).as("is_b"),
+      col("event_id").as("pid"), col("value").as("pv"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_b"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c.unionAll(p)
+      .withColumn("last_click", last(col("cv"), ignoreNulls = true).over(w))
+      .filter(col("is_b") === 1)
+      .select(col("user_id"), col("pid").as("purchase_id"),
+        col("pv").as("purchase_value"), col("last_click"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  /** For each purchase: clicks of the same user in the 10 minutes strictly
+    * before it. Spark side buckets time at the range width and probes two
+    * buckets; the oracle states the plain inequality form (fine for DuckDB
+    * at test scale — the bucket rewrite exists precisely because that form
+    * does not scale). */
+  val rangeJoin: Q = Q(
+    "q_range_join",
+    """WITH p AS (
+      |  SELECT user_id, event_id AS pid, ts AS pts
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, ts AS cts, value AS cv
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.user_id, p.pid,
+      |       COUNT(c.cv) AS n_clicks,
+      |       CAST(SUM(CAST(c.cv AS DECIMAL(38,6))) AS DOUBLE) AS click_sum
+      |FROM p LEFT JOIN c
+      |  ON p.user_id = c.user_id
+      | AND c.cts >= p.pts - INTERVAL 10 MINUTE AND c.cts < p.pts
+      |GROUP BY p.user_id, p.pid
+      |ORDER BY p.user_id, p.pid""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    // exact integer division (Column `/` would go through double and can
+    // mis-floor at exact bucket boundaries)
+    def bucketOf(ts: org.apache.spark.sql.Column) = {
+      val us = unix_micros(ts)
+      // subtract the remainder first so the division is over an exact
+      // multiple — bit-exact floor without integer-div syntax
+      ((us - pmod(us, lit(600000000L))) / 600000000L).cast("long")
+    }
+    val clicks = ev.filter(col("event_type") === "click").select(
+      col("user_id"), col("ts").as("cts"), col("value").as("cv"),
+      bucketOf(col("ts")).as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("event_id").as("pid"), col("ts").as("pts"),
+      explode(array(bucketOf(col("ts")) - 1, bucketOf(col("ts")))).as("bucket"))
+    purchases
+      .join(clicks, Seq("user_id", "bucket"), "left")
+      .withColumn("cv", when(
+        col("cts") >= col("pts") - expr("INTERVAL 10 MINUTES") &&
+          col("cts") < col("pts"), col("cv")))
+      .groupBy("user_id", "pid")
+      .agg(count(col("cv")).as("n_clicks"), dsum(col("cv")).as("click_sum"))
+      .orderBy("user_id", "pid")
+  }
+
+  val all: Seq[Q] = Seq(asofJoin, rangeJoin)
+}
