@@ -30,5 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // DuckDB oracle's naive TIMESTAMP literals otherwise diverge on a
   // non-UTC host.
   "-Duser.timezone=UTC",
+  // keep derby's metastore_db out of the repo root (bucketed-table tests)
+  "-Dderby.system.home=/tmp/graft-derby",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
