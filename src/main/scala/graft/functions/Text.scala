@@ -39,6 +39,22 @@ object Text {
   def avgTokenLen(text: Column): Column =
     (length(text) - tokenCount(text) + 1).cast("double") / tokenCount(text)
 
+  /** BPE-ish token count: alphabetic runs, digit runs, and single
+    * non-space symbols each count as one token — the pre-merge granularity
+    * a byte-pair tokenizer starts from, and a far better length proxy for
+    * LLM budgeting than whitespace words. Plain character classes only, so
+    * Java regex (Spark) and RE2 (DuckDB regexp_extract_all) agree. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+
+  /** Order-sensitive rolling fingerprint: left fold of token hashes,
+    * acc * 31 + xxhash64(token). Unlike the md5 content fingerprint this is
+    * incremental (a streaming tokenizer can maintain it) and distinguishes
+    * permutations of the same token multiset. xxhash64-based, so no SQL
+    * oracle — pinned by spec. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc * 31 + xxhash64(t))
+
   /** Composite quality score in [0,1]: length band + stopword presence +
     * plausible mean token length. Weights are engine policy (documented),
     * each term a deterministic 0/1 step so the score is oracle-exact. */

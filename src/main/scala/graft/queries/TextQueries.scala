@@ -185,6 +185,24 @@ object TextQueries {
       .orderBy("kind")
   }
 
+  /** Token counting both ways (brief: whitespace + a BPE-ish regex): the
+    * regex count tallies alpha runs, digit runs, and single symbols — the
+    * pre-merge granularity a BPE tokenizer starts from. */
+  val tokenCounts: Q = Q(
+    "q_token_counts",
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS ws_tokens,
+      |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpeish_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        Text.tokenCount(col("text")).as("ws_tokens"),
+        Text.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
-    Seq(dedupExact, textStats, langId, docProfile, jaccardNearDup, mediaMeta)
+    Seq(dedupExact, textStats, langId, docProfile, jaccardNearDup, mediaMeta,
+      tokenCounts)
 }
