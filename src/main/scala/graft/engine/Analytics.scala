@@ -73,7 +73,8 @@ object Analytics {
     val pop = worldometer
       .filter(col("`Country.Region`") === country)
       .select("Population").head().getDouble(0)
-    val w = Window.orderBy("Date") // bounded global series (one row per day)
+    val w = Window.partitionBy(TimeSeries.boundedGlobal(col("Date")): _*) // bounded global series (one row per day)
+      .orderBy("Date")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dayWise
       .filter(col("Date").between(lit(startDate).cast("date"), lit(endDate).cast("date")))

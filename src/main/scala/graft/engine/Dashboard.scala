@@ -32,7 +32,8 @@ object Dashboard {
       .filter(col("`Country.Region`") === country)
       .select("Population").head().getDouble(0)
     val gamma = 1.0 / 4.5
-    val w = Window.orderBy("Date") // bounded global series (one row per day)
+    val w = Window.partitionBy(TimeSeries.boundedGlobal(col("Date")): _*) // bounded global series (one row per day)
+      .orderBy("Date")
     val norm = dayWise.select(col("Date"),
       (col("Deaths") / population).as("d"),
       (col("Recovered") / population).as("r"),

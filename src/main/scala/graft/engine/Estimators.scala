@@ -33,7 +33,7 @@ object Estimators {
     * of Deaths/Recovered/Active plus S = N - Active - Recovered - Deaths,
     * first row dropped (pandas `.diff().iloc[1:]`). */
   private def diffed(dayWise: DataFrame, n: Double): DataFrame = {
-    val w = Window.orderBy("Date")
+    val w = Window.partitionBy(TimeSeries.boundedGlobal(col("Date")): _*).orderBy("Date")
     def d(c: String, as: String) = (col(c) - lag(col(c), 1).over(w)).as(as)
     dayWise
       .select(col("Date"),

@@ -184,7 +184,8 @@ object Sir {
     * step by date order, S_real = N - Active - Recovered - Deaths
     * (main.py:149-154). */
   def actualFrame(dayWise: DataFrame, n: Double): DataFrame = {
-    val w = Window.orderBy("Date") // bounded global series (one row per day)
+    val w = Window.partitionBy(TimeSeries.boundedGlobal(col("Date")): _*) // bounded global series (one row per day)
+      .orderBy("Date")
     dayWise.select(
       (row_number().over(w) - 1).as("step"),
       (lit(n) - col("Active") - col("Recovered") - col("Deaths"))

@@ -17,8 +17,21 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object TimeSeries {
 
+  /** Partition key for a domain-bounded global series: a constant-valued
+    * expression makes the deliberate single-partition choice explicit in the
+    * plan (the domain — e.g. one row per calendar day — bounds the
+    * partition's size, not the data volume). The expression is anchored on a
+    * real column so it is NOT foldable: Spark 4's EliminateWindowPartitions
+    * would strip a bare literal and WindowExec would then warn about an
+    * empty partition spec. `isNull` is never null, so the key is 0 for every
+    * row regardless of the anchor's value. */
+  def boundedGlobal(anchor: Column): Seq[Column] =
+    Seq(anchor.isNull.cast("int") * lit(0))
+
   private def w(partCols: Seq[String], order: Seq[Column]) = {
-    val base = if (partCols.isEmpty) Window.partitionBy() else Window.partitionBy(partCols.map(col): _*)
+    val base =
+      if (partCols.isEmpty) Window.partitionBy(boundedGlobal(order.head): _*)
+      else Window.partitionBy(partCols.map(col): _*)
     base.orderBy(order: _*)
   }
 
@@ -68,6 +81,35 @@ object TimeSeries {
     local.join(broadcast(offsets), "__bucket")
       .withColumn(asCol, col("__offset") + col("__lrn"))
       .drop("__bucket", "__lrn", "__offset")
+  }
+
+  /** W1 at scale — lag diff over a globally-ordered series with NO global
+    * window. Rows lag locally inside `bucket` partitions (a consecutive
+    * integer function of the ordering, e.g. months-since-epoch of the order
+    * column); the first row of each bucket takes the previous bucket's last
+    * value from a broadcast per-bucket aggregate, so no operator ever sees a
+    * single-partition sort. Requirements:
+    *
+    *   - `bucket` is non-decreasing in `order` and consecutive over the
+    *     data's span (an empty bucket would make its successor's first
+    *     delta null instead of reaching back further);
+    *   - `order` is unique within a bucket.
+    *
+    * The first global row's delta is null (pandas `diff()` leading NaN).
+    * Adds `asCol`. */
+  def lagDiffStitched(df: DataFrame, c: Column, bucket: Column,
+      order: Column, asCol: String): DataFrame = {
+    val local = df.withColumn("__bucket", bucket)
+      .withColumn("__lag",
+        lag(c, 1).over(Window.partitionBy(col("__bucket")).orderBy(order)))
+    // derived from `local` (not `df`) so the bucket-hash exchange feeding
+    // the window is identical on both subtrees and ReuseExchange applies
+    val lasts = local.groupBy(col("__bucket"))
+      .agg(max_by(c, order).as("__prev_last"))
+      .withColumn("__bucket", col("__bucket") + 1)
+    local.join(broadcast(lasts), Seq("__bucket"), "left")
+      .withColumn(asCol, c - coalesce(col("__lag"), col("__prev_last")))
+      .drop("__bucket", "__lag", "__prev_last")
   }
 
   /** W4 — keep the last n rows per partition (pandas `iloc[-(n):]`,

@@ -44,7 +44,7 @@ object TextQueries {
   val textStats: Q = Q(
     "q_text_stats",
     """SELECT lang, source, COUNT(*) AS n_docs,
-      |       SUM(len(string_split(text, ' '))) AS total_tokens,
+      |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
       |       CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
       |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
       |FROM documents
@@ -170,9 +170,9 @@ object TextQueries {
       |         encode(text) AS payload
       |  FROM documents)
       |SELECT kind, COUNT(*) AS n_items,
-      |       SUM(octet_length(payload)) AS total_bytes,
-      |       MIN(octet_length(payload)) AS min_bytes,
-      |       MAX(octet_length(payload)) AS max_bytes
+      |       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+      |       CAST(MIN(octet_length(payload)) AS INTEGER) AS min_bytes,
+      |       CAST(MAX(octet_length(payload)) AS INTEGER) AS max_bytes
       |FROM media
       |GROUP BY kind
       |ORDER BY kind""".stripMargin) { (s, dir) =>

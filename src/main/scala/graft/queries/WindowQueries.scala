@@ -18,7 +18,10 @@ import graft.engine.TimeSeries
   */
 object WindowQueries {
 
-  /** W1 — lag diff over the daily aggregate series (main.py:66 `diff()`). */
+  /** W1 — lag diff over the daily aggregate series (main.py:66 `diff()`).
+    * The series is globally ordered but the plan never uses a global window:
+    * lag runs inside month buckets and the month boundaries are stitched
+    * from a broadcast per-month last-value aggregate. */
   val windowLag: Q = Q(
     "q_window_lag",
     """WITH daily AS (
@@ -30,8 +33,9 @@ object WindowQueries {
     val daily = t(s, dir, "events")
       .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
       .agg(dsum(col("value")).as("total"))
-    daily
-      .withColumn("delta", TimeSeries.lagDiff(col("total"), Seq.empty, Seq(col("day"))))
+    TimeSeries.lagDiffStitched(daily, col("total"),
+        year(col("day")) * 12 + month(col("day")), col("day"), "delta")
+      .select("day", "total", "delta")
       .orderBy("day")
   }
 

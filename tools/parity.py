@@ -54,6 +54,19 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
             n_fail += 1
             continue
+        # The driver hashes stringified values, so an int64 Spark column vs a
+        # float64 oracle column (e.g. DuckDB HUGEINT sum -> pandas float)
+        # mismatches ("99111" vs "99111.0") even when values compare equal.
+        kind_bad = [
+            c for c in got.columns
+            if {got[c].dtype.kind, want[c].dtype.kind} == {"i", "f"}
+        ]
+        if kind_bad:
+            print(f"FAIL {name}: dtype kind mismatch (int vs float) in "
+                  f"{kind_bad}: spark={[str(got[c].dtype) for c in kind_bad]} "
+                  f"duckdb={[str(want[c].dtype) for c in kind_bad]}")
+            n_fail += 1
+            continue
         bad = None
         for c in got.columns:
             ga, wa = got[c].tolist(), want[c].tolist()
