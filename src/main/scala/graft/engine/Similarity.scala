@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Text, Vectors}
 
@@ -29,15 +30,21 @@ object Similarity {
   }
 
   /** MinHash signatures: k permutation-hashes approximated by
-    * min(xxhash64(i, shingle)) over the document's distinct 3-shingles. One
+    * min(xxhash64(i, h(shingle))) over the document's 3-shingles. One
     * explode + one groupBy — the signature computation is a single
-    * aggregation pass regardless of k. Returns (idCol, mh_0..mh_{k-1}). */
+    * aggregation pass regardless of k. Each shingle string is hashed to a
+    * long ONCE and the k slot hashes re-hash that long (8 bytes, not the
+    * string k times). No distinct: duplicate shingles cannot change a min,
+    * and skipping it lets partial aggregation collapse the exploded rows
+    * map-side — the shuffle carries one k-column row per (doc, partition)
+    * instead of every distinct shingle string.
+    * Returns (idCol, mh_0..mh_{k-1}). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int, shingleLen: Int = 3): DataFrame = {
     val tok = docs
       .select(col(idCol), explode(shingles(col(textCol), shingleLen)).as("tok"))
-      .distinct()
-    val mh = (0 until k).map(i => min(xxhash64(lit(i), col("tok"))).as(s"mh_$i"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+    val mh = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh_$i"))
     tok.groupBy(idCol).agg(mh.head, mh.tail: _*)
   }
 
@@ -66,9 +73,16 @@ object Similarity {
     val keyed = sig
       .select(col(idCol), explode(array(bandKeys: _*)).as("e"))
       .select(col(idCol), col("e.band").as("band"), col("e.bk").as("bk"))
-    val coldBuckets = keyed.groupBy("band", "bk").count()
-      .filter(col("count") <= maxBucket).select("band", "bk")
-    val kept = keyed.join(coldBuckets, Seq("band", "bk"))
+    // Bucket occupancy via an unordered window over the SAME (band, bk)
+    // partitioning the self-join needs: one exchange total, and both join
+    // sides inherit the partitioning (plus the window subtree is identical
+    // on both sides, so ReuseExchange scans the signature pipeline once)
+    // instead of a separate count aggregate joined back in.
+    val kept = keyed
+      .withColumn("__occ",
+        count(lit(1)).over(Window.partitionBy("band", "bk")))
+      .filter(col("__occ") <= maxBucket)
+      .drop("__occ")
     kept.select(col(idCol).as("d1"), col("band"), col("bk"))
       .join(kept.select(col(idCol).as("d2"), col("band"), col("bk")),
         Seq("band", "bk"))
@@ -77,23 +91,64 @@ object Similarity {
       .distinct()
   }
 
-  /** 16-bit SimHash: per token a 64-bit hash contributes +1/-1 to each of 16
+  /** SimHash: per distinct token a hash contributes +1/-1 to each of `bits`
     * bit positions; the sign of each positional sum becomes a fingerprint
     * bit. Near-dups differ in few bits (compare with [[hamming16]]).
-    * One explode + one groupBy, 16 aggregate columns. */
-  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * One explode + one groupBy, `bits` aggregate columns. `tokenHash` must
+    * supply at least `bits` hash bits. */
+  def simhashSignature(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int, tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val tok = docs
       .select(col(idCol), explode(Text.tokens(col(textCol))).as("tok"))
       .distinct()
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 16).map(p =>
+      .withColumn("h", tokenHash(col("tok")))
+    val bitSums = (0 until bits).map(p =>
       sum(when(shiftright(col("h"), p).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"b_$p"))
     val sums = tok.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
-    val packed = (0 until 16)
+    val packed = (0 until bits)
       .map(p => when(col(s"b_$p") > 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
     sums.select(col(idCol), packed.as("simhash"))
+  }
+
+  /** 16-bit SimHash over xxhash64 token hashes. */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashSignature(docs, idCol, textCol, 16, xxhash64(_))
+
+  /** Banded SimHash near-dup pairs: split the `bits`-bit fingerprint into
+    * `bands` equal bit-ranges; by pigeonhole, any pair within Hamming
+    * distance `bands - 1` agrees exactly on at least one band, so the
+    * candidate join is an equi-join on (band index, band value) — never a
+    * crossJoin — and the Hamming filter then keeps pairs at most
+    * `maxHamming` (≤ bands - 1 for no false negatives). `maxBucket` skips
+    * degenerate hot band-values exactly like [[lshCandidatePairs]].
+    * Returns (d1, d2, hamming), d1 < d2. */
+  def simhashNearDupPairs(sig: DataFrame, idCol: String, bits: Int,
+      bands: Int, maxHamming: Int, maxBucket: Int = 1000): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    require(maxHamming <= bands - 1, "pigeonhole guarantee needs maxHamming < bands")
+    val r = bits / bands
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("bidx"),
+        shiftright(col("simhash"), b * r).bitwiseAND(lit((1L << r) - 1)).as("bval")))
+    val keyed = sig
+      .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("e"))
+      .select(col(idCol), col("simhash"),
+        col("e.bidx").as("bidx"), col("e.bval").as("bval"))
+    val kept = keyed
+      .withColumn("__occ", count(lit(1)).over(Window.partitionBy("bidx", "bval")))
+      .filter(col("__occ") <= maxBucket)
+      .drop("__occ")
+    val hamming = bit_count(col("s1").bitwiseXOR(col("s2")))
+    kept.select(col(idCol).as("d1"), col("simhash").as("s1"), col("bidx"), col("bval"))
+      .join(kept.select(col(idCol).as("d2"), col("simhash").as("s2"), col("bidx"), col("bval")),
+        Seq("bidx", "bval"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2", "s1", "s2")
+      .distinct()
+      .filter(hamming <= maxHamming)
+      .select(col("d1"), col("d2"), hamming.cast("int").as("hamming"))
   }
 
   /** Hamming distance between two packed simhash values. */

@@ -112,6 +112,115 @@ object SimilarityQueries {
       .orderBy("qid", "rk")
   }
 
+  /** 32-bit SimHash near-dup over documents, fully oracle-checked: token
+    * hashes come from the first 8 hex digits of md5 (identical in both
+    * engines — Spark `conv(substring(md5(x),1,8),16,10)`, DuckDB
+    * `CAST('0x'||substr(md5(x),1,8) AS BIGINT)`), so the fingerprints, the
+    * 4x8-bit banded candidate join, and the Hamming<=3 verdicts all mirror
+    * bit-for-bit. Planted twins: an exact copy (Hamming 0) of every 20th
+    * doc and a one-token-appended near copy of every 10th. */
+  val simhashNearDup: Q = {
+    val bits = 32
+    val bands = 4
+    val r = bits / bands
+    val sumsSql = (0 until bits)
+      .map(p => s"SUM(CASE WHEN (v >> $p) & 1 = 1 THEN 1 ELSE -1 END) AS b_$p")
+      .mkString(",\n      |    ")
+    val packSql = (0 until bits)
+      .map(p => s"(CASE WHEN b_$p > 0 THEN CAST(1 AS BIGINT) << $p ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" +\n      |    ")
+    Q(
+      "q_simhash_neardup",
+      s"""WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' simtwin' AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM planted),
+        |h AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS v FROM tok),
+        |sums AS (
+        |  SELECT doc_id,
+        |    $sumsSql
+        |  FROM h GROUP BY doc_id),
+        |fp AS (
+        |  SELECT doc_id,
+        |    $packSql AS simhash
+        |  FROM sums),
+        |keyed AS (
+        |  SELECT doc_id, simhash, i.bidx, (simhash >> (i.bidx * $r)) & ${(1L << r) - 1} AS bval
+        |  FROM fp, (SELECT unnest([0,1,2,3]) AS bidx) i),
+        |kept AS (
+        |  SELECT doc_id, simhash, bidx, bval FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY bidx, bval) AS occ FROM keyed)
+        |  WHERE occ <= 1000),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        |         a.simhash AS s1, b.simhash AS s2
+        |  FROM kept a JOIN kept b
+        |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+        |FROM pairs
+        |WHERE bit_count(xor(s1, s2)) <= 3
+        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs
+        .unionAll(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(" simtwin")).as("text")))
+        .unionAll(docs.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      val md5Bits32 = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+      val sig = Similarity.simhashSignature(planted, "doc_id", "text", bits, md5Bits32)
+      Similarity.simhashNearDupPairs(sig, "doc_id", bits, bands, maxHamming = 3)
+        .orderBy("d1", "d2")
+    }
+  }
+
+  /** Embedding-cosine near-dup: pairs inside the same IVF cell (`label`)
+    * with cosine >= 0.999 — at scale this is the verification pass that runs
+    * over cell- or LSH-bucketed candidates (each vector only ever meets its
+    * own cell, 1/cells of the corpus), never an all-pairs crossJoin.
+    * Planted twins: every 25th vector duplicated verbatim (cosine exactly
+    * 1.0) under vec_id + 100000, same label. Cosine is the codegen'd
+    * sequential fold (graft_dot), bit-identical to DuckDB list_reduce. */
+  val embedNearDup: Q = Q(
+    "q_embed_neardup",
+    s"""WITH planted AS (
+      |  SELECT vec_id, label, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, label, embedding
+      |  FROM embeddings WHERE vec_id % 25 = 0),
+      |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM planted),
+      |scored AS (
+      |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+      |    list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))) AS cos
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT d1, d2, cos FROM scored
+      |WHERE cos >= 0.999
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val planted = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .unionAll(emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("label"), col("embedding")))
+    val e = planted.select(col("vec_id"), col("label"),
+      Vectors.asDouble(col("embedding")).as("v"))
+    e.select(col("vec_id").as("d1"), col("label"), col("v").as("v1"))
+      .join(e.select(col("vec_id").as("d2"), col("label"), col("v").as("v2")),
+        Seq("label"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        Vectors.cosineNative(col("v1"), col("v2")).as("cos"))
+      .filter(col("cos") >= 0.999)
+      .orderBy("d1", "d2")
+  }
+
   /** MinHash+LSH near-dup candidates over documents (8 bands x 2 rows on a
     * 16-slot signature), with planted near-identical twins so candidates
     * exist at every scale. xxhash64-based, so rows-only driver check; the
@@ -127,5 +236,6 @@ object SimilarityQueries {
       .orderBy("d1", "d2")
   }
 
-  val all: Seq[Q] = Seq(cosineTopK, annIvf, annLsh, minhashNearDup)
+  val all: Seq[Q] =
+    Seq(cosineTopK, annIvf, annLsh, minhashNearDup, simhashNearDup, embedNearDup)
 }
