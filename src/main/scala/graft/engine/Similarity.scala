@@ -48,18 +48,42 @@ object Similarity {
     tok.groupBy(idCol).agg(mh.head, mh.tail: _*)
   }
 
+  /** Mirrorable MinHash signatures: the k slot values come from 4-byte hex
+    * windows of md5 digests (k/4 digests per shingle, 4 windows each), which
+    * DuckDB reproduces with `substr(md5(...))` — so a MinHash+LSH query can
+    * be fully oracle-checked. Same single-pass shape as
+    * [[minhashSignatures]]; md5 costs more per shingle than xxhash64, which
+    * is why the xxhash64 form remains the scale default. */
+  def minhashSignaturesMd5(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleLen: Int = 3): DataFrame = {
+    require(k % 4 == 0, "k must be a multiple of 4 (4 hex windows per md5)")
+    val tok = docs
+      .select(col(idCol), explode(shingles(col(textCol), shingleLen)).as("tok"))
+    val slots = (0 until k).map { s =>
+      val j = s / 4
+      val i = s % 4
+      val hex = md5(concat(lit(s"m$j:"), col("tok")).cast("binary"))
+      min(conv(substring(hex, 8 * i + 1, 8), 16, 10).cast("long")).as(s"mh_$s")
+    }
+    tok.groupBy(idCol).agg(slots.head, slots.tail: _*)
+  }
+
   /** LSH banding over minhash signatures: split the k signature slots into
     * `bands` bands of k/bands rows each; docs agreeing on ALL rows of any
     * band become a candidate pair. Implemented as one unioned self-join per
     * band keyed on the band hash — the classic sub-quadratic shape: two docs
-    * with Jaccard j collide with probability 1-(1-j^r)^b. */
+    * with Jaccard j collide with probability 1-(1-j^r)^b. `bandKey` folds a
+    * band's slot columns into the join key — xxhash64 by default, or a
+    * mirrorable concat for oracle-checked variants. */
   /** `maxBucket` guards against degenerate "hot" buckets (a band value
     * shared by more docs than that means the band carries no signal —
     * boilerplate or, as in the synthetic corpus, a tiny vocabulary); such
     * buckets are skipped rather than joined quadratically, standard LSH
     * practice. Skipping is logged in the plan as the anti-join below. */
   def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int, bands: Int,
-      maxBucket: Int = 200): DataFrame = {
+      maxBucket: Int = 200,
+      bandKey: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column =
+        cols => xxhash64(cols: _*)): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     // One (band, band_key) row per doc per band via a single explode — then
@@ -68,7 +92,7 @@ object Similarity {
     // rides inside the join key so bands never mix).
     val bandKeys = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bk"))
+      struct(lit(b).as("band"), bandKey(cols).as("bk"))
     }
     val keyed = sig
       .select(col(idCol), explode(array(bandKeys: _*)).as("e"))

@@ -38,18 +38,33 @@ object Vectors {
   def cosineNative(a: Column, b: Column): Column =
     dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
 
-  /** Sign-random-projection LSH bucket (Charikar SimHash for vectors):
-    * `nPlanes` Rademacher (+1/-1) hyperplanes derived deterministically from
-    * xxhash64(plane, dim) — no stored plane matrix, so executors rebuild the
-    * "planes" from the hash function alone. Vectors with high cosine
-    * similarity land in the same bucket with probability
-    * (1 - angle/pi)^nPlanes. Bucket is a bit-packed long in [0, 2^nPlanes).
-    */
+  /** Rademacher (+1/-1) hyperplane signs for sign-random-projection LSH,
+    * derived deterministically at PLAN time from md5("plane:dim") parity —
+    * no stored plane matrix (executors receive the signs as literals inside
+    * the plan), no RNG, and the same numbers can be embedded verbatim in a
+    * SQL mirror of the bucket assignment. */
+  def planeSigns(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { i =>
+      (0 until dim).map { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$i:$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (java.lang.Long.parseLong(hex.take(8), 16) % 2 == 0) 1.0 else -1.0
+      }
+    }
+
+  /** Sign-random-projection LSH bucket (Charikar SimHash for vectors) over
+    * [[planeSigns]] hyperplanes: each plane's projection is the sequential
+    * fold of sign-flipped elements; the sign bits pack into a long bucket id
+    * in [0, 2^nPlanes). Vectors with high cosine similarity share a bucket
+    * with probability (1 - angle/pi)^nPlanes. The literal-sign form keeps
+    * the whole assignment inside codegen (no per-row hashing) and lets a
+    * DuckDB oracle reproduce it bit-for-bit. */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { i =>
+    val signs = planeSigns(nPlanes, dim)
+    val bits = signs.zipWithIndex.map { case (s, i) =>
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (x, d) => when(pmod(xxhash64(lit(i), d), lit(2)) === 0, x).otherwise(-x)),
+        zip_with(vec, array(s.map(lit): _*), (x, sg) => x * sg),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << i)).otherwise(lit(0L))
     }

@@ -133,11 +133,43 @@ object PipelineQueries {
   }
 
   /** U4/K5 scale-out — one SIR Euler recurrence per user over its daily
-    * series (groupByKey.flatMapGroups; SURVEY §4.3). A sequential coupled
-    * fold is not SQL-expressible, so there is no DuckDB oracle (driver
-    * records a rows-only check); golden parity for the fold itself lives in
+    * series (groupByKey.flatMapGroups; SURVEY §4.3). The coupled fold is not
+    * a window/aggregate, but a DuckDB RECURSIVE CTE replays the identical
+    * Euler steps in the identical operation order, so even this operator is
+    * fully hash-checked (IEEE doubles are deterministic given the op
+    * sequence). Golden parity for the fold itself additionally lives in
     * SirSpec against reference-derived constants. */
-  val sirSimulate: Q = Q.noOracle("q_sir_simulate") { (s, dir) =>
+  val sirSimulate: Q = Q(
+    "q_sir_simulate",
+    """WITH RECURSIVE
+      |daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS a
+      |  FROM events GROUP BY 1, 2),
+      |series AS (
+      |  SELECT user_id AS key,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) - 1 AS INTEGER) AS step,
+      |         a AS i, a * 0.2 AS r, a * 0.3 AS d
+      |  FROM daily),
+      |bounds AS (SELECT key, MAX(step) AS max_step FROM series GROUP BY key),
+      |sim AS (
+      |  SELECT s.key, CAST(0 AS INTEGER) AS step,
+      |         1000000.0 - s.i - s.r - s.d AS s, s.i AS i, s.r AS r, s.d AS d,
+      |         b.max_step AS max_step
+      |  FROM series s JOIN bounds b ON s.key = b.key WHERE s.step = 0
+      |  UNION ALL
+      |  -- literals cast to DOUBLE: DuckDB folds bare decimal literals in
+      |  -- DECIMAL arithmetic ((0.002 + 0.1) -> exact 0.102), which is 1 ulp
+      |  -- off the double addition the Scala fold performs
+      |  SELECT key, CAST(step + 1 AS INTEGER),
+      |         s + (0.0111::DOUBLE * r - 0.25::DOUBLE * s * i / 1000000.0::DOUBLE),
+      |         i + (0.25::DOUBLE * s * i / 1000000.0::DOUBLE - (0.002::DOUBLE + 0.1::DOUBLE) * i),
+      |         r + (0.1::DOUBLE * i - 0.0111::DOUBLE * r),
+      |         d + 0.002::DOUBLE * i,
+      |         max_step
+      |  FROM sim WHERE step < max_step)
+      |SELECT key, step, s, i, r, d FROM sim
+      |ORDER BY key, step""".stripMargin) { (s, dir) =>
     import s.implicits._
     val daily = t(s, dir, "events")
       .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))

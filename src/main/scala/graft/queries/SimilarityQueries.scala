@@ -92,24 +92,53 @@ object SimilarityQueries {
   }
 
   /** LSH-bucketed ANN: 4 hyperplanes -> 16 buckets; queries meet candidates
-    * through an equi-join on the bucket key. Rows-only driver check; twin
-    * and recall behavior covered in SimilaritySpec. */
-  val annLsh: Q = Q.noOracle("q_ann_lsh") { (s, dir) =>
-    val emb = Similarity.lshIndex(
-      Tables.t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64, nPlanes = 4)
-    val q = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), col("bucket"),
-        Vectors.asDouble(col("embedding")).as("qv"))
-    val e = emb.select(col("vec_id"), col("bucket"),
-      Vectors.asDouble(col("embedding")).as("v"))
-    val scored = e.join(broadcast(q), "bucket")
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        Vectors.cosineNative(col("qv"), col("v")).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .orderBy("qid", "rk")
+    * through an equi-join on the bucket key. The hyperplane signs are
+    * plan-time md5-derived literals (Vectors.planeSigns), so the SAME
+    * numbers are embedded in the DuckDB mirror and the bucket assignment —
+    * and therefore the whole query — is fully oracle-checked. Twin and
+    * recall behavior additionally covered in SimilaritySpec. */
+  val annLsh: Q = {
+    val signs = Vectors.planeSigns(nPlanes = 4, dim = 64)
+    val bucketSql = signs.zipWithIndex.map { case (s, i) =>
+      val arr = s.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
+      s"""(CASE WHEN list_reduce(list_transform(list_zip(v, [$arr]),
+         |        p -> p[1] * p[2]), (x, y) -> x + y) > 0
+         |      THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }.mkString(" +\n      ")
+    Q(
+      "q_ann_lsh",
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, v,
+        |      $bucketSql AS bucket
+        |  FROM e0),
+        |q AS (SELECT vec_id AS qid, bucket, v AS qv FROM b WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    $CosineSql AS cos
+        |  FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT qid, vec_id, cos, rk FROM ranked
+        |WHERE rk <= 3
+        |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+      val emb = Similarity.lshIndex(
+        Tables.t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64, nPlanes = 4)
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("bucket"),
+          Vectors.asDouble(col("embedding")).as("qv"))
+      val e = emb.select(col("vec_id"), col("bucket"),
+        Vectors.asDouble(col("embedding")).as("v"))
+      val scored = e.join(broadcast(q), "bucket")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          Vectors.cosineNative(col("qv"), col("v")).as("cos"))
+      val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy("qid", "rk")
+    }
   }
 
   /** 32-bit SimHash near-dup over documents, fully oracle-checked: token
@@ -223,17 +252,68 @@ object SimilarityQueries {
 
   /** MinHash+LSH near-dup candidates over documents (8 bands x 2 rows on a
     * 16-slot signature), with planted near-identical twins so candidates
-    * exist at every scale. xxhash64-based, so rows-only driver check; the
-    * banding math is verified in SimilaritySpec. */
-  val minhashNearDup: Q = Q.noOracle("q_minhash_neardup") { (s, dir) =>
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    // plant a twin of every 10th doc: same text with one token appended
-    val twins = docs.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"),
-        concat(col("text"), lit(" twinmarker")).as("text"))
-    val sig = Similarity.minhashSignatures(docs.unionAll(twins), "doc_id", "text", k = 16)
-    Similarity.lshCandidatePairs(sig, "doc_id", k = 16, bands = 8)
-      .orderBy("d1", "d2")
+    * exist at every scale. Fully oracle-checked: slot hashes are 4-byte hex
+    * windows of md5 digests and the band join key is a plain concat, both
+    * reproducible in DuckDB, so the signatures, banding, hot-bucket skip,
+    * and candidate pairs all hash-match. The xxhash64 fast path stays
+    * available as Similarity.minhashSignatures (SimilaritySpec). */
+  val minhashNearDup: Q = {
+    val k = 16
+    val bands = 8
+    // slot s -> md5 digest j = s/4, hex window i = s%4 (chars 8i+1..8i+8);
+    // MUST match Similarity.minhashSignaturesMd5
+    val slotsSql = (0 until k).map { s =>
+      val j = s / 4
+      val i = s % 4
+      s"MIN(CAST(('0x' || substr(md5('m$j:' || tok), ${8 * i + 1}, 8)) AS BIGINT)) AS mh_$s"
+    }.mkString(",\n      |    ")
+    val bandsSql = (0 until bands).map { b =>
+      s"""SELECT doc_id, $b AS band,
+         |        CAST(mh_${2 * b} AS VARCHAR) || ',' || CAST(mh_${2 * b + 1} AS VARCHAR) AS bk
+         |  FROM sig""".stripMargin
+    }.mkString("\n      |  UNION ALL\n      |  ")
+    Q(
+      "q_minhash_neardup",
+      s"""WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' twinmarker' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |tokarr AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM planted),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]) END) AS tok
+        |  FROM tokarr),
+        |sig AS (
+        |  SELECT doc_id,
+        |    $slotsSql
+        |  FROM sh GROUP BY doc_id),
+        |keyed AS (
+        |  $bandsSql),
+        |kept AS (
+        |  SELECT doc_id, band, bk FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY band, bk) AS occ FROM keyed)
+        |  WHERE occ <= 200),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM kept a JOIN kept b
+        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+        |SELECT d1, d2 FROM pairs
+        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // plant a twin of every 10th doc: same text with one token appended
+      val twins = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" twinmarker")).as("text"))
+      val sig = Similarity.minhashSignaturesMd5(
+        docs.unionAll(twins), "doc_id", "text", k = k)
+      Similarity.lshCandidatePairs(sig, "doc_id", k = k, bands = bands,
+          bandKey = cols => concat_ws(",", cols: _*))
+        .orderBy("d1", "d2")
+    }
   }
 
   val all: Seq[Q] =
