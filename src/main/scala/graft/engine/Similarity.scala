@@ -22,12 +22,18 @@ object Similarity {
     * LSH buckets go quadratic (measured: 77s vs ~2s at sf0.1). Shingles keep
     * word ORDER, so only genuinely overlapping passages collide. Documents
     * shorter than n become one whole-text shingle. */
-  def shingles(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
-    val tok = Text.tokens(text)
+  def shingles(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    shinglesOfTokens(Text.tokens(text), n)
+
+  /** Shingles over an ALREADY-MATERIALIZED token-array column. Callers must
+    * project the tokenization into a column first (`.select(split(...))`):
+    * passing `split(text)` directly here makes every `element_at` reference
+    * re-split the text — ~3 x shingle-count array materializations per row,
+    * measured at ~4x the cost of the whole signature aggregation. */
+  def shinglesOfTokens(tok: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
     when(size(tok) < n, array(concat_ws(" ", tok)))
       .otherwise(transform(sequence(lit(0), size(tok) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(tok, i + j + 1)): _*)))
-  }
 
   /** MinHash signatures: k permutation-hashes approximated by
     * min(xxhash64(i, h(shingle))) over the document's 3-shingles. One
@@ -42,30 +48,38 @@ object Similarity {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int, shingleLen: Int = 3): DataFrame = {
     val tok = docs
-      .select(col(idCol), explode(shingles(col(textCol), shingleLen)).as("tok"))
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(shinglesOfTokens(col("__toks"), shingleLen)).as("tok"))
       .select(col(idCol), xxhash64(col("tok")).as("h"))
     val mh = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh_$i"))
     tok.groupBy(idCol).agg(mh.head, mh.tail: _*)
   }
 
-  /** Mirrorable MinHash signatures: the k slot values come from 4-byte hex
-    * windows of md5 digests (k/4 digests per shingle, 4 windows each), which
-    * DuckDB reproduces with `substr(md5(...))` — so a MinHash+LSH query can
-    * be fully oracle-checked. Same single-pass shape as
-    * [[minhashSignatures]]; md5 costs more per shingle than xxhash64, which
-    * is why the xxhash64 form remains the scale default. */
+  /** Mirrorable MinHash signatures: the k slot values are 8-char hex windows
+    * of md5 digests (k/4 digests per shingle, 4 windows each), kept AS
+    * STRINGS — the lexicographic min of fixed-width lowercase hex is the
+    * numeric min, both engines compare bytewise, and skipping the hex->int
+    * parse saves k conversions per shingle. DuckDB reproduces each slot with
+    * `MIN(substr(md5(...), 8i+1, 8))`, so a MinHash+LSH query is fully
+    * oracle-checkable. Same single-pass shape as [[minhashSignatures]]; md5
+    * costs more per shingle than xxhash64, which is why the xxhash64 form
+    * remains the scale default. */
   def minhashSignaturesMd5(docs: DataFrame, idCol: String, textCol: String,
       k: Int, shingleLen: Int = 3): DataFrame = {
     require(k % 4 == 0, "k must be a multiple of 4 (4 hex windows per md5)")
     val tok = docs
-      .select(col(idCol), explode(shingles(col(textCol), shingleLen)).as("tok"))
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(shinglesOfTokens(col("__toks"), shingleLen)).as("tok"))
+    // project the k/4 digests as columns BEFORE aggregating so each md5 runs
+    // exactly once per shingle (not once per slot expression)
+    val digests = tok.select(col(idCol) +: (0 until k / 4).map(j =>
+      md5(concat(lit(s"m$j:"), col("tok")).cast("binary")).as(s"hex_$j")): _*)
     val slots = (0 until k).map { s =>
       val j = s / 4
       val i = s % 4
-      val hex = md5(concat(lit(s"m$j:"), col("tok")).cast("binary"))
-      min(conv(substring(hex, 8 * i + 1, 8), 16, 10).cast("long")).as(s"mh_$s")
+      min(substring(col(s"hex_$j"), 8 * i + 1, 8)).as(s"mh_$s")
     }
-    tok.groupBy(idCol).agg(slots.head, slots.tail: _*)
+    digests.groupBy(idCol).agg(slots.head, slots.tail: _*)
   }
 
   /** LSH banding over minhash signatures: split the k signature slots into

@@ -260,16 +260,17 @@ object SimilarityQueries {
   val minhashNearDup: Q = {
     val k = 16
     val bands = 8
-    // slot s -> md5 digest j = s/4, hex window i = s%4 (chars 8i+1..8i+8);
-    // MUST match Similarity.minhashSignaturesMd5
+    // slot s -> md5 digest j = s/4, hex window i = s%4 (chars 8i+1..8i+8),
+    // kept as hex STRINGS (lexicographic min == numeric min for fixed-width
+    // hex); MUST match Similarity.minhashSignaturesMd5
     val slotsSql = (0 until k).map { s =>
       val j = s / 4
       val i = s % 4
-      s"MIN(CAST(('0x' || substr(md5('m$j:' || tok), ${8 * i + 1}, 8)) AS BIGINT)) AS mh_$s"
+      s"MIN(substr(md5('m$j:' || tok), ${8 * i + 1}, 8)) AS mh_$s"
     }.mkString(",\n      |    ")
     val bandsSql = (0 until bands).map { b =>
       s"""SELECT doc_id, $b AS band,
-         |        CAST(mh_${2 * b} AS VARCHAR) || ',' || CAST(mh_${2 * b + 1} AS VARCHAR) AS bk
+         |        mh_${2 * b} || ',' || mh_${2 * b + 1} AS bk
          |  FROM sig""".stripMargin
     }.mkString("\n      |  UNION ALL\n      |  ")
     Q(

@@ -27,6 +27,30 @@ class TimeSeriesSpec extends SparkSpec {
   test("trailing null run -> carry forward") {
     assert(interp(Seq(Some(5), None, None)) == Seq(5.0, 5.0, 5.0))
   }
+  test("stitched lag equals global-window lag across bucket boundaries") {
+    // The oracle query's events span a single month, so the cross-bucket
+    // stitch path (first row of month N takes month N-1's last value) never
+    // runs there — exercise it here over a 3-month daily series with gaps.
+    val days = Seq(
+      "2024-01-05", "2024-01-17", "2024-01-31", // month bucket 1
+      "2024-02-01", "2024-02-29",               // bucket 2: first row stitches
+      "2024-03-01")                             // bucket 3: first row stitches
+    val df = days.zipWithIndex
+      .map { case (d, i) => (java.sql.Date.valueOf(d), (i * i + 1).toDouble) }
+      .toDF("day", "total")
+    val got = TimeSeries
+      .lagDiffStitched(df, col("total"),
+        year(col("day")) * 12 + month(col("day")), col("day"), "delta")
+      .orderBy("day").select("delta").as[Option[Double]].collect().toSeq
+    val want = df
+      .withColumn("delta",
+        col("total") - lag("total", 1).over(
+          org.apache.spark.sql.expressions.Window.orderBy("day")))
+      .orderBy("day").select("delta").as[Option[Double]].collect().toSeq
+    assert(got == want)
+    assert(got.head.isEmpty && got.tail.forall(_.isDefined))
+  }
+
   test("all-null -> zeros") {
     assert(interp(Seq(None, None)) == Seq(0.0, 0.0))
   }
