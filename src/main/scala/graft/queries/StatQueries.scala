@@ -29,8 +29,8 @@ object StatQueries {
       |SELECT user_id,
       |       CAST(SUM(CAST(da * a AS DECIMAL(38,6))) AS DOUBLE)
       |         / CAST(SUM(CAST(a * a AS DECIMAL(38,6))) AS DOUBLE) AS slope,
-      |       CAST(SUM(CAST(da / a AS DECIMAL(38,6))) AS DOUBLE)
-      |         / COUNT(da / a) AS ratio_mean
+      |       CAST(SUM(CAST(FLOOR(da / a * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |         / 1000000.0 / COUNT(da / a) AS ratio_mean
       |FROM diffed WHERE da IS NOT NULL
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (s, dir) =>
@@ -38,13 +38,23 @@ object StatQueries {
       .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
       .agg(dsum(col("value")).as("a"))
     val w = Window.partitionBy("user_id").orderBy("day")
+    // slope's products sit on the exact 4-dp grid (2-dp data), so the 6-dp
+    // row quantization never rounds. The RATIO da/a is an arbitrary rational
+    // though: it can land exactly ON a decimal-cast rounding boundary (e.g.
+    // -1.8515625), where Spark (exact binary expansion) and DuckDB (shortest
+    // decimal repr) round opposite ways — at ANY scale. So the ratio is
+    // quantized with explicit IEEE ops instead: floor(x*1e6 + 0.5) is
+    // bit-deterministic given identical input doubles, keeps the sum an
+    // exact integer, and never touches either engine's decimal-cast
+    // internals. (Half rounds toward +inf; a documented contract.)
     daily
       .withColumn("da", col("a") - lag(col("a"), 1).over(w))
       .filter(col("da").isNotNull)
       .groupBy("user_id")
       .agg(
         (dsum(col("da") * col("a")) / dsum(col("a") * col("a"))).as("slope"),
-        davg(col("da") / col("a")).as("ratio_mean"))
+        (sum(floor(col("da") / col("a") * 1000000.0 + 0.5)).cast("double")
+          / 1000000.0 / count(col("da") / col("a"))).as("ratio_mean"))
       .orderBy("user_id")
   }
 
