@@ -44,6 +44,19 @@ object Streams {
       .select(col("w.start").as("wstart"), col("event_type"),
         col("n_events"), col("total"))
 
+  /** Streaming exact dedup on a content fingerprint — the incremental form
+    * of q_dedup_exact for a continuously-arriving corpus. State holds one
+    * entry per fingerprint seen; `dropDuplicatesWithinWatermark` bounds it
+    * by the event-time watermark (a duplicate arriving later than the
+    * watermark interval is not suppressed — the documented trade that keeps
+    * state finite on an unbounded stream; exact global dedup stays a batch
+    * op). */
+  def dedupByFingerprint(docs: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("fp", md5(lower(col("text")).cast("binary")))
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Cross-batch running totals per user via mapGroupsWithState: minimal
     * custom-state shape (the KeyValueGroupedDataset API the reference's
     * per-country accumulations would need incrementally). */

@@ -36,6 +36,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupByFingerprint: duplicates suppressed across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.dedupByFingerprint(docs, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), "alpha beta"),
+        (2L, Timestamp.valueOf("2024-01-01 10:01:00"), "ALPHA BETA"), // dup (case-folded fp)
+        (3L, Timestamp.valueOf("2024-01-01 10:02:00"), "gamma"))
+      q.processAllAvailable()
+      // a duplicate arriving in a LATER batch, still inside the watermark
+      in.addData((4L, Timestamp.valueOf("2024-01-01 10:03:00"), "gamma"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("runningTotals: state accumulates across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[StreamEvent]
