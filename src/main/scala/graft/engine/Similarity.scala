@@ -198,7 +198,23 @@ object Similarity {
     * recall — pass different `table` seeds and union). The planted-twin
     * guarantee: an exact duplicate vector always lands in the same bucket. */
   def lshIndex(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-      nPlanes: Int): DataFrame =
+      nPlanes: Int, table: Int = 0): DataFrame =
     emb.withColumn("bucket",
-      Vectors.lshBucket(Vectors.asDouble(col(vecCol)), dim, nPlanes))
+      Vectors.lshBucket(Vectors.asDouble(col(vecCol)), dim, nPlanes, table))
+
+  /** Multi-table LSH ANN: `tables` independent hyperplane sets; a query
+    * meets a candidate if they share a bucket in ANY table (recall
+    * 1-(1-p)^tables for per-table collision probability p). One row per
+    * (vector, table) — candidate generation stays an equi-join on
+    * (table, bucket). */
+  def lshIndexMulti(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nPlanes: Int, tables: Int): DataFrame = {
+    val v = Vectors.asDouble(col(vecCol))
+    val entries = (0 until tables).map(t =>
+      struct(lit(t).as("tbl"), Vectors.lshBucket(v, dim, nPlanes, t).as("bucket")))
+    emb.select(col("*"), explode(array(entries: _*)).as("e"))
+      .withColumn("tbl", col("e.tbl"))
+      .withColumn("bucket", col("e.bucket"))
+      .drop("e")
+  }
 }

@@ -43,11 +43,11 @@ object Vectors {
     * no stored plane matrix (executors receive the signs as literals inside
     * the plan), no RNG, and the same numbers can be embedded verbatim in a
     * SQL mirror of the bucket assignment. */
-  def planeSigns(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+  def planeSigns(nPlanes: Int, dim: Int, table: Int = 0): Seq[Seq[Double]] =
     (0 until nPlanes).map { i =>
       (0 until dim).map { d =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(s"$i:$d".getBytes("UTF-8"))
+        val hex = md.digest(s"$table:$i:$d".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
         if (java.lang.Long.parseLong(hex.take(8), 16) % 2 == 0) 1.0 else -1.0
       }
@@ -60,8 +60,8 @@ object Vectors {
     * with probability (1 - angle/pi)^nPlanes. The literal-sign form keeps
     * the whole assignment inside codegen (no per-row hashing) and lets a
     * DuckDB oracle reproduce it bit-for-bit. */
-  def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column = {
-    val signs = planeSigns(nPlanes, dim)
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int, table: Int = 0): Column = {
+    val signs = planeSigns(nPlanes, dim, table)
     val bits = signs.zipWithIndex.map { case (s, i) =>
       val proj = aggregate(
         zip_with(vec, array(s.map(lit): _*), (x, sg) => x * sg),

@@ -94,4 +94,26 @@ class SimilaritySpec extends SparkSpec {
       .limit(1).as[(Long, Double)].head()
     assert(top._1 == 0L && math.abs(top._2 - 1.0) < 1e-12, s"got $top")
   }
+
+  test("multi-table LSH: tables are independent; twins collide in every table") {
+    val emb = graft.engine.Tables.t(spark, sf, "embeddings").limit(50)
+    val twin = emb.filter(col("vec_id") === 0)
+      .select(lit(9999L).as("vec_id"), col("embedding"), col("label"))
+    val multi = Similarity.lshIndexMulti(
+      emb.select("vec_id", "embedding", "label").unionAll(twin),
+      "vec_id", "embedding", dim = 64, nPlanes = 4, tables = 3)
+    // one row per (vector, table)
+    assert(multi.filter(col("vec_id") === 0L).count() == 3)
+    // identical vectors share the bucket in EVERY table
+    val perTable = multi.filter(col("vec_id").isin(0L, 9999L))
+      .groupBy("tbl").agg(countDistinct("bucket").as("nb"))
+      .select("nb").as[Long].collect()
+    assert(perTable.length == 3 && perTable.forall(_ == 1L))
+    // different tables use different hyperplanes: bucket assignments differ
+    // for at least one vector across tables (overwhelmingly likely at n=50)
+    val distinctAssignments = multi
+      .groupBy("vec_id").agg(countDistinct("bucket").as("nb"))
+      .filter(col("nb") > 1).count()
+    assert(distinctAssignments > 0, "tables must not be identical")
+  }
 }
