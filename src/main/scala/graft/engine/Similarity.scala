@@ -140,12 +140,15 @@ object Similarity {
       .select(col(idCol), explode(Text.tokens(col(textCol))).as("tok"))
       .distinct()
       .withColumn("h", tokenHash(col("tok")))
+    // popcount form: per position count the 1-bits and compare against half
+    // the token count — branch-free per-row aggregate input (plain
+    // shift/and), equivalent to sign-of-(+1/-1)-sums with ties to 0
     val bitSums = (0 until bits).map(p =>
-      sum(when(shiftright(col("h"), p).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b_$p"))
-    val sums = tok.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+      sum(shiftright(col("h"), p).bitwiseAND(1)).as(s"b_$p"))
+    val sums = tok.groupBy(idCol)
+      .agg(count(lit(1)).as("__n"), bitSums: _*)
     val packed = (0 until bits)
-      .map(p => when(col(s"b_$p") > 0, lit(1L << p)).otherwise(lit(0L)))
+      .map(p => when(col(s"b_$p") * 2 > col("__n"), lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
     sums.select(col(idCol), packed.as("simhash"))
   }

@@ -38,6 +38,15 @@ object Vectors {
   def cosineNative(a: Column, b: Column): Column =
     dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
 
+  /** Per-vector norm, meant to be PROJECTED BEFORE a candidate join so each
+    * vector's norm is computed once instead of once per pair. Combine with
+    * [[cosineFromNorms]]; the division tree is identical to [[cosineNative]]
+    * so results are bit-equal — only the evaluation count drops. */
+  def normNative(a: Column): Column = sqrt(dotNative(a, a))
+
+  def cosineFromNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    dotNative(a, b) / (na * nb)
+
   /** Rademacher (+1/-1) hyperplane signs for sign-random-projection LSH,
     * derived deterministically at PLAN time from md5("plane:dim") parity —
     * no stored plane matrix (executors receive the signs as literals inside

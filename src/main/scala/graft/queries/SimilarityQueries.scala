@@ -46,13 +46,18 @@ object SimilarityQueries {
       |WHERE rk <= 5
       |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
+    // norms are projected per VECTOR before the join (one evaluation each),
+    // not per scored pair; the division tree matches the oracle's, so the
+    // doubles are bit-identical
     val q = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), Vectors.asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", Vectors.normNative(col("qv")))
     val e = emb.select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("vn", Vectors.normNative(col("v")))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        Vectors.cosineNative(col("qv"), col("v")).as("cos"))
+        Vectors.cosineFromNorms(col("qv"), col("v"), col("qn"), col("vn")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
@@ -79,12 +84,14 @@ object SimilarityQueries {
     val q = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("label"),
         Vectors.asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", Vectors.normNative(col("qv")))
     val e = emb.select(col("vec_id"), col("label"),
       Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("vn", Vectors.normNative(col("v")))
     val scored = e.join(broadcast(q), "label")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        Vectors.cosineNative(col("qv"), col("v")).as("cos"))
+        Vectors.cosineFromNorms(col("qv"), col("v"), col("qn"), col("vn")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
@@ -128,12 +135,14 @@ object SimilarityQueries {
       val q = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("bucket"),
           Vectors.asDouble(col("embedding")).as("qv"))
+        .withColumn("qn", Vectors.normNative(col("qv")))
       val e = emb.select(col("vec_id"), col("bucket"),
         Vectors.asDouble(col("embedding")).as("v"))
+        .withColumn("vn", Vectors.normNative(col("v")))
       val scored = e.join(broadcast(q), "bucket")
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
-          Vectors.cosineNative(col("qv"), col("v")).as("cos"))
+          Vectors.cosineFromNorms(col("qv"), col("v"), col("qn"), col("vn")).as("cos"))
       val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
@@ -152,11 +161,13 @@ object SimilarityQueries {
     val bits = 32
     val bands = 4
     val r = bits / bands
+    // popcount form (mirrors Similarity.simhashSignature): count 1-bits per
+    // position, bit set iff ones exceed half the token count (ties -> 0)
     val sumsSql = (0 until bits)
-      .map(p => s"SUM(CASE WHEN (v >> $p) & 1 = 1 THEN 1 ELSE -1 END) AS b_$p")
+      .map(p => s"SUM((v >> $p) & 1) AS b_$p")
       .mkString(",\n      |    ")
     val packSql = (0 until bits)
-      .map(p => s"(CASE WHEN b_$p > 0 THEN CAST(1 AS BIGINT) << $p ELSE CAST(0 AS BIGINT) END)")
+      .map(p => s"(CASE WHEN b_$p * 2 > n THEN CAST(1 AS BIGINT) << $p ELSE CAST(0 AS BIGINT) END)")
       .mkString(" +\n      |    ")
     Q(
       "q_simhash_neardup",
@@ -172,7 +183,7 @@ object SimilarityQueries {
         |h AS (
         |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS v FROM tok),
         |sums AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, COUNT(*) AS n,
         |    $sumsSql
         |  FROM h GROUP BY doc_id),
         |fp AS (
@@ -240,12 +251,13 @@ object SimilarityQueries {
         .select((col("vec_id") + 100000).as("vec_id"), col("label"), col("embedding")))
     val e = planted.select(col("vec_id"), col("label"),
       Vectors.asDouble(col("embedding")).as("v"))
-    e.select(col("vec_id").as("d1"), col("label"), col("v").as("v1"))
-      .join(e.select(col("vec_id").as("d2"), col("label"), col("v").as("v2")),
+      .withColumn("n", Vectors.normNative(col("v")))
+    e.select(col("vec_id").as("d1"), col("label"), col("v").as("v1"), col("n").as("n1"))
+      .join(e.select(col("vec_id").as("d2"), col("label"), col("v").as("v2"), col("n").as("n2")),
         Seq("label"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
-        Vectors.cosineNative(col("v1"), col("v2")).as("cos"))
+        Vectors.cosineFromNorms(col("v1"), col("v2"), col("n1"), col("n2")).as("cos"))
       .filter(col("cos") >= 0.999)
       .orderBy("d1", "d2")
   }
