@@ -142,9 +142,16 @@ object TextQueries {
         explode(Text.tokens(col("text"))).as("tok"))
       .distinct()
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
-    val a = tok.select(col("doc_id").as("d1"), col("lang"), col("lb"), col("tok"))
-    val b = tok.select(col("doc_id").as("d2"), col("lang"), col("lb"), col("tok"))
-    val inter = a.join(b, Seq("lang", "lb", "tok"))
+    // the candidate join carries one 8-byte key instead of the
+    // (lang, lb, token-string) triple: the intersection count only needs key
+    // EQUALITY, and an xxhash64 collision between two of the corpus's
+    // distinct (lang, lb, tok) triples (v of them -> p ~ v^2/2^64) is
+    // negligible against the oracle's own md5-keyed operators
+    val keyed = tok.select(col("doc_id"),
+      xxhash64(col("lang"), col("lb"), col("tok")).as("k"))
+    val a = keyed.select(col("doc_id").as("d1"), col("k"))
+    val b = keyed.select(col("doc_id").as("d2"), col("k"))
+    val inter = a.join(b, Seq("k"))
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("it"))
     val jaccard = col("it").cast("double") /
