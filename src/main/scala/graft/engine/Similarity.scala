@@ -93,7 +93,7 @@ object Similarity {
     * shared by more docs than that means the band carries no signal —
     * boilerplate or, as in the synthetic corpus, a tiny vocabulary); such
     * buckets are skipped rather than joined quadratically, standard LSH
-    * practice. Skipping is logged in the plan as the anti-join below. */
+    * practice. The skip is the occupancy-window filter below. */
   def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int, bands: Int,
       maxBucket: Int = 200,
       bandKey: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column =

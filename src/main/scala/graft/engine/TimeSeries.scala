@@ -83,30 +83,32 @@ object TimeSeries {
       .drop("__bucket", "__lrn", "__offset")
   }
 
-  /** W1 at scale — lag diff over a globally-ordered series with NO global
-    * window. Rows lag locally inside `bucket` partitions (a consecutive
-    * integer function of the ordering, e.g. months-since-epoch of the order
-    * column); the first row of each bucket takes the previous bucket's last
-    * value from a broadcast per-bucket aggregate, so no operator ever sees a
-    * single-partition sort. Requirements:
-    *
-    *   - `bucket` is non-decreasing in `order` and consecutive over the
-    *     data's span (an empty bucket would make its successor's first
-    *     delta null instead of reaching back further);
-    *   - `order` is unique within a bucket.
-    *
-    * The first global row's delta is null (pandas `diff()` leading NaN).
-    * Adds `asCol`. */
+  /** W1 at scale — lag diff over a globally-ordered series with NO
+    * full-data global window. Rows lag locally inside `bucket` partitions
+    * (a non-decreasing integer function of the ordering, e.g.
+    * months-since-epoch of the order column); the first row of each bucket
+    * takes the PREVIOUS NON-EMPTY bucket's last value from a broadcast
+    * per-bucket aggregate, so gap buckets are skipped over exactly like a
+    * global LAG would. The only window over the full data is per-bucket;
+    * the stitch window runs on the per-bucket aggregate, whose size is
+    * bounded by the calendar, not the data volume. Requires `order` unique
+    * within a bucket. The first global row's delta is null (pandas `diff()`
+    * leading NaN). Adds `asCol`. */
   def lagDiffStitched(df: DataFrame, c: Column, bucket: Column,
       order: Column, asCol: String): DataFrame = {
     val local = df.withColumn("__bucket", bucket)
       .withColumn("__lag",
         lag(c, 1).over(Window.partitionBy(col("__bucket")).orderBy(order)))
     // derived from `local` (not `df`) so the bucket-hash exchange feeding
-    // the window is identical on both subtrees and ReuseExchange applies
+    // the window is identical on both subtrees and ReuseExchange applies;
+    // the lag over buckets reaches across empty buckets by construction
+    // (only non-empty buckets have a row here)
     val lasts = local.groupBy(col("__bucket"))
-      .agg(max_by(c, order).as("__prev_last"))
-      .withColumn("__bucket", col("__bucket") + 1)
+      .agg(max_by(c, order).as("__last"))
+      .withColumn("__prev_last",
+        lag(col("__last"), 1).over(
+          Window.partitionBy(boundedGlobal(col("__bucket")): _*).orderBy("__bucket")))
+      .select(col("__bucket"), col("__prev_last"))
     local.join(broadcast(lasts), Seq("__bucket"), "left")
       .withColumn(asCol, c - coalesce(col("__lag"), col("__prev_last")))
       .drop("__bucket", "__lag", "__prev_last")

@@ -18,9 +18,10 @@ import graft.functions.Vectors
   *    cell (the `label` column stands in for an IVF centroid assignment).
   *    The join is keyed on the cell id, so at 100 TB each query touches
   *    1/cells of the corpus.
-  *  - q_ann_lsh: hyperplane-LSH bucketed search (no SQL oracle — the bucket
-  *    derivation uses xxhash64, which DuckDB lacks; verified in
-  *    SimilaritySpec with planted twins instead).
+  *  - q_ann_lsh: hyperplane-LSH bucketed search — the hyperplane signs are
+  *    plan-time md5-derived literals, so the bucket assignment (and the
+  *    whole query) is oracle-checked like the rest; planted-twin recall is
+  *    additionally covered in SimilaritySpec.
   */
 object SimilarityQueries {
 

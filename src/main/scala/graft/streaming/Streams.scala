@@ -54,7 +54,7 @@ object Streams {
   def dedupByFingerprint(docs: DataFrame, watermark: String = "30 minutes"): DataFrame =
     docs
       .withWatermark("ts", watermark)
-      .withColumn("fp", md5(lower(col("text")).cast("binary")))
+      .withColumn("fp", graft.functions.Text.fingerprint(col("text")))
       .dropDuplicatesWithinWatermark("fp")
 
   /** Cross-batch running totals per user via mapGroupsWithState: minimal

@@ -34,7 +34,8 @@ class TimeSeriesSpec extends SparkSpec {
     val days = Seq(
       "2024-01-05", "2024-01-17", "2024-01-31", // month bucket 1
       "2024-02-01", "2024-02-29",               // bucket 2: first row stitches
-      "2024-03-01")                             // bucket 3: first row stitches
+      "2024-03-01",                             // bucket 3: first row stitches
+      "2024-05-02")                             // bucket 5: stitches ACROSS empty April
     val df = days.zipWithIndex
       .map { case (d, i) => (java.sql.Date.valueOf(d), (i * i + 1).toDouble) }
       .toDF("day", "total")
