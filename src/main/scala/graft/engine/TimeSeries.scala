@@ -23,10 +23,15 @@ object TimeSeries {
     * partition's size, not the data volume). The expression is anchored on a
     * real column so it is NOT foldable: Spark 4's EliminateWindowPartitions
     * would strip a bare literal and WindowExec would then warn about an
-    * empty partition spec. `isNull` is never null, so the key is 0 for every
-    * row regardless of the anchor's value. */
+    * empty partition spec. Building the constant from the anchor is subtle:
+    * `anchor.isNull * 0` folds once nullability analysis proves the anchor
+    * non-nullable, and `nonNullableExpr * 0` folds outright (both caught by
+    * the PLANS.md audit when the stitch window sat on an aggregate). No
+    * rule simplifies `pmod(x, 1)`, which is 0 for every non-null x; the
+    * coalesce covers a null anchor (and is itself stripped only when the
+    * anchor is non-nullable, where it's redundant anyway). */
   def boundedGlobal(anchor: Column): Seq[Column] =
-    Seq(anchor.isNull.cast("int") * lit(0))
+    Seq(coalesce(pmod(length(anchor.cast("string")), lit(1)), lit(0)))
 
   private def w(partCols: Seq[String], order: Seq[Column]) = {
     val base =
