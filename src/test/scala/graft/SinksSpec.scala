@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Sinks, Tables}
+
+/** File-layout sink checks: row-bounded files and hive-partitioned layout
+  * with partition pruning on read-back. */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_sinks").toString
+
+  test("writeSized bounds rows per file and round-trips") {
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "lang")
+    val n = docs.count()
+    val dir = tmp()
+    Sinks.writeSized(docs, dir, maxRecordsPerFile = 17)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= (n / 17).toInt,
+      s"expected >= ${n / 17} files, got ${files.length}")
+    for (f <- files)
+      assert(spark.read.parquet(f.getPath).count() <= 17, s"${f.getName} too big")
+    assert(spark.read.parquet(dir).count() == n)
+  }
+
+  test("writePartitionedBy lays out hive partitions and prunes on read") {
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "lang")
+    val dir = tmp()
+    Sinks.writePartitionedBy(docs, dir, Seq("lang"))
+    val langs = docs.select("lang").distinct().as[String].collect()
+    for (l <- langs)
+      assert(new java.io.File(s"$dir/lang=$l").isDirectory, s"missing lang=$l dir")
+    // a filter on the partition column shows up as a partition filter, and
+    // the pruned read returns exactly that partition's rows
+    val one = spark.read.parquet(dir).filter(col("lang") === langs.head)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.contains("PartitionFilters: []"), plan.take(500))
+    assert(one.count() == docs.filter(col("lang") === langs.head).count())
+  }
+}
