@@ -82,6 +82,35 @@ object Similarity {
     digests.groupBy(idCol).agg(slots.head, slots.tail: _*)
   }
 
+  /** Per-ROW MinHash signatures — the same md5-hex-window slot values as
+    * [[minhashSignaturesMd5]] computed with higher-order functions over the
+    * in-row shingle array instead of explode + groupBy. No shuffle and no
+    * aggregation, so the form is STREAM-SAFE (a stateless projection usable
+    * before a stream-static band join); SimilaritySpec asserts
+    * slot-for-slot equality with the batch aggregation path. Tokens, the
+    * shingle array, and the k/4 digest arrays are each projected once per
+    * row (intermediate columns, dropped) so no lambda re-derives them.
+    * Adds mh_0..mh_{k-1} to `df`. */
+  def withMinhashSignature(df: DataFrame, textCol: String, k: Int,
+      shingleLen: Int = 3): DataFrame = {
+    require(k % 4 == 0, "k must be a multiple of 4 (4 hex windows per md5)")
+    val staged = df
+      .withColumn("__toks", Text.tokens(col(textCol)))
+      .withColumn("__sh", shinglesOfTokens(col("__toks"), shingleLen))
+    val withDigests = (0 until k / 4).foldLeft(staged) { (d, j) =>
+      d.withColumn(s"__hex_$j", transform(col("__sh"),
+        t => md5(concat(lit(s"m$j:"), t).cast("binary"))))
+    }
+    val slots = (0 until k).map { s =>
+      val j = s / 4
+      val i = s % 4
+      array_min(transform(col(s"__hex_$j"), h => substring(h, 8 * i + 1, 8)))
+        .as(s"mh_$s")
+    }
+    withDigests
+      .select(df.columns.map(col) ++ slots: _*)
+  }
+
   /** LSH banding over minhash signatures: split the k signature slots into
     * `bands` bands of k/bands rows each; docs agreeing on ALL rows of any
     * band become a candidate pair. Implemented as one unioned self-join per

@@ -57,6 +57,35 @@ object Streams {
       .withColumn("fp", graft.functions.Text.fingerprint(col("text")))
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Incremental near-dup candidates: each arriving doc is banded against a
+    * STATIC MinHash signature index (built batch-side with
+    * Similarity.minhashSignaturesMd5 + the same band layout). The streaming
+    * side's signature is a stateless per-row projection
+    * (Similarity.withMinhashSignature — no aggregation, so no watermark or
+    * state store involved) and the band join is a stream-static equi-join.
+    * Emits (doc_id, candidate_doc_id) pairs at-least-once — a pair agreeing
+    * on several bands is emitted once per band (a stateless operator cannot
+    * dedupe across bands without unbounded state; the downstream exact
+    * verify is idempotent per pair). */
+  def nearDupCandidates(docs: DataFrame, index: DataFrame, k: Int,
+      bands: Int): DataFrame = {
+    val r = k / bands
+    def bandKeys(df: DataFrame, idAs: String): DataFrame = {
+      val entries = (0 until bands).map { b =>
+        val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
+        struct(lit(b).as("band"), concat_ws(",", cols: _*).as("bk"))
+      }
+      df.select(col("doc_id").as(idAs), explode(array(entries: _*)).as("e"))
+        .select(col(idAs), col("e.band").as("band"), col("e.bk").as("bk"))
+    }
+    val streamKeyed = bandKeys(
+      graft.engine.Similarity.withMinhashSignature(docs, "text", k), "doc_id")
+    val indexKeyed = bandKeys(index, "candidate_doc_id")
+    streamKeyed.join(indexKeyed, Seq("band", "bk"))
+      .filter(col("doc_id") =!= col("candidate_doc_id"))
+      .select("doc_id", "candidate_doc_id")
+  }
+
   /** Cross-batch running totals per user via mapGroupsWithState: minimal
     * custom-state shape (the KeyValueGroupedDataset API the reference's
     * per-country accumulations would need incrementally). */

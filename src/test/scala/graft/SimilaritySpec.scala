@@ -95,6 +95,20 @@ class SimilaritySpec extends SparkSpec {
     assert(top._1 == 0L && math.abs(top._2 - 1.0) < 1e-12, s"got $top")
   }
 
+  test("per-row HOF minhash signature equals the batch aggregation path") {
+    val docs = graft.engine.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(100)
+    val agg = Similarity.minhashSignaturesMd5(docs, "doc_id", "text", k = 16)
+    val hof = Similarity.withMinhashSignature(docs, "text", k = 16)
+      .drop("text")
+    val mismatches = agg.as("a").join(hof.as("h"), "doc_id")
+      .filter((0 until 16)
+        .map(i => col(s"a.mh_$i") =!= col(s"h.mh_$i"))
+        .reduce(_ || _))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("multi-table LSH: tables are independent; twins collide in every table") {
     val emb = graft.engine.Tables.t(spark, sf, "embeddings").limit(50)
     val twin = emb.filter(col("vec_id") === 0)

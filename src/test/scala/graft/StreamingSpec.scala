@@ -56,6 +56,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupCandidates: streamed twin matched against the static index") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.engine.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(50)
+    val index = graft.engine.Similarity
+      .minhashSignaturesMd5(corpus, "doc_id", "text", k = 16)
+    val twinText = corpus.filter(col("doc_id") === 1)
+      .select("text").as[String].head()
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.nearDupCandidates(
+        in.toDF().toDF("doc_id", "text"), index, k = 16, bands = 8)
+      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    try {
+      in.addData((5001L, twinText + " twinmarker"), (5002L, "zzz qqq xxx"))
+      q.processAllAvailable()
+      val got = spark.table("neardup")
+        .select("doc_id", "candidate_doc_id").as[(Long, Long)].collect().toSet
+      assert(got.contains((5001L, 1L)), s"twin not matched: $got")
+    } finally q.stop()
+  }
+
   test("runningTotals: state accumulates across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[StreamEvent]
