@@ -322,8 +322,10 @@ object SimilarityQueries {
       val twins = docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" twinmarker")).as("text"))
-      val sig = Similarity.minhashSignaturesMd5(
-        docs.unionAll(twins), "doc_id", "text", k = k)
+      // per-row HOF signatures (shuffle-free; slot-equal to the aggregation
+      // path by SimilaritySpec, so the oracle SQL is unchanged)
+      val sig = Similarity.withMinhashSignature(
+        docs.unionAll(twins), "text", k = k).drop("text")
       Similarity.lshCandidatePairs(sig, "doc_id", k = k, bands = bands,
           bandKey = cols => concat_ws(",", cols: _*))
         .orderBy("d1", "d2")
