@@ -46,4 +46,12 @@ object Tables {
   /** Register every testdata table as a temp view (S3/S4 analogue). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     testdataTables.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
+  /** JSON-lines scan with an ENFORCED schema (pass an existing table's
+    * `.schema`): inferring it would cost a full extra pass over the data (a
+    * non-starter at scale) and can silently widen types between runs;
+    * FAILFAST surfaces corrupt rows instead of nulling them. */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 }
