@@ -48,6 +48,10 @@ object Similarity {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int, shingleLen: Int = 3): DataFrame = {
     val tok = docs
+      // drop null text explicitly: with ANSI off size(null) is -1 (legacy
+      // sizeOfNull), so shinglesOfTokens would emit one "" shingle for a
+      // null doc instead of dropping it like the oracle's unnest(NULL)
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), explode(shinglesOfTokens(col("__toks"), shingleLen)).as("tok"))
       .select(col(idCol), xxhash64(col("tok")).as("h"))
@@ -68,6 +72,8 @@ object Similarity {
       k: Int, shingleLen: Int = 3): DataFrame = {
     require(k % 4 == 0, "k must be a multiple of 4 (4 hex windows per md5)")
     val tok = docs
+      // null text dropped (see minhashSignatures — legacy size(null) = -1)
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), explode(shinglesOfTokens(col("__toks"), shingleLen)).as("tok"))
     // project the k/4 digests as columns BEFORE aggregating so each md5 runs
@@ -94,7 +100,11 @@ object Similarity {
   def withMinhashSignature(df: DataFrame, textCol: String, k: Int,
       shingleLen: Int = 3): DataFrame = {
     require(k % 4 == 0, "k must be a multiple of 4 (4 hex windows per md5)")
+    // null text is DROPPED, matching the batch path (whose explode emits no
+    // row for a null shingle array) — otherwise null slots would fold to
+    // identical band keys downstream and bucket all null-text docs together
     val staged = df
+      .filter(col(textCol).isNotNull)
       .withColumn("__toks", Text.tokens(col(textCol)))
       .withColumn("__sh", shinglesOfTokens(col("__toks"), shingleLen))
     val withDigests = (0 until k / 4).foldLeft(staged) { (d, j) =>
@@ -111,13 +121,30 @@ object Similarity {
       .select(df.columns.map(col) ++ slots: _*)
   }
 
+  /** One (id, band, bk) row per signature row per band — THE band layout
+    * shared by every banding consumer (batch self-join candidates, the
+    * streaming stream-static join): deriving it in one place guarantees a
+    * streamed doc's band keys match a batch-built index slot-for-slot.
+    * `bandKey` folds a band's slot columns into the join key — xxhash64 by
+    * default, or a mirrorable concat for oracle-checked variants. */
+  def bandKeyed(sig: DataFrame, idCol: String, k: Int, bands: Int,
+      bandKey: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column =
+        cols => xxhash64(cols: _*)): DataFrame = {
+    require(bands > 0 && k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
+      struct(lit(b).as("band"), bandKey(cols).as("bk"))
+    }
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("e"))
+      .select(col(idCol), col("e.band").as("band"), col("e.bk").as("bk"))
+  }
+
   /** LSH banding over minhash signatures: split the k signature slots into
     * `bands` bands of k/bands rows each; docs agreeing on ALL rows of any
-    * band become a candidate pair. Implemented as one unioned self-join per
-    * band keyed on the band hash — the classic sub-quadratic shape: two docs
-    * with Jaccard j collide with probability 1-(1-j^r)^b. `bandKey` folds a
-    * band's slot columns into the join key — xxhash64 by default, or a
-    * mirrorable concat for oracle-checked variants. */
+    * band become a candidate pair — the classic sub-quadratic shape: two
+    * docs with Jaccard j collide with probability 1-(1-j^r)^b. Band keys
+    * come from [[bandKeyed]]. */
   /** `maxBucket` guards against degenerate "hot" buckets (a band value
     * shared by more docs than that means the band carries no signal —
     * boilerplate or, as in the synthetic corpus, a tiny vocabulary); such
@@ -128,18 +155,11 @@ object Similarity {
       bandKey: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column =
         cols => xxhash64(cols: _*)): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val r = k / bands
     // One (band, band_key) row per doc per band via a single explode — then
     // ONE hot-bucket filter and ONE self-join keyed on (band, band_key),
     // instead of a join pipeline per band (8x fewer shuffles; the band id
     // rides inside the join key so bands never mix).
-    val bandKeys = (0 until bands).map { b =>
-      val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
-      struct(lit(b).as("band"), bandKey(cols).as("bk"))
-    }
-    val keyed = sig
-      .select(col(idCol), explode(array(bandKeys: _*)).as("e"))
-      .select(col(idCol), col("e.band").as("band"), col("e.bk").as("bk"))
+    val keyed = bandKeyed(sig, idCol, k, bands, bandKey)
     // Bucket occupancy via an unordered window over the SAME (band, bk)
     // partitioning the self-join needs: one exchange total, and both join
     // sides inherit the partitioning (plus the window subtree is identical

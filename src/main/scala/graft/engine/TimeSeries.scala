@@ -101,9 +101,13 @@ object TimeSeries {
     * leading NaN). Adds `asCol`. */
   def lagDiffStitched(df: DataFrame, c: Column, bucket: Column,
       order: Column, asCol: String): DataFrame = {
+    val wb = Window.partitionBy(col("__bucket")).orderBy(order)
     val local = df.withColumn("__bucket", bucket)
-      .withColumn("__lag",
-        lag(c, 1).over(Window.partitionBy(col("__bucket")).orderBy(order)))
+      .withColumn("__lag", lag(c, 1).over(wb))
+      // the stitch applies ONLY to each bucket's first row — coalescing on
+      // "__lag is null" instead would fabricate a delta for a mid-bucket
+      // row whose predecessor's VALUE is null (global LAG yields null there)
+      .withColumn("__rn", row_number().over(wb))
     // derived from `local` (not `df`) so the bucket-hash exchange feeding
     // the window is identical on both subtrees and ReuseExchange applies;
     // the lag over buckets reaches across empty buckets by construction
@@ -115,8 +119,9 @@ object TimeSeries {
           Window.partitionBy(boundedGlobal(col("__bucket")): _*).orderBy("__bucket")))
       .select(col("__bucket"), col("__prev_last"))
     local.join(broadcast(lasts), Seq("__bucket"), "left")
-      .withColumn(asCol, c - coalesce(col("__lag"), col("__prev_last")))
-      .drop("__bucket", "__lag", "__prev_last")
+      .withColumn(asCol,
+        c - when(col("__rn") === 1, col("__prev_last")).otherwise(col("__lag")))
+      .drop("__bucket", "__lag", "__rn", "__prev_last")
   }
 
   /** W4 — keep the last n rows per partition (pandas `iloc[-(n):]`,

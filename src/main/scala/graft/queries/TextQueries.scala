@@ -146,9 +146,13 @@ object TextQueries {
     // (lang, lb, token-string) triple: the intersection count only needs key
     // EQUALITY, and an xxhash64 collision between two of the corpus's
     // distinct (lang, lb, tok) triples (v of them -> p ~ v^2/2^64) is
-    // negligible against the oracle's own md5-keyed operators
-    val keyed = tok.select(col("doc_id"),
-      xxhash64(col("lang"), col("lb"), col("tok")).as("k"))
+    // negligible against the oracle's own md5-keyed operators. Null key
+    // parts are dropped FIRST: SQL equality never matches NULL, but
+    // xxhash64 skips null inputs and would still produce a joinable hash.
+    val keyed = tok
+      .filter(col("lang").isNotNull && col("lb").isNotNull && col("tok").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(col("lang"), col("lb"), col("tok")).as("k"))
     val a = keyed.select(col("doc_id").as("d1"), col("k"))
     val b = keyed.select(col("doc_id").as("d2"), col("k"))
     val inter = a.join(b, Seq("k"))

@@ -69,18 +69,15 @@ object Streams {
     * verify is idempotent per pair). */
   def nearDupCandidates(docs: DataFrame, index: DataFrame, k: Int,
       bands: Int): DataFrame = {
-    val r = k / bands
-    def bandKeys(df: DataFrame, idAs: String): DataFrame = {
-      val entries = (0 until bands).map { b =>
-        val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
-        struct(lit(b).as("band"), concat_ws(",", cols: _*).as("bk"))
-      }
-      df.select(col("doc_id").as(idAs), explode(array(entries: _*)).as("e"))
-        .select(col(idAs), col("e.band").as("band"), col("e.bk").as("bk"))
-    }
-    val streamKeyed = bandKeys(
-      graft.engine.Similarity.withMinhashSignature(docs, "text", k), "doc_id")
-    val indexKeyed = bandKeys(index, "candidate_doc_id")
+    import graft.engine.Similarity
+    // both sides go through Similarity.bandKeyed so the streamed band
+    // layout matches the batch-built index slot-for-slot by construction
+    val key = (cols: Seq[org.apache.spark.sql.Column]) => concat_ws(",", cols: _*)
+    val streamKeyed = Similarity.bandKeyed(
+      Similarity.withMinhashSignature(docs, "text", k), "doc_id", k, bands, key)
+    val indexKeyed = Similarity
+      .bandKeyed(index.withColumnRenamed("doc_id", "candidate_doc_id"),
+        "candidate_doc_id", k, bands, key)
     streamKeyed.join(indexKeyed, Seq("band", "bk"))
       .filter(col("doc_id") =!= col("candidate_doc_id"))
       .select("doc_id", "candidate_doc_id")

@@ -96,17 +96,28 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("per-row HOF minhash signature equals the batch aggregation path") {
+    // null text included: both paths must DROP it (divergence here once
+    // bucketed every null-text doc together). Full-outer join + null-safe
+    // comparison so a doc present in only one path, or a null slot, counts
+    // as a mismatch instead of vanishing from an inner join.
     val docs = graft.engine.Tables.t(spark, sf, "documents")
-      .select(col("doc_id"), col("text")).limit(100)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+      .unionAll(Seq((90001L, null: String), (90002L, null: String))
+        .toDF("doc_id", "text"))
     val agg = Similarity.minhashSignaturesMd5(docs, "doc_id", "text", k = 16)
     val hof = Similarity.withMinhashSignature(docs, "text", k = 16)
       .drop("text")
-    val mismatches = agg.as("a").join(hof.as("h"), "doc_id")
-      .filter((0 until 16)
-        .map(i => col(s"a.mh_$i") =!= col(s"h.mh_$i"))
-        .reduce(_ || _))
+    val mismatches = agg.as("a")
+      .join(hof.as("h"), col("a.doc_id") === col("h.doc_id"), "full_outer")
+      .filter(
+        col("a.doc_id").isNull || col("h.doc_id").isNull ||
+          (0 until 16)
+            .map(i => !(col(s"a.mh_$i") <=> col(s"h.mh_$i")))
+            .reduce(_ || _))
       .count()
     assert(mismatches == 0)
+    assert(agg.filter(col("doc_id") >= 90000).count() == 0,
+      "null-text docs must be dropped")
   }
 
   test("multi-table LSH: tables are independent; twins collide in every table") {
