@@ -52,6 +52,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.head.isEmpty && got.tail.forall(_.isDefined))
   }
 
+  test("stitched lag preserves null-value semantics mid-bucket") {
+    // predecessor VALUE null -> delta null (global LAG semantics); only a
+    // bucket's FIRST row stitches from the previous bucket
+    val df = Seq(
+      ("2024-01-05", Some(5.0)), ("2024-01-17", None), ("2024-01-31", Some(7.0)),
+      ("2024-02-02", Some(9.0)))
+      .map { case (d, v) => (java.sql.Date.valueOf(d), v) }
+      .toDF("day", "total")
+    val got = TimeSeries
+      .lagDiffStitched(df, col("total"),
+        year(col("day")) * 12 + month(col("day")), col("day"), "delta")
+      .orderBy("day").select("delta").as[Option[Double]].collect().toSeq
+    // deltas: null (first), null (prev=5 but value null -> null - 5? no:
+    // delta = value - lag = null - 5 = null), null (7 - null), 2.0 (9 - 7)
+    assert(got == Seq(None, None, None, Some(2.0)), s"got $got")
+  }
+
   test("all-null -> zeros") {
     assert(interp(Seq(None, None)) == Seq(0.0, 0.0))
   }
