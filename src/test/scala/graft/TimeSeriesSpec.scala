@@ -52,6 +52,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.head.isEmpty && got.tail.forall(_.isDefined))
   }
 
+  test("stitched lag == global-window lag: seeded sweep over gaps and nulls") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 10) {
+      // random subset of days across 5 months (gap months arise naturally),
+      // ~15% null values
+      val days = (0 until 150)
+        .filter(_ => rnd.nextDouble() < 0.25)
+        .map(d => java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d)))
+      val rows = days.map(d =>
+        (d, if (rnd.nextDouble() < 0.15) None else Some(rnd.nextInt(1000) / 10.0)))
+      if (rows.nonEmpty) {
+        val df = rows.toDF("day", "total")
+        val got = TimeSeries
+          .lagDiffStitched(df, col("total"),
+            year(col("day")) * 12 + month(col("day")), col("day"), "delta")
+          .orderBy("day").select("delta").as[Option[Double]].collect().toSeq
+        val want = df
+          .withColumn("delta",
+            col("total") - lag("total", 1).over(
+              org.apache.spark.sql.expressions.Window.orderBy("day")))
+          .orderBy("day").select("delta").as[Option[Double]].collect().toSeq
+        assert(got == want, s"trial $trial: $got != $want")
+      }
+    }
+  }
+
   test("stitched lag preserves null-value semantics mid-bucket") {
     // predecessor VALUE null -> delta null (global LAG semantics); only a
     // bucket's FIRST row stitches from the previous bucket
