@@ -78,6 +78,26 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("globalRowNumber == global row_number: seeded sweep over bucket shapes") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      // random (bucket, seq) rows: buckets of wildly different sizes,
+      // including empty buckets in the id range
+      val rows = (0 until 500).map { i =>
+        (rnd.nextInt(9) * 2, i) // even buckets 0..16, odd ids absent
+      }
+      val df = rows.toDF("bucket", "seq")
+      val got = TimeSeries
+        .globalRowNumber(df, col("bucket"), Seq(col("seq")), "grn")
+        .orderBy("bucket", "seq").select("grn").as[Long].collect().toSeq
+      val want = df
+        .withColumn("grn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("bucket", "seq")).cast("long"))
+        .orderBy("bucket", "seq").select("grn").as[Long].collect().toSeq
+      assert(got == want, s"trial $trial diverged")
+    }
+  }
+
   test("stitched lag preserves null-value semantics mid-bucket") {
     // predecessor VALUE null -> delta null (global LAG semantics); only a
     // bucket's FIRST row stitches from the previous bucket
