@@ -120,6 +120,30 @@ class SimilaritySpec extends SparkSpec {
       "null-text docs must be dropped")
   }
 
+  test("simhash banding: pigeonhole guarantee at Hamming <= bands-1") {
+    // synthetic 32-bit fingerprints: base plus variants at controlled
+    // Hamming distances; maxHamming=3 with 4 bands must find EVERY pair
+    // within distance 3 (pigeonhole: <=3 flips cannot touch all 4 bands)
+    // and none beyond it
+    val base = 0x5A5A5A5AL
+    def flip(bits: Int*): Long = bits.foldLeft(base)((v, b) => v ^ (1L << b))
+    val sig = Seq(
+      (1L, base),
+      (2L, flip(0)),          // ham 1
+      (3L, flip(3, 11)),      // ham 2
+      (4L, flip(5, 13, 21)),  // ham 3 — one flip in 3 different bands
+      (5L, flip(1, 9, 17, 25)), // ham 4 vs base — one flip in EVERY band
+      (6L, ~base & 0xFFFFFFFFL) // ham 32
+    ).toDF("doc_id", "simhash")
+    val pairs = Similarity
+      .simhashNearDupPairs(sig, "doc_id", bits = 32, bands = 4, maxHamming = 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    for (other <- Seq(2L, 3L, 4L))
+      assert(pairs.contains((1L, other)), s"missing ham<=3 pair (1,$other)")
+    assert(!pairs.contains((1L, 5L)), "ham-4 pair must be filtered")
+    assert(!pairs.contains((1L, 6L)), "ham-32 pair must be filtered")
+  }
+
   test("multi-table LSH: tables are independent; twins collide in every table") {
     val emb = graft.engine.Tables.t(spark, sf, "embeddings").limit(50)
     val twin = emb.filter(col("vec_id") === 0)
