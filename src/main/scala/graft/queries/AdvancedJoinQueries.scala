@@ -108,5 +108,65 @@ object AdvancedJoinQueries {
       .orderBy("user_id", "pid")
   }
 
-  val all: Seq[Q] = Seq(asofJoin, rangeJoin)
+  /** Nearest-direction as-of with tolerance, through the generic
+    * engine/AsOf operator: each purchase picks the CLOSER of the latest
+    * click at-or-before and the earliest click at-or-after (ties backward),
+    * nulled when the chosen click is further than 10 minutes. The mirror
+    * states the same two ignoreNulls windows and the same chooser. */
+  val asofNearest: Q = Q(
+    "q_asof_nearest",
+    """WITH p AS (
+      |  SELECT user_id, event_id AS purchase_id, ts AS pts
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts AS cts, value AS cv
+      |      FROM events WHERE event_type = 'click'),
+      |u AS (
+      |  SELECT user_id, pts AS ts, 1 AS is_p, purchase_id,
+      |         CAST(NULL AS TIMESTAMP) AS crt, CAST(NULL AS DOUBLE) AS cv
+      |  FROM p
+      |  UNION ALL
+      |  SELECT user_id, cts AS ts, 0 AS is_p, CAST(NULL AS BIGINT), cts, cv
+      |  FROM c),
+      |w AS (
+      |  SELECT *,
+      |    LAST_VALUE(crt IGNORE NULLS) OVER wb AS brt,
+      |    LAST_VALUE(cv IGNORE NULLS) OVER wb AS bv,
+      |    FIRST_VALUE(crt IGNORE NULLS) OVER wf AS frt,
+      |    FIRST_VALUE(cv IGNORE NULLS) OVER wf AS fv
+      |  FROM u
+      |  WINDOW
+      |    wb AS (PARTITION BY user_id ORDER BY ts, is_p, crt, cv
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY user_id ORDER BY ts, is_p DESC, crt, cv
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      |chosen AS (
+      |  SELECT user_id, purchase_id, ts,
+      |    CASE WHEN brt IS NULL THEN frt
+      |         WHEN frt IS NULL THEN brt
+      |         WHEN epoch(frt) - epoch(ts) < epoch(ts) - epoch(brt) THEN frt
+      |         ELSE brt END AS mrt,
+      |    CASE WHEN brt IS NULL THEN fv
+      |         WHEN frt IS NULL THEN bv
+      |         WHEN epoch(frt) - epoch(ts) < epoch(ts) - epoch(brt) THEN fv
+      |         ELSE bv END AS mv
+      |  FROM w WHERE is_p = 1)
+      |SELECT user_id, purchase_id,
+      |       CASE WHEN mrt IS NOT NULL AND abs(epoch(ts) - epoch(mrt)) <= 600
+      |            THEN mv END AS cv_asof,
+      |       CASE WHEN mrt IS NOT NULL AND abs(epoch(ts) - epoch(mrt)) <= 600
+      |            THEN mrt END AS cv_asof_ts
+      |FROM chosen
+      |ORDER BY user_id, purchase_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("value").as("cv"))
+    graft.engine.AsOf.join(p, c, Seq("user_id"), "pts", "cts", "cv",
+        graft.engine.AsOf.Nearest, toleranceS = Some(600))
+      .select("user_id", "purchase_id", "cv_asof", "cv_asof_ts")
+      .orderBy("user_id", "purchase_id")
+  }
+
+  val all: Seq[Q] = Seq(asofJoin, rangeJoin, asofNearest)
 }
