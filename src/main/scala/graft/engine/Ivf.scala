@@ -1,0 +1,87 @@
+package graft.engine
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** IVF (inverted-file) ANN index with LEARNED centroids — the real form of
+  * the cell-pruned search that q_ann_ivf demonstrates with a precomputed
+  * cell id. Centroids come from a seeded KMeans fit (deterministic given
+  * data + seed) over the vector column; each vector is assigned to its
+  * nearest centroid's cell, and a query scans only the `nProbe` cells whose
+  * centroids are closest to it — the classic recall/cost dial.
+  *
+  * Scale shape: the fit runs on a SAMPLE (centroid count and sample size
+  * are both bounded, independent of corpus size), assignment is one
+  * broadcast-centroid pass over the corpus, and search touches
+  * nProbe/nCells of the data per query through a plain (cell, query)
+  * equi-join — never a crossJoin of the corpus.
+  */
+object Ivf {
+
+  final case class Index(assigned: DataFrame, centroids: Array[(Int, Array[Double])])
+
+  /** Fit centroids (seeded, on up to `fitSample` rows) and assign every
+    * vector its cell. `vecCol` is an array<float|double> column; output
+    * adds an integer `cell`. */
+  def build(emb: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      seed: Long = 7L, fitSample: Int = 100000): Index = {
+    val spark = emb.sparkSession
+    val asVec = emb
+      .withColumn("__v", array_to_vector(Vectors.asDouble(col(vecCol))))
+    val n = asVec.count()
+    val sample =
+      if (n > fitSample) asVec.sample(withReplacement = false, fitSample.toDouble / n, seed)
+      else asVec
+    val model = new KMeans()
+      .setK(nCells).setSeed(seed).setFeaturesCol("__v").setPredictionCol("cell")
+      .fit(sample)
+    val assigned = model.transform(asVec).drop("__v")
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+    Index(assigned, centroids)
+  }
+
+  /** Top-k cosine neighbors for each query vector, scanning only the
+    * `nProbe` cells nearest the query (by centroid distance). Queries are
+    * taken from the index itself via a predicate on the id (self-search,
+    * the evaluation shape); the query side is broadcast. */
+  def searchTopK(index: Index, queryPred: org.apache.spark.sql.Column,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    require(nProbe >= 1 && nProbe <= index.centroids.length)
+    // nProbe nearest cells per query are decided driver-side against the
+    // bounded centroid table (nCells x dim doubles — a broadcast-scale
+    // object by construction)
+    val cents = index.centroids
+    def nearestCells(v: Array[Double]): Seq[Int] =
+      cents.map { case (cid, c) =>
+        val d = c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+        (cid, d)
+      }.sortBy { case (cid, d) => (d, cid) }.take(nProbe).map(_._1).toSeq
+    val queries = index.assigned.filter(queryPred)
+      .select(col(idCol).as("qid"), Vectors.asDouble(col(vecCol)).as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probe = queries.flatMap { case (qid, qv) =>
+      nearestCells(qv).map(c => (qid, c, qv.toSeq))
+    }.toSeq.toDF("qid", "cell", "qv")
+    val e = index.assigned.select(col(idCol), col("cell"),
+      Vectors.asDouble(col(vecCol)).as("v"))
+      .withColumn("vn", Vectors.normNative(col("v")))
+    val scored = e.join(broadcast(probe), "cell")
+      .filter(col(idCol) =!= col("qid"))
+      .withColumn("qn", Vectors.normNative(col("qv")))
+      .select(col("qid"), col(idCol),
+        Vectors.cosineFromNorms(col("qv"), col("v"), col("qn"), col("vn")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col(idCol))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+}

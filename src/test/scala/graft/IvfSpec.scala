@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Ivf, Tables}
+import graft.functions.Vectors
+
+/** Learned-centroid IVF: twin recall, cell pruning, and exhaustive-probe
+  * equivalence with brute force. */
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val base = Tables.t(spark, sf, "embeddings")
+    .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 200)
+  private lazy val twin = base.filter(col("vec_id") === 3)
+    .select(lit(99999L).as("vec_id"), col("embedding"))
+  private lazy val corpus = base.unionAll(twin)
+  private lazy val index = Ivf.build(corpus, "vec_id", "embedding", nCells = 8)
+
+  test("build assigns every vector a cell; twin shares its original's cell") {
+    assert(index.assigned.count() == corpus.count())
+    assert(index.centroids.length == 8)
+    val cells = index.assigned.filter(col("vec_id").isin(3L, 99999L))
+      .select("cell").as[Int].collect().toSet
+    assert(cells.size == 1, "identical vectors must land in the same cell")
+  }
+
+  test("nProbe=1 finds the planted twin top-1") {
+    val top = Ivf.searchTopK(index, col("vec_id") === 99999L,
+        "vec_id", "embedding", k = 1, nProbe = 1)
+      .select("vec_id", "cos").as[(Long, Double)].head()
+    assert(top._1 == 3L && math.abs(top._2 - 1.0) < 1e-12, s"got $top")
+  }
+
+  test("exhaustive probe (nProbe = nCells) equals brute-force top-k") {
+    val got = Ivf.searchTopK(index, col("vec_id") % 50 === 0,
+        "vec_id", "embedding", k = 3, nProbe = 8)
+      .select("qid", "vec_id", "rk").as[(Long, Long, Int)].collect().toSet
+    val e = index.assigned.select(col("vec_id"),
+      Vectors.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+    val want = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Vectors.cosineNative(col("qv"), col("v")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("qid", "vec_id", "rk").as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+  }
+}
