@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Dedup
+
+/** Connected-components dedup resolution: chains, separate components,
+  * singletons, and canonical flags. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("components: chain collapses to its minimum; components stay apart") {
+    // chain 1-2-3-4 (diameter 3), pair 10-11, triangle 20-21-22
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L)).toDF("a", "b")
+    val comp = Dedup.components(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L), s"$comp")
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
+  }
+
+  test("resolve: docs get cluster + canonical flag; singletons self-cluster") {
+    val docs = Seq(1L, 2L, 3L, 7L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Dedup.resolve(docs, "doc_id", edges)
+      .select("doc_id", "cluster", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (7L, 7L, true)))
+  }
+
+  test("end-to-end: exact-dup clusters from planted fingerprint edges") {
+    // plant exact copies of docs 0..4 under +1000 and +2000: each cluster
+    // {d, d+1000, d+2000} must resolve to canonical d
+    val docs = graft.engine.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 5)
+    val planted = docs
+      .unionAll(docs.select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      .unionAll(docs.select((col("doc_id") + 2000).as("doc_id"), col("text")))
+    val fp = planted.select(col("doc_id"),
+      graft.functions.Text.fingerprint(col("text")).as("fp"))
+    val edges = fp.as("x").join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val resolved = Dedup.resolve(planted, "doc_id", edges)
+    assert(resolved.filter(col("is_canonical")).count() == 5)
+    val clusters = resolved.groupBy("cluster").count()
+      .select("count").as[Long].collect().toSeq
+    assert(clusters.length == 5 && clusters.forall(_ == 3L))
+  }
+}
