@@ -62,6 +62,25 @@ object Vectors {
       }
     }
 
+  /** Symmetric int8 quantization for embedding STORAGE: per-vector scale
+    * s = max|x|/127, stored as (array<tinyint>, scale float) — 4x smaller
+    * than float32, 8x smaller than double, the usual shape for a large
+    * embedding store. Pure column expressions; round-trip error per element
+    * is bounded by scale/2 (QuantizeSpec). An all-zero vector gets scale 0
+    * and dequantizes to zeros. */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = aggregate(vec, lit(0.0), (m, x) => greatest(m, abs(x))) / 127.0
+    struct(
+      transform(vec, x =>
+        when(scale === 0.0, lit(0).cast("tinyint"))
+          .otherwise(round(x / scale).cast("tinyint"))).as("q"),
+      scale.cast("float").as("scale"))
+  }
+
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("q"),
+      x => x.cast("double") * q.getField("scale").cast("double"))
+
   /** Sign-random-projection LSH bucket (Charikar SimHash for vectors) over
     * [[planeSigns]] hyperplanes: each plane's projection is the sequential
     * fold of sign-flipped elements; the sign bits pack into a long bucket id
