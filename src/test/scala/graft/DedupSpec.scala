@@ -29,6 +29,30 @@ class DedupSpec extends SparkSpec {
       (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (7L, 7L, true)))
   }
 
+  test("components == union-find on random graphs (seeded sweep)") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = (0 until 70).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> {
+          // min node in the component (union-find root is min by union rule)
+          find(id.toInt).toLong
+        }).toMap
+      val got = Dedup.components(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("end-to-end: exact-dup clusters from planted fingerprint edges") {
     // plant exact copies of docs 0..4 under +1000 and +2000: each cluster
     // {d, d+1000, d+2000} must resolve to canonical d
