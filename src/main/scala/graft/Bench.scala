@@ -25,12 +25,19 @@ object Bench {
     // compilation + JIT (amortized away in any sustained deployment), the
     // second is the steady-state time reported per query. Both totals are
     // emitted — `value` is steady-state, `cold_total` the first-run sum.
+    // failed queries are recorded (name -> error) rather than silently
+    // timed on their failure path; the emitted JSON carries an `errors` map
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => () }
+      } catch {
+        case t: Throwable =>
+          errors.getOrElseUpdate(name, t.getClass.getSimpleName + ": " +
+            String.valueOf(t.getMessage).replaceAll("[\"\\\\\n\r]", " ").take(200))
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val names = SparkEntry.queries.keys.toSeq
@@ -38,9 +45,11 @@ object Bench {
     val results = names.map(n => n -> once(n))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = cold.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

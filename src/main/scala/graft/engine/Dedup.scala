@@ -31,7 +31,11 @@ object Dedup {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(eager = true) // reused every round; cut lineage once
-    var labels = sym.select(col("a").as("id")).distinct()
+    // seed from BOTH endpoint columns of the RAW edges (before the
+    // self-loop filter) so an id appearing only in a==b edges still gets a
+    // singleton component, as the contract promises
+    var labels = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id"))).distinct()
       .withColumn("comp", col("id"))
     var converged = false
     var i = 0

@@ -56,6 +56,10 @@ object Ivf {
     val spark = index.assigned.sparkSession
     import spark.implicits._
     require(nProbe >= 1 && nProbe <= index.centroids.length)
+    require(index.assigned.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"searchTopK requires a LongType id column, got " +
+        index.assigned.schema(idCol).dataType)
     // nProbe nearest cells per query are decided driver-side against the
     // bounded centroid table (nCells x dim doubles — a broadcast-scale
     // object by construction)
@@ -72,12 +76,14 @@ object Ivf {
     val probe = queries.flatMap { case (qid, qv) =>
       nearestCells(qv).map(c => (qid, c, qv.toSeq))
     }.toSeq.toDF("qid", "cell", "qv")
+      // query norm once per (query, cell) probe row on the broadcast side,
+      // not once per candidate pair after the join
+      .withColumn("qn", Vectors.normNative(col("qv")))
     val e = index.assigned.select(col(idCol), col("cell"),
       Vectors.asDouble(col(vecCol)).as("v"))
       .withColumn("vn", Vectors.normNative(col("v")))
     val scored = e.join(broadcast(probe), "cell")
       .filter(col(idCol) =!= col("qid"))
-      .withColumn("qn", Vectors.normNative(col("qv")))
       .select(col("qid"), col(idCol),
         Vectors.cosineFromNorms(col("qv"), col("v"), col("qn"), col("vn")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), col(idCol))

@@ -33,9 +33,15 @@ object TimeSeries {
   def boundedGlobal(anchor: Column): Seq[Column] =
     Seq(coalesce(pmod(length(anchor.cast("string")), lit(1)), lit(0)))
 
+  /** The anchor for [[boundedGlobal]] must be a plain value expression — a
+    * `desc(...)`/`asc(...)` Column wraps a SortOrder, which cannot be cast.
+    * Unwrap it so `w(Nil, Seq(desc("ts")))` anchors on `ts` itself. */
+  private def anchorOf(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.unwrapSortOrder(c)
+
   private def w(partCols: Seq[String], order: Seq[Column]) = {
     val base =
-      if (partCols.isEmpty) Window.partitionBy(boundedGlobal(order.head): _*)
+      if (partCols.isEmpty) Window.partitionBy(boundedGlobal(anchorOf(order.head)): _*)
       else Window.partitionBy(partCols.map(col): _*)
     base.orderBy(order: _*)
   }

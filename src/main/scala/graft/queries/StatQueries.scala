@@ -30,7 +30,7 @@ object StatQueries {
       |       CAST(SUM(CAST(da * a AS DECIMAL(38,6))) AS DOUBLE)
       |         / CAST(SUM(CAST(a * a AS DECIMAL(38,6))) AS DOUBLE) AS slope,
       |       CAST(SUM(CAST(FLOOR(da / a * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
-      |         / 1000000.0 / COUNT(da / a) AS ratio_mean
+      |         / 1000000.0 / COUNT(da / a) AS ratio_mean_1e6
       |FROM diffed WHERE da IS NOT NULL
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (s, dir) =>
@@ -46,7 +46,10 @@ object StatQueries {
     // quantized with explicit IEEE ops instead: floor(x*1e6 + 0.5) is
     // bit-deterministic given identical input doubles, keeps the sum an
     // exact integer, and never touches either engine's decimal-cast
-    // internals. (Half rounds toward +inf; a documented contract.)
+    // internals. (Half rounds toward +inf.) The quantization is part of the
+    // column's CONTRACT, so the name carries it: `ratio_mean_1e6` is the
+    // mean of per-row ratios each pre-rounded to the 1e-6 grid — up to
+    // ~5e-7 from the unrounded mean — not an exact mean.
     daily
       .withColumn("da", col("a") - lag(col("a"), 1).over(w))
       .filter(col("da").isNotNull)
@@ -54,7 +57,7 @@ object StatQueries {
       .agg(
         (dsum(col("da") * col("a")) / dsum(col("a") * col("a"))).as("slope"),
         (sum(floor(col("da") / col("a") * 1000000.0 + 0.5)).cast("double")
-          / 1000000.0 / count(col("da") / col("a"))).as("ratio_mean"))
+          / 1000000.0 / count(col("da") / col("a"))).as("ratio_mean_1e6"))
       .orderBy("user_id")
   }
 

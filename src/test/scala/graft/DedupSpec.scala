@@ -19,6 +19,12 @@ class DedupSpec extends SparkSpec {
     assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
   }
 
+  test("components: an id appearing only in self-loop edges is kept") {
+    val edges = Seq((5L, 5L), (1L, 2L)).toDF("a", "b")
+    val comp = Dedup.components(edges).as[(Long, Long)].collect().toMap
+    assert(comp == Map(5L -> 5L, 1L -> 1L, 2L -> 1L), s"$comp")
+  }
+
   test("resolve: docs get cluster + canonical flag; singletons self-cluster") {
     val docs = Seq(1L, 2L, 3L, 7L).toDF("doc_id")
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")

@@ -203,4 +203,17 @@ class TimeSeriesSpec extends SparkSpec {
       .orderBy("k", "pos").as[(Int, Int)].collect().toSeq
     assert(out == Seq((0, 8), (0, 10), (1, 7), (1, 9)))
   }
+
+  test("empty-partition windows accept a desc SortOrder as first order key") {
+    // boundedGlobal anchors the constant partition key on the first order
+    // column; a desc(...) Column wraps a SortOrder, which must be unwrapped
+    // before the cast or analysis fails
+    val df = (1 to 6).map(i => (i, i * 1.0)).toDF("pos", "x")
+    val out = TimeSeries.tailSlice(df, 3, Seq.empty, Seq(desc("pos")))
+      .orderBy("pos").as[(Int, Double)].collect().toSeq
+    assert(out == Seq((4, 4.0), (5, 5.0), (6, 6.0)))
+    val d = df.withColumn("d", TimeSeries.lagDiff(col("x"), Seq.empty, Seq(desc("pos"))))
+      .orderBy("pos").select("d").collect().map(r => Option(r.get(0)))
+    assert(d.toSeq == Seq(Some(-1.0), Some(-1.0), Some(-1.0), Some(-1.0), Some(-1.0), None))
+  }
 }
