@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * Rounds needed = graph diameter — near-dup clusters are shallow (a
   * handful of hops), so the loop is short; each round is two keyed
   * shuffles (join + min aggregate), nothing quadratic. The loop runs
-  * driver-side but every step is a distributed plan — the driver only
-  * checks the converged flag (one count per round on the bounded
-  * changed-set, not the data).
+  * driver-side but every step is a distributed plan, and each round is
+  * exactly ONE job: the propagation select carries a `chg` flag, the
+  * next labels are LAZILY localCheckpoint'ed, and the count of changed
+  * rows both materializes that checkpoint and decides convergence — no
+  * separate compare-join action per round.
   */
 object Dedup {
 
@@ -46,13 +48,17 @@ object Dedup {
         .join(nbr, col("b") === col("__nb"))
         .groupBy(col("a").as("id"))
         .agg(min(col("__nc")).as("nmin"))
+      // `chg` is true iff a neighbor supplied a strictly smaller label; the
+      // lazy checkpoint is materialized (all partitions — count, not a
+      // short-circuiting limit) by the same action that reads the flag, and
+      // also bounds lineage growth across rounds
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .localCheckpoint(eager = true) // bound lineage growth across rounds
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp")).limit(1).count()
-      labels = next
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          (col("nmin").isNotNull && col("nmin") < col("comp")).as("chg"))
+        .localCheckpoint(eager = false)
+      val changed = next.filter(col("chg")).count()
+      labels = next.drop("chg")
       converged = changed == 0
       i += 1
     }

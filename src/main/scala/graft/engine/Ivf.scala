@@ -90,4 +90,45 @@ object Ivf {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
+
+  /** Oracle-able learned-IVF fit + assignment: hyperplane-LSH init cells
+    * (plan-time literal signs, [[graft.functions.Vectors.planeSigns]])
+    * refined by ONE Lloyd step whose per-cell means use FIXED-POINT
+    * accumulation — every element is quantized to the 1e-6 grid
+    * (`FLOOR(x * 1e6 + 0.5)`, IEEE-exact in any engine) before the integer
+    * sum, so the mean is an exact integer ratio INDEPENDENT OF AGGREGATION
+    * ORDER. That makes the learned centroids deterministic across runs,
+    * partitionings, and engines — the property a distributed fit needs
+    * anyway, and what lets a DuckDB mirror reproduce them bit-for-bit
+    * (a float groupBy-mean would differ run to run with >1 partition).
+    *
+    * Returns every (vector, learned-centroid) pair ranked by squared L2
+    * distance: `rk = 1` is the vector's cell assignment; `rk <= nProbe`
+    * rows for a query vector are its probe cells. Output columns:
+    * (idCol, v, cell, dist, rk). The centroid table is bounded
+    * (<= 2^nPlanes rows x dim doubles) and broadcast; the distance is the
+    * sequential zip fold (bit-identical to `list_reduce` in the mirror).
+    * At 100 TB the fit input would be `.sample()`-bounded exactly like
+    * [[build]]; the ranking pass stays one broadcast-join scan. */
+  def learnedCellRanks(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nPlanes: Int, table: Int = 1): DataFrame = {
+    val e = emb.select(col(idCol), Vectors.asDouble(col(vecCol)).as("v"))
+      .withColumn("cell0", Vectors.lshBucket(col("v"), dim, nPlanes, table))
+    val pos = e.select(col("cell0"), posexplode(col("v")).as(Seq("pos", "x")))
+    val perPos = pos.groupBy("cell0", "pos")
+      .agg(sum(floor(col("x") * lit(1e6) + lit(0.5)).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .select(col("cell0"), col("pos"),
+        (col("sq").cast("double") / (col("n") * lit(1000000L)).cast("double")).as("c"))
+    val cents = perPos.groupBy("cell0")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+      .select(col("cell0").as("cell"), col("cv"))
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy(idCol).orderBy(col("dist"), col("cell"))
+    scored.withColumn("rk", row_number().over(w)).drop("cv", "cell0")
+  }
 }

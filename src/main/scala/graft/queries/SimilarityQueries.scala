@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.engine.{Similarity, Tables}
+import graft.engine.{Dedup, Ivf, Similarity, Tables}
 import graft.engine.Tables.t
 import graft.functions.Vectors
 
@@ -263,6 +264,73 @@ object SimilarityQueries {
       .orderBy("d1", "d2")
   }
 
+  // ---- MinHash parts shared by q_minhash_neardup and q_dedup_components ----
+  private val MinhashK = 16
+  private val MinhashBands = 8
+
+  /** DuckDB CTE chain `planted` .. `pairs`: planted near-identical twins
+    * (every 10th doc with one appended token) -> md5-hex-window MinHash
+    * signatures -> banded candidate pairs with hot-bucket skip (occ <= 200).
+    * Slot s -> md5 digest j = s/4, hex window i = s%4 (chars 8i+1..8i+8),
+    * kept as hex STRINGS (lexicographic min == numeric min for fixed-width
+    * hex); MUST match Similarity.minhashSignaturesMd5. Mirrored Spark-side
+    * by [[minhashPlantedAndPairs]]. */
+  private def minhashPairCtes: String = {
+    val slotsSql = (0 until MinhashK).map { s =>
+      val j = s / 4
+      val i = s % 4
+      s"MIN(substr(md5('m$j:' || tok), ${8 * i + 1}, 8)) AS mh_$s"
+    }.mkString(",\n    ")
+    val bandsSql = (0 until MinhashBands).map { b =>
+      s"""SELECT doc_id, $b AS band,
+         |        mh_${2 * b} || ',' || mh_${2 * b + 1} AS bk
+         |  FROM sig""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""planted AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text || ' twinmarker' AS text
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |tokarr AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM planted),
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |      ELSE list_transform(range(0, len(toks) - 2),
+       |        i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]) END) AS tok
+       |  FROM tokarr),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $slotsSql
+       |  FROM sh GROUP BY doc_id),
+       |keyed AS (
+       |  $bandsSql),
+       |kept AS (
+       |  SELECT doc_id, band, bk FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, bk) AS occ FROM keyed)
+       |  WHERE occ <= 200),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM kept a JOIN kept b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Spark pipeline [[minhashPairCtes]] mirrors: (planted docs, candidate
+    * pairs). Per-row HOF signatures (shuffle-free; slot-equal to the
+    * aggregation path by SimilaritySpec). */
+  private def minhashPlantedAndPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val twins = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" twinmarker")).as("text"))
+    val planted = docs.unionAll(twins)
+    val sig = Similarity.withMinhashSignature(planted, "text", k = MinhashK)
+      .drop("text")
+    val pairs = Similarity.lshCandidatePairs(sig, "doc_id", k = MinhashK,
+      bands = MinhashBands, bandKey = cols => concat_ws(",", cols: _*))
+    (planted, pairs)
+  }
+
   /** MinHash+LSH near-dup candidates over documents (8 bands x 2 rows on a
     * 16-slot signature), with planted near-identical twins so candidates
     * exist at every scale. Fully oracle-checked: slot hashes are 4-byte hex
@@ -270,68 +338,179 @@ object SimilarityQueries {
     * reproducible in DuckDB, so the signatures, banding, hot-bucket skip,
     * and candidate pairs all hash-match. The xxhash64 fast path stays
     * available as Similarity.minhashSignatures (SimilaritySpec). */
-  val minhashNearDup: Q = {
-    val k = 16
-    val bands = 8
-    // slot s -> md5 digest j = s/4, hex window i = s%4 (chars 8i+1..8i+8),
-    // kept as hex STRINGS (lexicographic min == numeric min for fixed-width
-    // hex); MUST match Similarity.minhashSignaturesMd5
-    val slotsSql = (0 until k).map { s =>
-      val j = s / 4
-      val i = s % 4
-      s"MIN(substr(md5('m$j:' || tok), ${8 * i + 1}, 8)) AS mh_$s"
-    }.mkString(",\n      |    ")
-    val bandsSql = (0 until bands).map { b =>
-      s"""SELECT doc_id, $b AS band,
-         |        mh_${2 * b} || ',' || mh_${2 * b + 1} AS bk
-         |  FROM sig""".stripMargin
-    }.mkString("\n      |  UNION ALL\n      |  ")
+  val minhashNearDup: Q = Q(
+    "q_minhash_neardup",
+    "WITH " + minhashPairCtes + "\nSELECT d1, d2 FROM pairs\nORDER BY d1, d2") {
+    (s, dir) =>
+      val (_, pairs) = minhashPlantedAndPairs(s, dir)
+      pairs.orderBy("d1", "d2")
+  }
+
+  /** Near-dup RESOLUTION end-to-end: the banded MinHash candidate pairs
+    * (exactly q_minhash_neardup's — shared CTEs) become undirected edges;
+    * Dedup.resolve assigns every planted doc its duplicate-cluster id (min
+    * reachable doc_id) and a canonical flag. The DuckDB mirror closes the
+    * edge set transitively with a recursive CTE and takes the per-node min —
+    * the same fixpoint Dedup.components reaches by min-label propagation, so
+    * the distributed iterative loop is hash-checked against a declarative
+    * closure (the q_sir_simulate technique applied to a graph operator). */
+  val dedupComponents: Q = Q(
+    "q_dedup_components",
+    "WITH RECURSIVE " + minhashPairCtes + """,
+      |sym AS (
+      |  SELECT d1 AS a, d2 AS b FROM pairs
+      |  UNION
+      |  SELECT d2 AS a, d1 AS b FROM pairs),
+      |reach AS (
+      |  SELECT a AS id, b AS r FROM sym
+      |  UNION
+      |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+      |comp AS (SELECT id, LEAST(id, MIN(r)) AS cluster FROM reach GROUP BY id)
+      |SELECT p.doc_id,
+      |       COALESCE(c.cluster, p.doc_id) AS cluster,
+      |       COALESCE(c.cluster, p.doc_id) = p.doc_id AS is_canonical
+      |FROM planted p LEFT JOIN comp c ON c.id = p.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val (planted, pairs) = minhashPlantedAndPairs(s, dir)
+    Dedup.resolve(planted.select("doc_id"), "doc_id", pairs)
+      .select(col("doc_id"), col("cluster"), col("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** int8 embedding quantization ROUND-TRIP, oracle-checked per vector:
+    * stored scale (after the float32 truncation the storage format applies),
+    * L1 mass of the quantized codes, worst-case absolute reconstruction
+    * error, and the cosine between the original and dequantized vector (the
+    * retrieval-quality measure — QuantizeSpec bounds the drift; here every
+    * value is hash-matched). All pure column arithmetic
+    * (functions/Vectors.scala) with the identical expression tree in DuckDB:
+    * max-abs fold, round-half-away quantize, float-truncated scale, and
+    * sequential-fold cosine are each bit-reproducible. */
+  val quantizeRoundtrip: Q = Q(
+    "q_quantize_roundtrip",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, v,
+      |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS s_d
+      |  FROM e),
+      |qz AS (
+      |  SELECT vec_id, v, s_d,
+      |         CAST(CAST(s_d AS FLOAT) AS DOUBLE) AS s_f,
+      |         list_transform(v, x -> CASE WHEN s_d = 0 THEN CAST(0 AS TINYINT)
+      |                                     ELSE CAST(round(x / s_d) AS TINYINT) END) AS q
+      |  FROM sc),
+      |dq AS (
+      |  SELECT vec_id, v, s_f, q,
+      |         list_transform(q, x -> CAST(x AS DOUBLE) * s_f) AS dv
+      |  FROM qz)
+      |SELECT vec_id,
+      |       CAST(len(v) AS INTEGER) AS n_dims,
+      |       s_f AS scale,
+      |       CAST(list_reduce(list_transform(q, x -> CAST(abs(x) AS BIGINT)), (a, b) -> a + b) AS BIGINT) AS q_l1,
+      |       list_max(list_transform(list_zip(v, dv), p -> abs(p[1] - p[2]))) AS max_abs_err,
+      |       CASE WHEN s_f = 0 THEN 1.0 ELSE
+      |         list_reduce(list_transform(list_zip(v, dv), p -> p[1] * p[2]), (x, y) -> x + y)
+      |         / (sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y))
+      |          * sqrt(list_reduce(list_transform(dv, x -> x * x), (x, y) -> x + y))) END AS cos_keep
+      |FROM dq
+      |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val withQ = t(s, dir, "embeddings")
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("q", Vectors.quantizeInt8(col("v")))
+      .withColumn("dv", Vectors.dequantizeInt8(col("q")))
+    val scaleF = col("q").getField("scale").cast("double")
+    withQ.select(
+      col("vec_id"),
+      size(col("v")).as("n_dims"),
+      scaleF.as("scale"),
+      aggregate(col("q").getField("q"), lit(0L),
+        (a, x) => a + abs(x).cast("long")).as("q_l1"),
+      aggregate(zip_with(col("v"), col("dv"), (a, b) => abs(a - b)), lit(0.0),
+        (m, x) => greatest(m, x)).as("max_abs_err"),
+      when(scaleF === 0.0, lit(1.0))
+        .otherwise(Vectors.cosine(col("v"), col("dv"))).as("cos_keep"))
+      .orderBy("vec_id")
+  }
+
+  /** LEARNED-IVF ANN search (Ivf.learnedCellRanks): hyperplane-LSH init
+    * cells refined by one Lloyd step with fixed-point deterministic means,
+    * every vector assigned to its nearest LEARNED centroid (rk = 1), queries
+    * probing their nProbe = 2 nearest cells out of up to 8 — strictly fewer
+    * than the cell count, so this exercises the recall/cost dial the
+    * `label`-cell q_ann_ivf cannot. Fully oracle-checked: the centroid
+    * matrix is an exact integer-ratio computation (see learnedCellRanks) the
+    * SQL mirror reproduces bit-for-bit, and distances/cosines are the usual
+    * sequential folds. */
+  val annIvfLearned: Q = {
+    val nPlanes = 3
+    val dim = 64
+    val signs = Vectors.planeSigns(nPlanes, dim, table = 1)
+    val cellSql = signs.zipWithIndex.map { case (s, i) =>
+      val arr = s.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
+      s"""(CASE WHEN list_reduce(list_transform(list_zip(v, [$arr]),
+         |        p -> p[1] * p[2]), (x, y) -> x + y) > 0
+         |      THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }.mkString(" +\n      ")
     Q(
-      "q_minhash_neardup",
-      s"""WITH planted AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text || ' twinmarker' AS text
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |tokarr AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM planted),
-        |sh AS (
-        |  SELECT doc_id,
-        |    unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |      ELSE list_transform(range(0, len(toks) - 2),
-        |        i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]) END) AS tok
-        |  FROM tokarr),
-        |sig AS (
-        |  SELECT doc_id,
-        |    $slotsSql
-        |  FROM sh GROUP BY doc_id),
-        |keyed AS (
-        |  $bandsSql),
-        |kept AS (
-        |  SELECT doc_id, band, bk FROM (
-        |    SELECT *, COUNT(*) OVER (PARTITION BY band, bk) AS occ FROM keyed)
-        |  WHERE occ <= 200),
-        |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM kept a JOIN kept b
-        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
-        |SELECT d1, d2 FROM pairs
-        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      // plant a twin of every 10th doc: same text with one token appended
-      val twins = docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" twinmarker")).as("text"))
-      // per-row HOF signatures (shuffle-free; slot-equal to the aggregation
-      // path by SimilaritySpec, so the oracle SQL is unchanged)
-      val sig = Similarity.withMinhashSignature(
-        docs.unionAll(twins), "text", k = k).drop("text")
-      Similarity.lshCandidatePairs(sig, "doc_id", k = k, bands = bands,
-          bandKey = cols => concat_ws(",", cols: _*))
-        .orderBy("d1", "d2")
+      "q_ann_ivf_learned",
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, v,
+        |      $cellSql AS cell0
+        |  FROM e0),
+        |pos AS (
+        |  SELECT cell0, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM b),
+        |pp AS (
+        |  SELECT cell0, pos,
+        |         CAST(SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+        |         COUNT(*) AS n
+        |  FROM pos GROUP BY cell0, pos),
+        |cent AS (
+        |  SELECT cell0 AS cell,
+        |         list(CAST(sq AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) ORDER BY pos) AS cv
+        |  FROM pp GROUP BY cell0),
+        |scored0 AS (
+        |  SELECT e.vec_id, e.v, c.cell,
+        |         list_reduce(list_transform(list_zip(e.v, c.cv),
+        |                                    p -> (p[1] - p[2]) * (p[1] - p[2])),
+        |                     (x, y) -> x + y) AS dist
+        |  FROM b e CROSS JOIN cent c),
+        |rkd AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+        |  FROM scored0),
+        |asg AS (SELECT vec_id, cell, v FROM rkd WHERE rk = 1),
+        |q AS (SELECT vec_id AS qid, cell, v AS qv FROM rkd
+        |      WHERE vec_id % 50 = 0 AND rk <= 2),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    $CosineSql AS cos
+        |  FROM q JOIN asg e ON q.cell = e.cell AND e.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT qid, vec_id, cos, rk FROM ranked
+        |WHERE rk <= 3
+        |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+      val ranks = Ivf.learnedCellRanks(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = dim, nPlanes = nPlanes, table = 1)
+      val asg = ranks.filter(col("rk") === 1)
+        .select(col("vec_id"), col("cell"), col("v"))
+        .withColumn("vn", Vectors.normNative(col("v")))
+      val q = ranks.filter(col("vec_id") % 50 === 0 && col("rk") <= 2)
+        .select(col("vec_id").as("qid"), col("cell"), col("v").as("qv"))
+        .withColumn("qn", Vectors.normNative(col("qv")))
+      val scored = asg.join(broadcast(q), "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          Vectors.cosineFromNorms(col("qv"), col("v"), col("qn"), col("vn")).as("cos"))
+      val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy("qid", "rk")
     }
   }
 
   val all: Seq[Q] =
-    Seq(cosineTopK, annIvf, annLsh, minhashNearDup, simhashNearDup, embedNearDup)
+    Seq(cosineTopK, annIvf, annIvfLearned, annLsh, minhashNearDup,
+      simhashNearDup, embedNearDup, dedupComponents, quantizeRoundtrip)
 }

