@@ -21,12 +21,16 @@ object Bench {
     catch { case _: Throwable => () }
     // noop sink materializes every row and column (count() would let
     // Catalyst prune projections and under-measure projection-heavy
-    // queries). Each query runs twice: the first run pays one-time codegen
-    // compilation + JIT (amortized away in any sustained deployment), the
-    // second is the steady-state time reported per query. Both totals are
-    // emitted — `value` is steady-state, `cold_total` the first-run sum.
-    // failed queries are recorded (name -> error) rather than silently
-    // timed on their failure path; the emitted JSON carries an `errors` map
+    // queries). Each query runs once COLD (one-time codegen compilation +
+    // JIT, amortized away in any sustained deployment) and then
+    // `SteadyIters` steady-state times; the reported per-query number is
+    // the MEDIAN of the steady runs (single-run deltas proved unreadable
+    // round to round on a shared machine — q_minhash_neardup once swung
+    // +47% with no code change) and `spread` carries max-min per query so
+    // a reader can tell signal from noise. `value` is the sum of medians,
+    // `cold_total` the first-run sum. Failed queries are recorded
+    // (name -> error, all control characters stripped for JSON safety)
+    // rather than silently timed on their failure path.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def once(name: String): Double = {
       val t0 = System.nanoTime()
@@ -36,20 +40,30 @@ object Bench {
       } catch {
         case t: Throwable =>
           errors.getOrElseUpdate(name, t.getClass.getSimpleName + ": " +
-            String.valueOf(t.getMessage).replaceAll("[\"\\\\\n\r]", " ").take(200))
+            String.valueOf(t.getMessage).replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200))
       }
       (System.nanoTime() - t0) / 1e9
     }
     val names = SparkEntry.queries.keys.toSeq
     val cold = names.map(n => n -> once(n)).toMap
-    val results = names.map(n => n -> once(n))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val SteadyIters = 3
+    val runs = (1 to SteadyIters).map(_ => names.map(n => n -> once(n)).toMap)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val med = names.map(n => n -> median(runs.map(_(n))))
+    val spread = names.map { n =>
+      val xs = runs.map(_(n))
+      n -> (xs.max - xs.min)
+    }
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = med.map(_._2).sum
     val coldTotal = cold.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"spread":${jmap(spread)},"iters":$SteadyIters,"errors":$errs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

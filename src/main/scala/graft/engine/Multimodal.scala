@@ -23,9 +23,13 @@ final case class FrameFeatures(
 /** Multimodal-column support (north-star extension): schema, partition-wise
   * batch plumbing, and feature extraction for opaque binary media columns.
   *
-  * The decode step is a clearly-marked DETERMINISTIC STUB — this container
-  * has no image/audio codecs, so `decodeStub` derives pseudo-features from
-  * an md5 over the payload. Everything around it is the real 100-TB shape:
+  * Decode is REAL for the two pure-JVM formats ([[Codecs]]): binary PPM
+  * rasters produce grid-pooled grayscale luma features and PCM16 WAV audio
+  * produces frame RMS energies; payloads neither codec accepts (e.g. the
+  * synthetic documents-derived table's opaque text bytes, or any format
+  * this container has no codec for) fall back to the clearly-marked
+  * deterministic [[decodeStub]]. Everything around decode is the 100-TB
+  * shape:
   *
   *   - media stays an opaque `binary` column with typed metadata columns —
   *     scans prune to metadata unless features are actually needed;
@@ -38,9 +42,26 @@ final case class FrameFeatures(
   */
 object Multimodal {
 
-  /** Deterministic fake "decode": md5-expanded bytes scaled to [-0.5, 0.5).
-    * REPLACE with a real codec in production — the signature is the
-    * contract: payload -> fixed-dim feature vector. */
+  /** Real-decode dispatch: PPM raster -> [[Codecs.grayFeatures]] on the
+    * floor(sqrt(dim)) grid (zero-padded up to `dim` when dim is not a
+    * square); WAV PCM16 -> [[Codecs.rmsFeatures]] over `dim` windows;
+    * anything else -> [[decodeStub]]. Total: never throws on junk bytes. */
+  private[engine] def decode(payload: Array[Byte], dim: Int): Array[Float] =
+    Codecs.decodePpm(payload) match {
+      case Some(r) =>
+        val grid = math.max(1, math.sqrt(dim.toDouble).toInt)
+        java.util.Arrays.copyOf(Codecs.grayFeatures(r, grid), dim)
+      case None =>
+        Codecs.decodeWavPcm16(payload) match {
+          case Some(p) => Codecs.rmsFeatures(p.samples, dim)
+          case None => decodeStub(payload, dim)
+        }
+    }
+
+  /** Deterministic fallback "decode" for payloads no codec accepts:
+    * md5-expanded bytes scaled to [-0.5, 0.5). Keeps the pipeline total
+    * and deterministic on arbitrary bytes; real formats take the
+    * [[decode]] codec paths instead. */
   private[engine] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val md = MessageDigest.getInstance("MD5")
     val out = new Array[Float](dim)
@@ -69,35 +90,46 @@ object Multimodal {
       (col("n_chars") * 10).as("duration_ms"))
 
   /** Feature extraction over the typed Dataset boundary: per-partition
-    * iterator (batch shape), stubbed per-item decode. */
+    * iterator (batch shape), real PPM/WAV decode per item with the stub
+    * fallback for undecodable payloads. */
   def extractFeatures(media: Dataset[MediaItem], dim: Int): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real codecs would init their context here, once per partition
+      // heavier codecs would init their context here, once per partition
       it.map(m => MediaFeatures(m.media_id, m.kind, m.payload.length,
-        decodeStub(m.payload, dim)))
+        decode(m.payload, dim)))
     }
   }
 
-  /** "Resize" stub for images: recompute features on a payload truncated
-    * proportionally to the target resolution — the plumbing contract is
-    * (item, targetW, targetH) -> new metadata + new features. */
+  /** Image resize: a decodable PPM payload is ACTUALLY resampled
+    * (nearest-neighbor, [[Codecs.resizeRaster]]) and re-encoded; payloads
+    * with no raster codec keep the proportional-truncation stand-in so the
+    * plumbing contract — (item, targetW, targetH) -> new metadata + new
+    * payload — stays total over arbitrary bytes. */
   def resize(media: Dataset[MediaItem], targetW: Int, targetH: Int, dim: Int): Dataset[MediaItem] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val keep = math.max(1,
-          (m.payload.length.toLong * (targetW.toLong * targetH) /
-            math.max(1L, m.width.toLong * m.height)).toInt.min(m.payload.length))
-        m.copy(payload = m.payload.take(keep), width = targetW, height = targetH)
+        Codecs.decodePpm(m.payload) match {
+          case Some(r) =>
+            val resized = Codecs.resizeRaster(r, targetW, targetH)
+            m.copy(payload = Codecs.encodePpm(resized),
+              width = targetW, height = targetH)
+          case None =>
+            val keep = math.max(1,
+              (m.payload.length.toLong * (targetW.toLong * targetH) /
+                math.max(1L, m.width.toLong * m.height)).toInt.min(m.payload.length))
+            m.copy(payload = m.payload.take(keep), width = targetW, height = targetH)
+        }
       }
     }
   }
 
   /** Frame sampling for "video": treat the payload as fixed-size frame
-    * chunks, keep every `stride`-th, one feature row per kept frame. The
-    * explode happens inside the partition iterator — no driver round-trip,
-    * output rows stream. */
+    * chunks, keep every `stride`-th, one feature row per kept frame (each
+    * chunk decoded like any payload — a chunk that IS a complete PPM gets
+    * real raster features). The explode happens inside the partition
+    * iterator — no driver round-trip, output rows stream. */
   def sampleFrames(media: Dataset[MediaItem], frameBytes: Int, stride: Int,
       dim: Int): Dataset[FrameFeatures] = {
     import media.sparkSession.implicits._
@@ -105,7 +137,7 @@ object Multimodal {
       it.flatMap { m =>
         m.payload.grouped(frameBytes).zipWithIndex
           .collect { case (chunk, idx) if idx % stride == 0 =>
-            FrameFeatures(m.media_id, idx, decodeStub(chunk, dim)) }
+            FrameFeatures(m.media_id, idx, decode(chunk, dim)) }
       }
     }
   }
