@@ -27,7 +27,10 @@ object Dedup {
     *         includes every id appearing in `edges`
     */
   def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val e = edges.toDF("a", "b")
+    // checkpoint the RAW edges once: sym AND the label seed both derive
+    // from them, and the caller's edge plan is often an expensive candidate
+    // pipeline (e.g. MinHash banding) that must not re-execute per consumer
+    val e = edges.toDF("a", "b").localCheckpoint(eager = true)
     // undirected: propagate both ways
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b"))

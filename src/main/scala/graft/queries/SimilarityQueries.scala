@@ -428,7 +428,7 @@ object SimilarityQueries {
       aggregate(zip_with(col("v"), col("dv"), (a, b) => abs(a - b)), lit(0.0),
         (m, x) => greatest(m, x)).as("max_abs_err"),
       when(scaleF === 0.0, lit(1.0))
-        .otherwise(Vectors.cosine(col("v"), col("dv"))).as("cos_keep"))
+        .otherwise(Vectors.cosineNative(col("v"), col("dv"))).as("cos_keep"))
       .orderBy("vec_id")
   }
 
