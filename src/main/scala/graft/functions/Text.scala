@@ -50,10 +50,23 @@ object Text {
   /** Order-sensitive rolling fingerprint: left fold of token hashes,
     * acc * 31 + xxhash64(token). Unlike the md5 content fingerprint this is
     * incremental (a streaming tokenizer can maintain it) and distinguishes
-    * permutations of the same token multiset. xxhash64-based, so no SQL
-    * oracle — pinned by spec. */
+    * permutations of the same token multiset. xxhash64-based with wrapping
+    * long arithmetic, so no SQL oracle — pinned by spec; the scale
+    * default. */
   def rollingFingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => acc * 31 + xxhash64(t))
+
+  /** Oracle-able rolling fingerprint: the same left-fold shape with
+    * md5-derived 32-bit token hashes and mod-(1e9+7) arithmetic — every
+    * intermediate stays below 2^63 (acc < 1e9+7, acc*131 + h32 < 1.4e11),
+    * so engines that TRAP on BIGINT overflow (DuckDB) replay it exactly
+    * instead of diverging on the wrap. Mirror:
+    * `list_reduce(list_prepend(0::BIGINT, list_transform(string_split(t,' '),
+    * x -> ('0x'||substr(md5(x),1,8))::BIGINT)), (a,x) -> (a*131+x) % 1000000007)`. */
+  def rollingFingerprintMd5(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) =>
+      (acc * 131 + conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"))
+        % 1000000007L)
 
   /** Composite quality score in [0,1]: length band + stopword presence +
     * plausible mean token length. Weights are engine policy (documented),

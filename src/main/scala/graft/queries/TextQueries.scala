@@ -239,7 +239,30 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Order-sensitive document fingerprinting (rolling hash): the mod-prime
+    * md5 fold [[Text.rollingFingerprintMd5]] per doc, oracle-checked —
+    * permutations of the same token multiset get different fingerprints
+    * (unlike the content md5), which is what incremental / streaming
+    * fingerprint maintenance needs. The wrapping xxhash64 form stays the
+    * scale default (TextSpec). */
+  val fingerprintRolling: Q = Q(
+    "q_fingerprint_rolling",
+    """SELECT doc_id,
+      |       md5(lower(text)) AS content_fp,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(string_split(text, ' '),
+      |           t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
+      |         (acc, x) -> (acc * 131 + x) % 1000000007) AS rolling_fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        Text.fingerprint(col("text")).as("content_fp"),
+        Text.rollingFingerprintMd5(col("text")).as("rolling_fp"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(dedupExact, textStats, langId, docProfile, jaccardNearDup, mediaMeta,
-      tokenCounts)
+      tokenCounts, fingerprintRolling)
 }

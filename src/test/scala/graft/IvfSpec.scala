@@ -50,4 +50,22 @@ class IvfSpec extends SparkSpec {
       .select("qid", "vec_id", "rk").as[(Long, Long, Int)].collect().toSet
     assert(got == want)
   }
+
+  test("learnedCellRanks: fixed-point means are partitioning-invariant") {
+    // the claim behind the oracle-ability of q_ann_ivf_learned: integer-sum
+    // (1e-6-grid) centroid means do not depend on aggregation order, so a
+    // different physical partitioning yields BIT-identical centroids,
+    // distances, and assignments (a double-sum mean would not)
+    val emb = Tables.t(spark, sf, "embeddings")
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      Ivf.learnedCellRanks(df, "vec_id", "embedding", dim = 64, nPlanes = 3)
+        .select("vec_id", "cell", "dist", "rk")
+    val a = ranks(emb)
+    val b = ranks(emb.repartition(17))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "learned assignment changed under repartition")
+    // and the assignment is total: exactly one rk=1 cell per vector
+    val n = emb.count()
+    assert(a.filter(col("rk") === 1).count() == n)
+  }
 }
