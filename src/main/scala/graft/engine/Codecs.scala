@@ -59,7 +59,9 @@ object Codecs {
           w.toLong * h * 3 <= Int.MaxValue =>
         i += 1 // exactly one whitespace byte after the header
         val need = w * h * 3
-        if (i + need <= payload.length)
+        // Long compare: i + need can wrap Int for near-Int.MaxValue pixel
+        // counts, which would turn the truncation guard into a crash
+        if (i.toLong + need <= payload.length)
           Some(Raster(w, h, java.util.Arrays.copyOfRange(payload, i, i + need)))
         else None
       case _ => None
@@ -78,6 +80,8 @@ object Codecs {
     * area-average is a drop-in upgrade behind the same signature). */
   def resizeRaster(r: Raster, tw: Int, th: Int): Raster = {
     require(tw > 0 && th > 0, "target dims must be positive")
+    require(tw.toLong * th * 3 <= Int.MaxValue,
+      s"target raster ${tw}x$th does not fit a JVM array")
     val out = new Array[Byte](tw * th * 3)
     var y = 0
     while (y < th) {
@@ -146,7 +150,9 @@ object Codecs {
     while (i + 8 <= payload.length && (data.isEmpty || !ok)) {
       val id = tag(payload, i)
       val size = le32(payload, i + 4)
-      if (size < 0 || i + 8 + size > payload.length) return None
+      // Long compare: a crafted ~2^31 chunk size would wrap i + 8 + size
+      // negative, escape this guard, and crash the chunk walk
+      if (size < 0 || i.toLong + 8 + size > payload.length) return None
       id match {
         case "fmt " if size >= 16 =>
           val fmt = le16(payload, i + 8)

@@ -491,8 +491,13 @@ object SimilarityQueries {
         |SELECT qid, vec_id, cos, rk FROM ranked
         |WHERE rk <= 3
         |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+      // the learned fit (posexplode + two aggregations + centroid ranking)
+      // feeds BOTH the assignment side and the probe side — checkpoint it
+      // once so neither consumer re-executes the pipeline (the
+      // Dedup.components lesson)
       val ranks = Ivf.learnedCellRanks(t(s, dir, "embeddings"), "vec_id",
         "embedding", dim = dim, nPlanes = nPlanes, table = 1)
+        .localCheckpoint(eager = true)
       val asg = ranks.filter(col("rk") === 1)
         .select(col("vec_id"), col("cell"), col("v"))
         .withColumn("vn", Vectors.normNative(col("v")))

@@ -28,6 +28,9 @@ class CodecsSpec extends SparkSpec {
     assert(Codecs.decodePpm("P6\n2 2\n65535\n".getBytes ++ rgb2x2).isEmpty)
     assert(Codecs.decodePpm(Array.emptyByteArray).isEmpty)
     assert(Codecs.decodePpm("not an image at all".getBytes).isEmpty)
+    // crafted header whose pixel count nearly overflows Int: the bounds
+    // check must stay in Long arithmetic and reject, not crash
+    assert(Codecs.decodePpm("P6 715827882 1 255\n".getBytes("US-ASCII")).isEmpty)
   }
 
   test("PPM gray features: exact mean-pooled luma") {
@@ -63,6 +66,12 @@ class CodecsSpec extends SparkSpec {
     assert(Codecs.decodeWavPcm16("RIFFjunk".getBytes).isEmpty)
     assert(Codecs.decodeWavPcm16(ppm2x2).isEmpty)
     assert(Codecs.decodeWavPcm16(wav.dropRight(3)).isEmpty)
+    // crafted chunk size ~2^31: Int arithmetic would wrap the bounds check
+    // negative and crash the chunk walk — must reject in Long math
+    val crafted = "RIFF".getBytes ++ Array[Byte](100, 0, 0, 0) ++
+      "WAVE".getBytes ++ "fmt ".getBytes ++
+      Array[Byte](-1, -1, -1, 127) ++ Array.fill[Byte](8)(0)
+    assert(Codecs.decodeWavPcm16(crafted).isEmpty)
   }
 
   test("extractFeatures dispatches: PPM -> luma grid, WAV -> RMS, junk -> stub") {
