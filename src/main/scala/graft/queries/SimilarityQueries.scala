@@ -432,6 +432,60 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** ANN retrieval over the int8-QUANTIZED store: the composition a
+    * memory-bounded 100-TB vector index actually runs — corpus vectors are
+    * kept quantized (4x smaller than float32), queries stay full-precision,
+    * candidates come from the same cell-pruned equi-join as q_ann_ivf, and
+    * ranking uses the dequantized corpus vector. Oracle-checked end to end:
+    * the dequantized array is bit-reproducible (q_quantize_roundtrip proves
+    * the store) and the cosine is the usual sequential fold. Comparing
+    * results against q_ann_ivf measures the recall cost of quantization on
+    * identical candidates. */
+  val annInt8: Q = Q(
+    "q_ann_int8",
+    s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v0 FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, label, v0,
+      |         list_max(list_transform(v0, x -> abs(x))) / 127.0 AS s_d
+      |  FROM e0),
+      |dq AS (
+      |  SELECT vec_id, label,
+      |         list_transform(
+      |           list_transform(v0, x -> CASE WHEN s_d = 0 THEN CAST(0 AS TINYINT)
+      |                                        ELSE CAST(round(x / s_d) AS TINYINT) END),
+      |           c -> CAST(c AS DOUBLE) * CAST(CAST(s_d AS FLOAT) AS DOUBLE)) AS v
+      |  FROM sc),
+      |q AS (SELECT vec_id AS qid, label, v0 AS qv FROM e0 WHERE vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT q.qid, e.vec_id,
+      |    $CosineSql AS cos
+      |  FROM q JOIN dq e ON q.label = e.label AND e.vec_id <> q.qid),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+      |  FROM scored)
+      |SELECT qid, vec_id, cos, rk FROM ranked
+      |WHERE rk <= 3
+      |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+    val e0 = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), Vectors.asDouble(col("embedding")).as("v0"))
+    val dq = e0
+      .withColumn("q8", Vectors.quantizeInt8(col("v0")))
+      .select(col("vec_id"), col("label"),
+        Vectors.dequantizeInt8(col("q8")).as("v"))
+      .withColumn("vn", Vectors.normNative(col("v")))
+    val q = e0.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("label"), col("v0").as("qv"))
+      .withColumn("qn", Vectors.normNative(col("qv")))
+    val scored = dq.join(broadcast(q), "label")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Vectors.cosineFromNorms(col("qv"), col("v"), col("qn"), col("vn")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy("qid", "rk")
+  }
+
   /** LEARNED-IVF ANN search (Ivf.learnedCellRanks): hyperplane-LSH init
     * cells refined by one Lloyd step with fixed-point deterministic means,
     * every vector assigned to its nearest LEARNED centroid (rk = 1), queries
@@ -516,6 +570,6 @@ object SimilarityQueries {
   }
 
   val all: Seq[Q] =
-    Seq(cosineTopK, annIvf, annIvfLearned, annLsh, minhashNearDup,
+    Seq(cosineTopK, annIvf, annIvfLearned, annInt8, annLsh, minhashNearDup,
       simhashNearDup, embedNearDup, dedupComponents, quantizeRoundtrip)
 }
