@@ -149,7 +149,7 @@ object Similarity {
     * shared by more docs than that means the band carries no signal —
     * boilerplate or, as in the synthetic corpus, a tiny vocabulary); such
     * buckets are skipped rather than joined quadratically, standard LSH
-    * practice. The skip is the occupancy-window filter below. */
+    * practice. The skip is [[dropHotKeys]]. */
   def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int, bands: Int,
       maxBucket: Int = 200,
       bandKey: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column =
@@ -160,16 +160,7 @@ object Similarity {
     // instead of a join pipeline per band (8x fewer shuffles; the band id
     // rides inside the join key so bands never mix).
     val keyed = bandKeyed(sig, idCol, k, bands, bandKey)
-    // Bucket occupancy via an unordered window over the SAME (band, bk)
-    // partitioning the self-join needs: one exchange total, and both join
-    // sides inherit the partitioning (plus the window subtree is identical
-    // on both sides, so ReuseExchange scans the signature pipeline once)
-    // instead of a separate count aggregate joined back in.
-    val kept = keyed
-      .withColumn("__occ",
-        count(lit(1)).over(Window.partitionBy("band", "bk")))
-      .filter(col("__occ") <= maxBucket)
-      .drop("__occ")
+    val kept = dropHotKeys(keyed, Seq("band", "bk"), maxBucket)
     kept.select(col(idCol).as("d1"), col("band"), col("bk"))
       .join(kept.select(col(idCol).as("d2"), col("band"), col("bk")),
         Seq("band", "bk"))
@@ -226,10 +217,7 @@ object Similarity {
       .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("e"))
       .select(col(idCol), col("simhash"),
         col("e.bidx").as("bidx"), col("e.bval").as("bval"))
-    val kept = keyed
-      .withColumn("__occ", count(lit(1)).over(Window.partitionBy("bidx", "bval")))
-      .filter(col("__occ") <= maxBucket)
-      .drop("__occ")
+    val kept = dropHotKeys(keyed, Seq("bidx", "bval"), maxBucket)
     val hamming = bit_count(col("s1").bitwiseXOR(col("s2")))
     kept.select(col(idCol).as("d1"), col("simhash").as("s1"), col("bidx"), col("bval"))
       .join(kept.select(col(idCol).as("d2"), col("simhash").as("s2"), col("bidx"), col("bval")),
@@ -239,6 +227,34 @@ object Similarity {
       .distinct()
       .filter(hamming <= maxHamming)
       .select(col("d1"), col("d2"), hamming.cast("int").as("hamming"))
+  }
+
+  /** Drop every row whose key appears more than `maxOcc` times — the
+    * hot-bucket / df-cut guard, in the shape that survives extreme skew:
+    * the per-key count goes through a partial (map-side combined)
+    * aggregation, so a key with 10^8 rows contributes one row per map task
+    * to the count shuffle, and the over-threshold key set — tiny BY
+    * DEFINITION (at most total/maxOcc keys, in practice a handful of
+    * stopword-grade values) — is broadcast into a left-anti join that
+    * filters map-side with NO shuffle of the data. The previous
+    * `count().over(Window.partitionBy(key))` form routed every row of a
+    * hot key to one window partition and buffered it there — the exact
+    * blow-up the guard exists to prevent. Filter semantics identical
+    * (keep rows whose key occurs <= maxOcc times).
+    *
+    * The input is lazily localCheckpoint'ed first: the count aggregate and
+    * the filtered output both consume it, and without materialization the
+    * (often md5-heavy) upstream pipeline would execute once per consumer —
+    * measured at 2x the whole query. Lazy, so the single downstream job
+    * computes each partition once and caches it in passing. */
+  private[graft] def dropHotKeys(df: DataFrame, keyCols: Seq[String],
+      maxOcc: Long): DataFrame = {
+    val keys = keyCols.map(col)
+    val cached = df.localCheckpoint(eager = false)
+    val hot = cached.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxOcc)
+      .select(keys: _*)
+    cached.join(broadcast(hot), keyCols, "left_anti")
   }
 
   /** Hamming distance between two packed simhash values. */

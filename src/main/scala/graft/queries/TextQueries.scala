@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Det.davg
 import graft.engine.Tables.t
@@ -171,13 +170,10 @@ object TextQueries {
       .filter(col("lang").isNotNull && col("lb").isNotNull && col("tok").isNotNull)
       .select(col("doc_id"),
         xxhash64(col("lang"), col("lb"), col("tok")).as("k"))
-    // df-cut: occupancy window over the SAME key the self-join shuffles on
-    // (one exchange, both join sides reuse it — the lshCandidatePairs
-    // pattern), then sizes AND intersections both come from the kept set
-    val kept = keyed
-      .withColumn("__occ", count(lit(1)).over(Window.partitionBy("k")))
-      .filter(col("__occ") <= JaccardMaxDf)
-      .drop("__occ")
+    // df-cut via the skew-proof hot-key guard (map-side-combined counts +
+    // broadcast anti-join, Similarity.dropHotKeys); sizes AND intersections
+    // both come from the kept set
+    val kept = graft.engine.Similarity.dropHotKeys(keyed, Seq("k"), JaccardMaxDf)
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("nt"))
     val a = kept.select(col("doc_id").as("d1"), col("k"))
     val b = kept.select(col("doc_id").as("d2"), col("k"))
