@@ -32,10 +32,13 @@ object Bench {
     // (name -> error, all control characters stripped for JSON safety)
     // rather than silently timed on their failure path.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // build the query map ONCE — Registry reconstructs every Q (SQL strings,
+    // md5 plane-sign tables) per access, which must not be timed per run
+    val queries = SparkEntry.queries
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, sfDir)
+        queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
       } catch {
         case t: Throwable =>
@@ -44,16 +47,21 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val names = SparkEntry.queries.keys.toSeq
-    val cold = names.map(n => n -> once(n)).toMap
+    val names = queries.keys.toSeq
+    val coldAll = names.map(n => n -> once(n)).toMap
     val SteadyIters = 3
     val runs = (1 to SteadyIters).map(_ => names.map(n => n -> once(n)).toMap)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val med = names.map(n => n -> median(runs.map(_(n))))
-    val spread = names.map { n =>
+    // failed queries are EXCLUDED from every timing aggregate — a fast
+    // failure path would otherwise read as a speedup in the headline total;
+    // the errors map is their only trace
+    val okNames = names.filterNot(errors.contains)
+    val cold = okNames.map(n => n -> coldAll(n)).toMap
+    val med = okNames.map(n => n -> median(runs.map(_(n))))
+    val spread = okNames.map { n =>
       val xs = runs.map(_(n))
       n -> (xs.max - xs.min)
     }

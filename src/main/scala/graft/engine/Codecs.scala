@@ -57,7 +57,12 @@ object Codecs {
     parsed match {
       case Some((w, h, 255)) if w > 0 && h > 0 &&
           w.toLong * h * 3 <= Int.MaxValue =>
-        i += 1 // exactly one whitespace byte after the header
+        // exactly one whitespace byte after the header — anything else
+        // (e.g. a comment or junk directly after the maxval) would shift
+        // the raster read and silently decode garbage
+        if (i >= payload.length || !(payload(i) == ' ' || payload(i) == '\t' ||
+            payload(i) == '\r' || payload(i) == '\n')) return None
+        i += 1
         val need = w * h * 3
         // Long compare: i + need can wrap Int for near-Int.MaxValue pixel
         // counts, which would turn the truncation guard into a crash

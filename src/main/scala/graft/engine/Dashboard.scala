@@ -59,6 +59,9 @@ object Dashboard {
         SirParams(m("alpha"), m("beta"), m("gamma"), m("mu"))
       case 3 => val m = Estimators.leastSquares(dayWise, n)
         SirParams(m("alpha"), m("beta"), m("gamma"), m("mu"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"paramSet must be 1 (constants), 2 (mean-of-ratio), or 3 (least squares); got $other")
     }
     val steps = dayWise.count().toInt - 1
     val init = dayWise.orderBy("Date")

@@ -116,9 +116,12 @@ object Multimodal {
             m.copy(payload = Codecs.encodePpm(resized),
               width = targetW, height = targetH)
           case None =>
-            val keep = math.max(1,
+            // cap on the Long BEFORE narrowing: the row-count product can
+            // exceed Int range and would wrap negative through .toInt
+            val keep = math.max(1L,
               (m.payload.length.toLong * (targetW.toLong * targetH) /
-                math.max(1L, m.width.toLong * m.height)).toInt.min(m.payload.length))
+                math.max(1L, m.width.toLong * m.height))
+                .min(m.payload.length.toLong)).toInt
             m.copy(payload = m.payload.take(keep), width = targetW, height = targetH)
         }
       }
@@ -132,6 +135,8 @@ object Multimodal {
     * iterator — no driver round-trip, output rows stream. */
   def sampleFrames(media: Dataset[MediaItem], frameBytes: Int, stride: Int,
       dim: Int): Dataset[FrameFeatures] = {
+    require(frameBytes > 0 && stride > 0,
+      s"frameBytes and stride must be positive (got $frameBytes, $stride)")
     import media.sparkSession.implicits._
     media.filter(col("kind") === "video").as[MediaItem].mapPartitions { it =>
       it.flatMap { m =>

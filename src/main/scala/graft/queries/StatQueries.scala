@@ -28,12 +28,17 @@ object StatQueries {
       |  FROM daily)
       |SELECT user_id,
       |       CAST(SUM(CAST(da * a AS DECIMAL(38,6))) AS DOUBLE)
-      |         / CAST(SUM(CAST(a * a AS DECIMAL(38,6))) AS DOUBLE) AS slope,
-      |       CAST(SUM(CAST(FLOOR(da / a * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
-      |         / 1000000.0 / COUNT(da / a) AS ratio_mean_1e6
+      |         / NULLIF(CAST(SUM(CAST(a * a AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS slope,
+      |       CAST(SUM(CAST(FLOOR(da / NULLIF(a, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |         / 1000000.0 / COUNT(da / NULLIF(a, 0.0)) AS ratio_mean_1e6
       |FROM diffed WHERE da IS NOT NULL
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    // NULLIF mirrors Spark's non-ANSI division, which returns NULL for ANY
+    // zero divisor: without it a user whose daily total hits exactly 0
+    // would diverge (DuckDB IEEE gives inf/NaN, then the FLOOR..BIGINT cast
+    // errors the whole oracle query) — a latent gate-breaker even though
+    // the current testdata never produces a zero daily sum.
     val daily = t(s, dir, "events")
       .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
       .agg(dsum(col("value")).as("a"))

@@ -31,6 +31,9 @@ class CodecsSpec extends SparkSpec {
     // crafted header whose pixel count nearly overflows Int: the bounds
     // check must stay in Long arithmetic and reject, not crash
     assert(Codecs.decodePpm("P6 715827882 1 255\n".getBytes("US-ASCII")).isEmpty)
+    // junk (here: a comment) directly after the maxval instead of the single
+    // whitespace byte would shift the raster read — must reject, not decode
+    assert(Codecs.decodePpm("P6\n2 2\n255#c\n".getBytes("US-ASCII") ++ rgb2x2).isEmpty)
   }
 
   test("PPM gray features: exact mean-pooled luma") {
@@ -103,5 +106,16 @@ class CodecsSpec extends SparkSpec {
     val r = Codecs.decodePpm(out.payload).get
     assert(r.width == 1 && r.height == 1)
     assert(r.rgb.sameElements(Array[Byte](255.toByte, 0, 0)))
+  }
+
+  test("resize fallback caps the kept bytes on the Long, not after Int wrap") {
+    // upscale from 1x1 metadata: the row-count product (len * 2.5e9)
+    // overflows Int; the cap must keep the FULL payload, not wrap negative
+    // and collapse it to 1 byte
+    val junk = Array.fill[Byte](100)(42)
+    val items = Seq(MediaItem(8L, "image", junk, 1, 1, 0, 0L)).toDS()
+    val out = Multimodal.resize(items, targetW = 50000, targetH = 50000, dim = 4)
+      .collect().head
+    assert(out.payload.length == 100, s"kept ${out.payload.length} bytes")
   }
 }
