@@ -192,7 +192,7 @@ object RelationalQueries {
   val scalarLookup: Q = Q(
     "q_scalar_lookup",
     """SELECT o_orderkey,
-      |       o_totalprice / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) FROM orders) AS share
+      |       o_totalprice / NULLIF((SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) FROM orders), 0.0) AS share
       |FROM orders
       |ORDER BY o_orderkey
       |LIMIT 100""".stripMargin) { (s, dir) =>

@@ -261,7 +261,7 @@ object WindowQueries {
       |       CAST(SUM(CAST(e.value AS DECIMAL(38,6)))
       |            OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-      |       / t.user_total AS cum_frac
+      |       / NULLIF(t.user_total, 0.0) AS cum_frac
       |FROM events e JOIN tot t ON e.user_id = t.user_id
       |ORDER BY e.user_id, e.event_id""".stripMargin) { (s, dir) =>
     val ev = t(s, dir, "events")

@@ -165,4 +165,25 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("nb") > 1).count()
     assert(distinctAssignments > 0, "tables must not be identical")
   }
+
+  test("dropHotKeys equals the occupancy-window filter on skewed data") {
+    // the broadcast-anti-join guard must keep exactly the rows whose key
+    // occurs <= maxOcc times — checked against the window form it replaced,
+    // on a distribution with one dominating hot key plus a long tail
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 2000).map { i =>
+      (i.toLong, if (rnd.nextInt(10) < 6) "hot" else s"k${rnd.nextInt(50)}")
+    }
+    val df = rows.toDF("id", "key").repartition(7)
+    for (maxOcc <- Seq(1L, 20L, 40L, 5000L)) {
+      val got = Similarity.dropHotKeys(df, Seq("key"), maxOcc)
+        .select("id").as[Long].collect().toSet
+      val want = df
+        .withColumn("occ", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("key")))
+        .filter(col("occ") <= maxOcc)
+        .select("id").as[Long].collect().toSet
+      assert(got == want, s"divergence at maxOcc=$maxOcc")
+    }
+  }
 }
