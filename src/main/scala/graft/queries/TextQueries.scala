@@ -258,7 +258,76 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test corpus split (90/5/5) by CONTENT-HASH
+    * bucketing: md5("split:" || doc_id) mod 100 — the assignment every
+    * training pipeline needs to be stable across runs, engines, partition
+    * layouts, and corpus growth (a doc keeps its split when new docs
+    * arrive; rand()-based splits have none of these properties). Pure
+    * column expressions; the derived hash is cross-engine (md5 recipe), so
+    * the whole split — not just its sizes — is oracle-checked via the
+    * per-(split, lang) profile. */
+  val trainSplit: Q = Q(
+    "q_train_split",
+    """WITH b AS (
+      |  SELECT lang,
+      |         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+      |         len(string_split(text, ' ')) AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT lang, toks,
+      |         CASE WHEN bucket < 90 THEN 'train'
+      |              WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+      |  FROM b)
+      |SELECT split, lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(toks) AS BIGINT) AS total_tokens
+      |FROM s GROUP BY split, lang
+      |ORDER BY split, lang""".stripMargin) { (s, dir) =>
+    val bucket = conv(substring(md5(
+      concat(lit("split:"), col("doc_id").cast("string")).cast("binary")), 1, 8),
+      16, 10).cast("long") % 100
+    t(s, dir, "documents")
+      .select(col("lang"), bucket.as("bucket"),
+        Text.tokenCount(col("text")).cast("long").as("toks"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("total_tokens"))
+      .orderBy("split", "lang")
+  }
+
+  /** Deterministic global corpus shuffle (training order): rank = position
+    * in the ordering by md5("shuf:" || doc_id) — reproducible across runs
+    * and engines, reshuffled by changing the salt. The global numbering
+    * uses the distributed bucket-stitch pattern (TimeSeries.globalRowNumber
+    * keyed on the first hex nibble, a prefix of the ordering), so NO
+    * operator sees a single-partition sort — the scale-safe form of
+    * `ROW_NUMBER() OVER (ORDER BY hash)` that the oracle can still express
+    * directly as the global window. */
+  val shuffleOrder: Q = Q(
+    "q_shuffle_order",
+    """WITH h AS (
+      |  SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS hk
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, hk,
+      |         ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS rank
+      |  FROM h)
+      |SELECT CAST(rank AS BIGINT) AS rank, doc_id, hk FROM r
+      |WHERE rank <= 100
+      |ORDER BY rank""".stripMargin) { (s, dir) =>
+    val hd = t(s, dir, "documents")
+      .select(col("doc_id"), md5(
+        concat(lit("shuf:"), col("doc_id").cast("string")).cast("binary")).as("hk"))
+    graft.engine.TimeSeries
+      .globalRowNumber(hd, substring(col("hk"), 1, 1),
+        Seq(col("hk"), col("doc_id")), "rank")
+      .filter(col("rank") <= 100)
+      .select(col("rank"), col("doc_id"), col("hk"))
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] =
     Seq(dedupExact, textStats, langId, docProfile, jaccardNearDup, mediaMeta,
-      tokenCounts, fingerprintRolling)
+      tokenCounts, fingerprintRolling, trainSplit, shuffleOrder)
 }
