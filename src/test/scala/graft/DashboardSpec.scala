@@ -51,6 +51,9 @@ class DashboardSpec extends SparkSpec {
       assert(sim.length == 188)
       assert(Seq(mse._1, mse._2, mse._3, mse._4).forall(m => m > 0 && !m.isNaN))
     }
+    // out-of-range selector fails descriptively, not with a MatchError
+    val e = intercept[IllegalArgumentException](Dashboard.sirComparison(dayWise, 0))
+    assert(e.getMessage.contains("paramSet"))
   }
 
   test("countryAnalysis maps USA to US") {

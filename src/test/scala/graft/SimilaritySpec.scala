@@ -24,6 +24,10 @@ class SimilaritySpec extends SparkSpec {
       "SELECT graft_dot(v, v) FROM emb_native_test ORDER BY vec_id LIMIT 1")
       .as[Double].head()
     assert(math.abs(viaSql - 1.0) < 1e-5) // embeddings are ~unit-norm
+    // wrong arity fails with the builder's message, not an index crash
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_dot(v) FROM emb_native_test").collect())
+    assert(e.getMessage.contains("graft_dot"), e.getMessage)
   }
 
   test("cosine: exact on known vectors") {
