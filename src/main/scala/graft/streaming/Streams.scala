@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Event row for the streaming surface (events-table shaped). */
 final case class StreamEvent(user_id: Long, ts: java.sql.Timestamp,
@@ -17,6 +18,43 @@ final case class UserSession(user_id: Long, start_ms: Long, end_ms: Long,
 
 private final case class SessionState(start_ms: Long, last_ms: Long,
     n: Long, total: Double)
+
+/** Spark 4 `transformWithState` form of the session machine ([[Streams
+  * .sessionizeTws]]): same semantics as [[Streams.sessionize]], written
+  * against the CURRENT arbitrary-state API — state lives in a NAMED,
+  * individually-evolvable `ValueState` variable on the RocksDB state store
+  * (the API's requirement), rather than the single opaque GroupState blob.
+  * At scale this is the shape that unlocks per-variable TTL, state-schema
+  * evolution, and the state data source for inspection. */
+private[streaming] class SessionProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, StreamEvent, UserSession] {
+  @transient private var session: ValueState[SessionState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    session = getHandle.getValueState[SessionState]("session",
+      Encoders.product[SessionState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[StreamEvent],
+      timers: TimerValues): Iterator[UserSession] = {
+    val sorted = rows.toSeq.sortBy(_.ts.getTime)
+    var cur = if (session.exists()) session.get() else null
+    val closed = Seq.newBuilder[UserSession]
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case null =>
+          cur = SessionState(t, t, 1L, e.value)
+        case s if t - s.last_ms >= gapMs =>
+          closed += UserSession(user, s.start_ms, s.last_ms + gapMs, s.n, s.total)
+          cur = SessionState(t, t, 1L, e.value)
+        case s =>
+          cur = s.copy(last_ms = t, n = s.n + 1, total = s.total + e.value)
+      }
+    }
+    if (cur != null) session.update(cur) else session.clear()
+    closed.result().iterator
+  }
+}
 
 /** Structured Streaming surface (north-star extension — the reference is
   * batch-only, SURVEY §2.9). The transforms are written against plain
@@ -129,5 +167,16 @@ object Streams {
           if (cur != null) state.update(cur) else state.remove()
           closed.result().iterator
       }
+  }
+
+  /** [[sessionize]] on the Spark 4 `transformWithState` API (see
+    * [[SessionProcessor]]). Requires the RocksDB state store provider:
+    * `spark.sql.streaming.stateStore.providerClass =
+    * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`. */
+  def sessionizeTws(events: Dataset[StreamEvent], gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.None(), OutputMode.Append())
   }
 }

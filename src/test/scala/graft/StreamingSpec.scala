@@ -161,6 +161,38 @@ class StreamingSpec extends SparkSpec {
     assert(after2 == after1 + 5L, s"cross-restart duplicate not suppressed: $after2")
   }
 
+  test("sessionizeTws: transformWithState matches the flatMapGroups semantics") {
+    implicit val ctx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider — scope
+    // the setting to this query and restore the default afterwards
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StreamEvent]
+      val gapMs = 10 * 60 * 1000L
+      val q = Streams.sessionizeTws(in.toDS(), gapMs)
+        .writeStream.format("memory").queryName("sess_tws")
+        .outputMode("append").start()
+      try {
+        in.addData(ev(7, 0, v = 1.0), ev(7, 5, v = 2.0))
+        q.processAllAvailable()
+        assert(spark.table("sess_tws").count() == 0, "open session must not emit")
+        in.addData(ev(7, 30, v = 4.0)) // 25-min gap closes the first session
+        q.processAllAvailable()
+        val rows = spark.table("sess_tws")
+          .as[(Long, Long, Long, Long, Double)].collect().toSeq
+        val start = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+        val lastT = Timestamp.valueOf("2024-01-01 10:05:00").getTime
+        assert(rows == Seq((7L, start, lastT + gapMs, 2L, 3.0)), s"$rows")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("the same transform runs in batch mode (unified API)") {
     val batch = Seq(evAt(1, "10:05", 2.0), evAt(1, "10:20", 3.0), evAt(2, "11:05", 7.0))
       .toDF()
