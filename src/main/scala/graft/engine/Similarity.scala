@@ -253,8 +253,13 @@ object Similarity {
     val cached = df.localCheckpoint(eager = false)
     val hot = cached.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxOcc)
-      .select(keys: _*)
-    cached.join(broadcast(hot), keyCols, "left_anti")
+      .select(keyCols.map(c => col(c).as(s"__hot_$c")): _*)
+    // null-SAFE anti-join condition: groupBy counts a null key as its own
+    // group, and `<=>` lets the anti-join actually drop that group when it
+    // is hot — a plain equi-anti-join can never match null keys, which
+    // would silently exempt null-keyed rows from the cap
+    val cond = keyCols.map(c => col(c) <=> col(s"__hot_$c")).reduce(_ && _)
+    cached.join(broadcast(hot), cond, "left_anti")
   }
 
   /** Hamming distance between two packed simhash values. */

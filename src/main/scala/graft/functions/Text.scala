@@ -34,6 +34,13 @@ object Text {
     * 100 TB (DuckDB mirror: md5(lower(text))). */
   def fingerprint(text: Column): Column = md5(lower(text).cast("binary"))
 
+  /** THE cross-engine 32-bit hash: first 8 hex chars of md5 as a long.
+    * Single-sourced because every oracle-checked hash operator (SimHash,
+    * rolling fingerprint, split bucketing) must derive bits the SAME way
+    * DuckDB does: `CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)`. */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
   /** Mean token length, derived without a second pass:
     * (chars - (n_tokens - 1) separators) / n_tokens. */
   def avgTokenLen(text: Column): Column =
@@ -65,8 +72,7 @@ object Text {
     * x -> ('0x'||substr(md5(x),1,8))::BIGINT)), (a,x) -> (a*131+x) % 1000000007)`. */
   def rollingFingerprintMd5(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) =>
-      (acc * 131 + conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"))
-        % 1000000007L)
+      (acc * 131 + md5Hash32(t)) % 1000000007L)
 
   /** Composite quality score in [0,1]: length band + stopword presence +
     * plausible mean token length. Weights are engine policy (documented),

@@ -215,9 +215,8 @@ object SimilarityQueries {
             concat(col("text"), lit(" simtwin")).as("text")))
         .unionAll(docs.filter(col("doc_id") % 20 === 0)
           .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
-      val md5Bits32 = (c: org.apache.spark.sql.Column) =>
-        conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
-      val sig = Similarity.simhashSignature(planted, "doc_id", "text", bits, md5Bits32)
+      val sig = Similarity.simhashSignature(planted, "doc_id", "text", bits,
+        graft.functions.Text.md5Hash32)
       Similarity.simhashNearDupPairs(sig, "doc_id", bits, bands, maxHamming = 3)
         .orderBy("d1", "d2")
     }

@@ -282,9 +282,8 @@ object TextQueries {
       |       CAST(SUM(toks) AS BIGINT) AS total_tokens
       |FROM s GROUP BY split, lang
       |ORDER BY split, lang""".stripMargin) { (s, dir) =>
-    val bucket = conv(substring(md5(
-      concat(lit("split:"), col("doc_id").cast("string")).cast("binary")), 1, 8),
-      16, 10).cast("long") % 100
+    val bucket = Text.md5Hash32(
+      concat(lit("split:"), col("doc_id").cast("string"))) % 100
     t(s, dir, "documents")
       .select(col("lang"), bucket.as("bucket"),
         Text.tokenCount(col("text")).cast("long").as("toks"))
@@ -319,8 +318,12 @@ object TextQueries {
     val hd = t(s, dir, "documents")
       .select(col("doc_id"), md5(
         concat(lit("shuf:"), col("doc_id").cast("string")).cast("binary")).as("hk"))
+    // 3 hex chars = 4096 buckets: per-bucket sort work stays ~N/4096 (the
+    // globalRowNumber contract wants domain-bounded buckets — one nibble
+    // would cap parallelism at 16 and sort 1/16 of the corpus per task)
+    // while the broadcast offsets side remains tiny
     graft.engine.TimeSeries
-      .globalRowNumber(hd, substring(col("hk"), 1, 1),
+      .globalRowNumber(hd, substring(col("hk"), 1, 3),
         Seq(col("hk"), col("doc_id")), "rank")
       .filter(col("rank") <= 100)
       .select(col("rank"), col("doc_id"), col("hk"))

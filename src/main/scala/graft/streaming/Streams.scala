@@ -36,23 +36,10 @@ private[streaming] class SessionProcessor(gapMs: Long)
 
   override def handleInputRows(user: Long, rows: Iterator[StreamEvent],
       timers: TimerValues): Iterator[UserSession] = {
-    val sorted = rows.toSeq.sortBy(_.ts.getTime)
-    var cur = if (session.exists()) session.get() else null
-    val closed = Seq.newBuilder[UserSession]
-    sorted.foreach { e =>
-      val t = e.ts.getTime
-      cur match {
-        case null =>
-          cur = SessionState(t, t, 1L, e.value)
-        case s if t - s.last_ms >= gapMs =>
-          closed += UserSession(user, s.start_ms, s.last_ms + gapMs, s.n, s.total)
-          cur = SessionState(t, t, 1L, e.value)
-        case s =>
-          cur = s.copy(last_ms = t, n = s.n + 1, total = s.total + e.value)
-      }
-    }
+    val prev = if (session.exists()) session.get() else null
+    val (cur, closed) = Streams.foldSession(user, gapMs, prev, rows)
     if (cur != null) session.update(cur) else session.clear()
-    closed.result().iterator
+    closed.iterator
   }
 }
 
@@ -137,11 +124,35 @@ object Streams {
       }
   }
 
-  /** Custom sessionization via flatMapGroupsWithState: a session closes when
-    * a later event arrives at >= `gapMs` after the last one (emitting the
-    * closed session) — the stateful twin of q_window_session's batch
-    * gaps-and-islands. The still-open session stays in state across
-    * batches. */
+  /** THE session state machine, single-sourced so the GroupState and
+    * StatefulProcessor forms cannot drift: applies a batch of events to the
+    * (possibly null) open session, returning the new open session (null =
+    * none) and the sessions closed along the way. A session closes when a
+    * later event arrives >= `gapMs` after the last one. */
+  private[streaming] def foldSession(user: Long, gapMs: Long,
+      prev: SessionState, batch: Iterator[StreamEvent]): (SessionState, Seq[UserSession]) = {
+    val sorted = batch.toSeq.sortBy(_.ts.getTime)
+    var cur = prev
+    val closed = Seq.newBuilder[UserSession]
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case null =>
+          cur = SessionState(t, t, 1L, e.value)
+        case s if t - s.last_ms >= gapMs =>
+          closed += UserSession(user, s.start_ms, s.last_ms + gapMs, s.n, s.total)
+          cur = SessionState(t, t, 1L, e.value)
+        case s =>
+          cur = s.copy(last_ms = t, n = s.n + 1, total = s.total + e.value)
+      }
+    }
+    (cur, closed.result())
+  }
+
+  /** Custom sessionization via flatMapGroupsWithState: [[foldSession]] with
+    * the open session carried in GroupState — the stateful twin of
+    * q_window_session's batch gaps-and-islands. The still-open session
+    * stays in state across batches. */
   def sessionize(events: Dataset[StreamEvent], gapMs: Long): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -149,23 +160,9 @@ object Streams {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) {
         (user: Long, batch: Iterator[StreamEvent], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(_.ts.getTime)
-          var cur = state.getOption.orNull
-          val closed = Seq.newBuilder[UserSession]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case null =>
-                cur = SessionState(t, t, 1L, e.value)
-              case s if t - s.last_ms >= gapMs =>
-                closed += UserSession(user, s.start_ms, s.last_ms + gapMs, s.n, s.total)
-                cur = SessionState(t, t, 1L, e.value)
-              case s =>
-                cur = s.copy(last_ms = t, n = s.n + 1, total = s.total + e.value)
-            }
-          }
+          val (cur, closed) = foldSession(user, gapMs, state.getOption.orNull, batch)
           if (cur != null) state.update(cur) else state.remove()
-          closed.result().iterator
+          closed.iterator
       }
   }
 

@@ -176,7 +176,10 @@ class SimilaritySpec extends SparkSpec {
     // on a distribution with one dominating hot key plus a long tail
     val rnd = new scala.util.Random(7)
     val rows = (1 to 2000).map { i =>
-      (i.toLong, if (rnd.nextInt(10) < 6) "hot" else s"k${rnd.nextInt(50)}")
+      // include a NULL key group (over-threshold): the anti-join must use
+      // null-safe equality to drop it exactly like the window form does
+      (i.toLong, if (rnd.nextInt(10) < 2) null
+      else if (rnd.nextInt(10) < 6) "hot" else s"k${rnd.nextInt(50)}")
     }
     val df = rows.toDF("id", "key").repartition(7)
     for (maxOcc <- Seq(1L, 20L, 40L, 5000L)) {
