@@ -85,10 +85,17 @@ object TimeSeries {
     // feeding the window is identical on both subtrees and ReuseExchange
     // scans the source once instead of twice per side
     val counts = local.groupBy("__bucket").agg(count(lit(1)).as("__cnt"))
-    val offsets = counts.as("a")
-      .join(counts.as("b"), col("b.__bucket") < col("a.__bucket"), "left")
-      .groupBy(col("a.__bucket").as("__bucket"))
-      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__offset"))
+    // exclusive prefix sum over the BOUNDED counts table via the
+    // non-foldable constant-key window (the boundedGlobal pattern): one
+    // O(B log B) pass instead of the previous O(B^2) theta self-join,
+    // which stops mattering only while bucket counts stay tiny
+    val offsets = counts
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.partitionBy(boundedGlobal(col("__bucket")): _*)
+            .orderBy("__bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__offset"))
     local.join(broadcast(offsets), "__bucket")
       .withColumn(asCol, col("__offset") + col("__lrn"))
       .drop("__bucket", "__lrn", "__offset")
