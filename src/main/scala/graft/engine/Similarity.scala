@@ -59,31 +59,35 @@ object Similarity {
     tok.groupBy(idCol).agg(mh.head, mh.tail: _*)
   }
 
-  /** Mirrorable MinHash signatures: the k slot values are 8-char hex windows
-    * of md5 digests (k/4 digests per shingle, 4 windows each), kept AS
+  /** Mirrorable MinHash signatures: the k slot values are 4-char hex windows
+    * of md5 digests (k/8 digests per shingle, 8 windows each), kept AS
     * STRINGS — the lexicographic min of fixed-width lowercase hex is the
     * numeric min, both engines compare bytewise, and skipping the hex->int
     * parse saves k conversions per shingle. DuckDB reproduces each slot with
-    * `MIN(substr(md5(...), 8i+1, 8))`, so a MinHash+LSH query is fully
-    * oracle-checkable. Same single-pass shape as [[minhashSignatures]]; md5
-    * costs more per shingle than xxhash64, which is why the xxhash64 form
-    * remains the scale default. */
+    * `MIN(substr(md5(...), 4i+1, 4))`, so a MinHash+LSH query is fully
+    * oracle-checkable. 16-bit slots are plenty for a min-hash: the min of
+    * ~100 shingle hashes collides across distinct shingles with probability
+    * ~n/2^16 per slot, noise far below the banding threshold — and 8 windows
+    * per digest means HALF the md5 calls of the previous 8-char/4-window
+    * layout (measured: md5 dominates the signature cost). Same single-pass
+    * shape as [[minhashSignatures]]; md5 still costs more per shingle than
+    * xxhash64, which is why the xxhash64 form remains the scale default. */
   def minhashSignaturesMd5(docs: DataFrame, idCol: String, textCol: String,
       k: Int, shingleLen: Int = 3): DataFrame = {
-    require(k % 4 == 0, "k must be a multiple of 4 (4 hex windows per md5)")
+    require(k % 8 == 0, "k must be a multiple of 8 (8 hex windows per md5)")
     val tok = docs
       // null text dropped (see minhashSignatures — legacy size(null) = -1)
       .filter(col(textCol).isNotNull)
       .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), explode(shinglesOfTokens(col("__toks"), shingleLen)).as("tok"))
-    // project the k/4 digests as columns BEFORE aggregating so each md5 runs
+    // project the k/8 digests as columns BEFORE aggregating so each md5 runs
     // exactly once per shingle (not once per slot expression)
-    val digests = tok.select(col(idCol) +: (0 until k / 4).map(j =>
+    val digests = tok.select(col(idCol) +: (0 until k / 8).map(j =>
       md5(concat(lit(s"m$j:"), col("tok")).cast("binary")).as(s"hex_$j")): _*)
     val slots = (0 until k).map { s =>
-      val j = s / 4
-      val i = s % 4
-      min(substring(col(s"hex_$j"), 8 * i + 1, 8)).as(s"mh_$s")
+      val j = s / 8
+      val i = s % 8
+      min(substring(col(s"hex_$j"), 4 * i + 1, 4)).as(s"mh_$s")
     }
     digests.groupBy(idCol).agg(slots.head, slots.tail: _*)
   }
@@ -99,7 +103,7 @@ object Similarity {
     * Adds mh_0..mh_{k-1} to `df`. */
   def withMinhashSignature(df: DataFrame, textCol: String, k: Int,
       shingleLen: Int = 3): DataFrame = {
-    require(k % 4 == 0, "k must be a multiple of 4 (4 hex windows per md5)")
+    require(k % 8 == 0, "k must be a multiple of 8 (8 hex windows per md5)")
     // null text is DROPPED, matching the batch path (whose explode emits no
     // row for a null shingle array) — otherwise null slots would fold to
     // identical band keys downstream and bucket all null-text docs together
@@ -107,14 +111,14 @@ object Similarity {
       .filter(col(textCol).isNotNull)
       .withColumn("__toks", Text.tokens(col(textCol)))
       .withColumn("__sh", shinglesOfTokens(col("__toks"), shingleLen))
-    val withDigests = (0 until k / 4).foldLeft(staged) { (d, j) =>
+    val withDigests = (0 until k / 8).foldLeft(staged) { (d, j) =>
       d.withColumn(s"__hex_$j", transform(col("__sh"),
         t => md5(concat(lit(s"m$j:"), t).cast("binary"))))
     }
     val slots = (0 until k).map { s =>
-      val j = s / 4
-      val i = s % 4
-      array_min(transform(col(s"__hex_$j"), h => substring(h, 8 * i + 1, 8)))
+      val j = s / 8
+      val i = s % 8
+      array_min(transform(col(s"__hex_$j"), h => substring(h, 4 * i + 1, 4)))
         .as(s"mh_$s")
     }
     withDigests

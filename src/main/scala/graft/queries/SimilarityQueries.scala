@@ -270,15 +270,15 @@ object SimilarityQueries {
   /** DuckDB CTE chain `planted` .. `pairs`: planted near-identical twins
     * (every 10th doc with one appended token) -> md5-hex-window MinHash
     * signatures -> banded candidate pairs with hot-bucket skip (occ <= 200).
-    * Slot s -> md5 digest j = s/4, hex window i = s%4 (chars 8i+1..8i+8),
+    * Slot s -> md5 digest j = s/8, hex window i = s%8 (chars 4i+1..4i+4),
     * kept as hex STRINGS (lexicographic min == numeric min for fixed-width
     * hex); MUST match Similarity.minhashSignaturesMd5. Mirrored Spark-side
     * by [[minhashPlantedAndPairs]]. */
   private def minhashPairCtes: String = {
     val slotsSql = (0 until MinhashK).map { s =>
-      val j = s / 4
-      val i = s % 4
-      s"MIN(substr(md5('m$j:' || tok), ${8 * i + 1}, 8)) AS mh_$s"
+      val j = s / 8
+      val i = s % 8
+      s"MIN(substr(md5('m$j:' || tok), ${4 * i + 1}, 4)) AS mh_$s"
     }.mkString(",\n    ")
     val bandsSql = (0 until MinhashBands).map { b =>
       s"""SELECT doc_id, $b AS band,
@@ -332,7 +332,7 @@ object SimilarityQueries {
 
   /** MinHash+LSH near-dup candidates over documents (8 bands x 2 rows on a
     * 16-slot signature), with planted near-identical twins so candidates
-    * exist at every scale. Fully oracle-checked: slot hashes are 4-byte hex
+    * exist at every scale. Fully oracle-checked: slot hashes are 4-char hex
     * windows of md5 digests and the band join key is a plain concat, both
     * reproducible in DuckDB, so the signatures, banding, hot-bucket skip,
     * and candidate pairs all hash-match. The xxhash64 fast path stays
