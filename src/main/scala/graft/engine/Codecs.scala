@@ -26,8 +26,15 @@ object Codecs {
     * whitespace separators and `#` comments, one whitespace byte, then
     * w*h*3 raw RGB bytes. Returns None for anything malformed or truncated
     * (never throws — undecodable payloads must flow to the fallback). */
-  def decodePpm(payload: Array[Byte]): Option[Raster] = {
-    var i = 0
+  def decodePpm(payload: Array[Byte]): Option[Raster] =
+    decodePpmAt(payload, 0).map(_._1)
+
+  /** One P6 frame starting at `start`, plus the offset just past its raster
+    * — the container walk for [[decodePpmFrames]]. Same tolerance as
+    * [[decodePpm]]: trailing bytes after the raster are the NEXT frame's
+    * problem, anything malformed is None. */
+  private def decodePpmAt(payload: Array[Byte], start: Int): Option[(Raster, Int)] = {
+    var i = start
     def skipWs(): Unit = {
       var go = true
       while (go && i < payload.length) {
@@ -47,8 +54,9 @@ object Codecs {
       }
       if (i == start || v > Int.MaxValue) None else Some(v.toInt)
     }
-    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6') return None
-    i = 2
+    if (payload.length < start + 2 || payload(start) != 'P' || payload(start + 1) != '6')
+      return None
+    i = start + 2
     val parsed = for {
       w <- readInt()
       h <- readInt()
@@ -67,11 +75,34 @@ object Codecs {
         // Long compare: i + need can wrap Int for near-Int.MaxValue pixel
         // counts, which would turn the truncation guard into a crash
         if (i.toLong + need <= payload.length)
-          Some(Raster(w, h, java.util.Arrays.copyOfRange(payload, i, i + need)))
+          Some((Raster(w, h, java.util.Arrays.copyOfRange(payload, i, i + need)), i + need))
         else None
       case _ => None
     }
   }
+
+  /** Concatenated-P6 video container ("MJPEG-style": each frame a complete
+    * P6 image, frames back to back): walks the payload frame by frame and
+    * returns every decoded raster. Decoding stops at the first byte that is
+    * not a valid frame start — a payload that is not a P6 container yields
+    * Nil (and flows to the byte-chunk fallback), a truncated final frame
+    * yields the complete frames before it. Frames may differ in size. */
+  def decodePpmFrames(payload: Array[Byte]): Vector[Raster] = {
+    val out = Vector.newBuilder[Raster]
+    var off = 0
+    var go = true
+    while (go && off < payload.length) {
+      decodePpmAt(payload, off) match {
+        case Some((r, next)) => out += r; off = next
+        case None => go = false
+      }
+    }
+    out.result()
+  }
+
+  /** Concatenated-P6 container writer (test fixtures / transcode output). */
+  def encodePpmFrames(frames: Seq[Raster]): Array[Byte] =
+    frames.map(encodePpm).foldLeft(Array.emptyByteArray)(_ ++ _)
 
   def encodePpm(r: Raster): Array[Byte] = {
     val header = s"P6\n${r.width} ${r.height}\n255\n".getBytes("US-ASCII")

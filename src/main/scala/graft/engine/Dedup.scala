@@ -31,34 +31,44 @@ object Dedup {
     // from them, and the caller's edge plan is often an expensive candidate
     // pipeline (e.g. MinHash banding) that must not re-execute per consumer
     val e = edges.toDF("a", "b").localCheckpoint(eager = true)
-    // undirected: propagate both ways
+    // undirected: propagate both ways. No distinct and no checkpoint of its
+    // own — duplicate edges cannot change a min aggregate (they only add
+    // rows the map-side partial min collapses), sym is a narrow map over
+    // the cached edges, and the removed distinct was a full extra shuffle
+    // of the edge set per materialization
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(eager = true) // reused every round; cut lineage once
-    // seed from BOTH endpoint columns of the RAW edges (before the
+    // seed = the FIRST propagation round fused into the label init:
+    // min(own id, direct neighbor ids) per node, in the same union +
+    // aggregate shape as a loop round. It is lazy — round 1's count job
+    // materializes it — so the first hop costs no driver round trip of its
+    // own. Ids come from BOTH endpoint columns of the RAW edges (before the
     // self-loop filter) so an id appearing only in a==b edges still gets a
-    // singleton component, as the contract promises
-    var labels = e.select(col("a").as("id"))
-      .unionAll(e.select(col("b").as("id"))).distinct()
-      .withColumn("comp", col("id"))
+    // singleton component, as the contract promises.
+    var labels = sym.select(col("a").as("id"), col("b").as("lab"))
+      .unionAll(e.select(col("a").as("id"), col("a").as("lab")))
+      .unionAll(e.select(col("b").as("id"), col("b").as("lab")))
+      .groupBy("id").agg(min(col("lab")).as("comp"))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // each node's new label: min of its own and its neighbors' labels
+      // each node's new label: min of its own and its neighbors' labels.
+      // Neighbor messages and the node's own label go through ONE union +
+      // aggregate — two shuffles per round (join key, then node id) where
+      // the previous groupBy-then-left-join shape needed three; the `own`
+      // flag recovers the old label inside the same aggregate so `chg`
+      // (strictly smaller label arrived) needs no separate compare join.
       val nbr = labels.select(col("id").as("__nb"), col("comp").as("__nc"))
-      val neighborMin = sym
-        .join(nbr, col("b") === col("__nb"))
-        .groupBy(col("a").as("id"))
-        .agg(min(col("__nc")).as("nmin"))
-      // `chg` is true iff a neighbor supplied a strictly smaller label; the
-      // lazy checkpoint is materialized (all partitions — count, not a
+      val msgs = sym.join(nbr, col("b") === col("__nb"))
+        .select(col("a").as("id"), col("__nc").as("lab"), lit(false).as("own"))
+        .unionAll(labels.select(col("id"), col("comp").as("lab"), lit(true).as("own")))
+      // the lazy checkpoint is materialized (all partitions — count, not a
       // short-circuiting limit) by the same action that reads the flag, and
       // also bounds lineage growth across rounds
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
-          (col("nmin").isNotNull && col("nmin") < col("comp")).as("chg"))
+      val next = msgs.groupBy("id")
+        .agg(min(col("lab")).as("comp"),
+          min(when(col("own"), col("lab"))).as("__old"))
+        .select(col("id"), col("comp"), (col("comp") < col("__old")).as("chg"))
         .localCheckpoint(eager = false)
       val changed = next.filter(col("chg")).count()
       labels = next.drop("chg")

@@ -128,21 +128,33 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for "video": treat the payload as fixed-size frame
-    * chunks, keep every `stride`-th, one feature row per kept frame (each
-    * chunk decoded like any payload — a chunk that IS a complete PPM gets
-    * real raster features). The explode happens inside the partition
-    * iterator — no driver round-trip, output rows stream. */
+  /** Frame sampling for "video". A payload that parses as a
+    * concatenated-P6 container ([[Codecs.decodePpmFrames]]) is decoded
+    * frame by frame: keep every `stride`-th DECODED frame, grid-pooled
+    * luma features per kept frame — the real video path. Payloads that are
+    * not P6 containers keep the byte-chunk fallback (fixed `frameBytes`
+    * windows through [[decode]], which still real-decodes a chunk that is
+    * itself a complete PPM), so the operator stays total over arbitrary
+    * bytes. The explode happens inside the partition iterator — no driver
+    * round-trip, output rows stream. */
   def sampleFrames(media: Dataset[MediaItem], frameBytes: Int, stride: Int,
       dim: Int): Dataset[FrameFeatures] = {
     require(frameBytes > 0 && stride > 0,
       s"frameBytes and stride must be positive (got $frameBytes, $stride)")
     import media.sparkSession.implicits._
     media.filter(col("kind") === "video").as[MediaItem].mapPartitions { it =>
+      val grid = math.max(1, math.sqrt(dim.toDouble).toInt)
       it.flatMap { m =>
-        m.payload.grouped(frameBytes).zipWithIndex
-          .collect { case (chunk, idx) if idx % stride == 0 =>
-            FrameFeatures(m.media_id, idx, decode(chunk, dim)) }
+        val frames = Codecs.decodePpmFrames(m.payload)
+        if (frames.nonEmpty)
+          frames.iterator.zipWithIndex
+            .collect { case (r, idx) if idx % stride == 0 =>
+              FrameFeatures(m.media_id, idx,
+                java.util.Arrays.copyOf(Codecs.grayFeatures(r, grid), dim)) }
+        else
+          m.payload.grouped(frameBytes).zipWithIndex
+            .collect { case (chunk, idx) if idx % stride == 0 =>
+              FrameFeatures(m.media_id, idx, decode(chunk, dim)) }
       }
     }
   }

@@ -55,6 +55,28 @@ class CodecsSpec extends SparkSpec {
     assert(up.rgb(bl) == 0 && up.rgb(bl + 1) == 0 && (up.rgb(bl + 2) & 0xff) == 255)
   }
 
+  test("concatenated-P6 container: frame walk, truncation, non-containers") {
+    // three frames of different sizes and content, back to back
+    val f0 = Raster(2, 2, rgb2x2)
+    val f1 = Raster(1, 1, Array[Byte](255.toByte, 255.toByte, 255.toByte))
+    val f2 = Raster(1, 2, Array[Byte](0, 0, 0, 255.toByte, 0, 0))
+    val container = Codecs.encodePpmFrames(Seq(f0, f1, f2))
+    val frames = Codecs.decodePpmFrames(container)
+    assert(frames.size == 3)
+    assert(frames(0).rgb.sameElements(rgb2x2))
+    assert(frames(1).width == 1 && frames(1).height == 1)
+    assert(frames(2).width == 1 && frames(2).height == 2)
+    // truncated mid-frame: the complete leading frames still decode
+    val truncated = Codecs.decodePpmFrames(container.dropRight(1))
+    assert(truncated.size == 2)
+    // junk between frames ends the walk at the last valid frame boundary
+    val junkTail = Codecs.decodePpmFrames(Codecs.encodePpm(f0) ++ "garbage".getBytes)
+    assert(junkTail.size == 1)
+    // a non-container yields no frames (fallback path), never throws
+    assert(Codecs.decodePpmFrames("plain text".getBytes).isEmpty)
+    assert(Codecs.decodePpmFrames(Array.emptyByteArray).isEmpty)
+  }
+
   test("WAV PCM16: encode/decode round trip and RMS features") {
     val samples = Array[Short](0, 16384, -16384, 32767)
     val wav = Codecs.encodeWavPcm16(Pcm(16000, samples))

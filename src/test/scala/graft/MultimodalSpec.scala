@@ -49,6 +49,30 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.payload.nonEmpty))
   }
 
+  test("sampleFrames decodes a concatenated-P6 container frame by frame") {
+    import graft.engine.Codecs
+    import graft.engine.Codecs.Raster
+    // four 2x2 frames with distinct solid colors; stride 2 keeps frames 0, 2
+    def solid(r: Int, g: Int, b: Int) = Raster(2, 2,
+      Array.fill(4)(Array(r.toByte, g.toByte, b.toByte)).flatten)
+    val container = Codecs.encodePpmFrames(Seq(
+      solid(255, 0, 0), solid(0, 255, 0), solid(0, 0, 255), solid(255, 255, 255)))
+    val items = Seq(
+      MediaItem(1L, "video", container, 2, 2, 0, 0L),
+      // not a P6 container: must take the byte-chunk fallback, not vanish
+      MediaItem(2L, "video", "definitely not frames".getBytes, 0, 0, 0, 0L)).toDS()
+    val rows = Multimodal.sampleFrames(items, frameBytes = 8, stride = 2, dim = 4)
+      .collect().groupBy(_.media_id)
+    // container: decoded frames 0 and 2, real per-frame luma (solid red /
+    // solid blue on a 2x2 grid = 4 equal cells)
+    val byIdx = rows(1L).map(f => f.frame_idx -> f.feature).toMap
+    assert(byIdx.keySet == Set(0, 2))
+    byIdx(0).foreach(v => assert(math.abs(v - 0.299f) < 1e-6, s"red luma $v"))
+    byIdx(2).foreach(v => assert(math.abs(v - 0.114f) < 1e-6, s"blue luma $v"))
+    // fallback: 21 bytes / frameBytes=8 -> chunks 0,1,2, stride 2 -> 0 and 2
+    assert(rows(2L).map(_.frame_idx).sorted.sameElements(Array(0, 2)))
+  }
+
   test("sampleFrames: every stride-th fixed-size chunk becomes a row") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2, dim = 8)
       .cache()
