@@ -180,9 +180,13 @@ object Similarity {
     * supply at least `bits` hash bits. */
   def simhashSignature(docs: DataFrame, idCol: String, textCol: String,
       bits: Int, tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    // per-DOC distinct tokens (the SimHash contract) are computable in-row:
+    // array_distinct before the explode replaces a full (id, token)-pair
+    // shuffle with a narrow map — the exploded rows of a doc then collapse
+    // map-side in the partial aggregation below, so nothing row-exploded
+    // ever crosses the network
     val tok = docs
-      .select(col(idCol), explode(Text.tokens(col(textCol))).as("tok"))
-      .distinct()
+      .select(col(idCol), explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
       .withColumn("h", tokenHash(col("tok")))
     // popcount form: per position count the 1-bits and compare against half
     // the token count — branch-free per-row aggregate input (plain
