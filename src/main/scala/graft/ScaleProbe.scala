@@ -22,7 +22,8 @@ object ScaleProbe {
     "q_dedup_exact", "q_text_stats", "q_lang_id", "q_doc_profile",
     "q_jaccard_neardup", "q_media_meta", "q_token_counts",
     "q_fingerprint_rolling", "q_train_split", "q_shuffle_order",
-    "q_minhash_neardup", "q_simhash_neardup", "q_dedup_components")
+    "q_pack_shards", "q_minhash_neardup", "q_simhash_neardup",
+    "q_dedup_components")
 
   private val Repl = 10
   // larger than any planted-twin id offset (1_000_000 + base ids), so

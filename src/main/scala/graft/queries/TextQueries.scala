@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Det.davg
 import graft.engine.Tables.t
@@ -330,7 +331,56 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  /** Sequence PACKING into fixed-token-budget training shards — the step
+    * between a cleaned corpus and a pretraining dataloader: every doc gets a
+    * shard id such that docs are packed greedily (next-fit by cumulative
+    * token count) up to a 2048-token budget per shard. Distributed shape:
+    * docs hash into 32 independent buckets (md5, engine-mirrorable) and the
+    * packing cumsum is a per-BUCKET window — shards never span buckets, so
+    * no global sort and no single-partition window exists at any corpus
+    * size; at 100 TB each bucket packs in parallel and the shard id stays
+    * deterministic across runs/engines/partitionings. A doc that crosses
+    * the budget boundary belongs to the shard where it STARTS (next-fit
+    * overflow, the standard packing contract — shards are capped at
+    * budget + max_doc_tokens, never split a doc). Fully oracle-checked:
+    * bucket hash, window cumsum, and floor-division shard id all mirror. */
+  val packShards: Q = Q(
+    "q_pack_shards",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS bucket,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (
+      |  SELECT doc_id, bucket, toks,
+      |         CAST(SUM(toks) OVER (PARTITION BY bucket ORDER BY doc_id
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS BIGINT) AS cum_tokens
+      |  FROM d)
+      |SELECT doc_id, bucket,
+      |       CAST(bucket * 1000000 + (cum_tokens - toks) // 2048 AS BIGINT) AS shard,
+      |       toks, cum_tokens
+      |FROM c
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val d = t(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        (Text.md5Hash32(concat(lit("pack:"), col("doc_id").cast("string"))) % 32)
+          .as("bucket"),
+        Text.tokenCount(col("text")).cast("long").as("toks"))
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum_tokens", sum(col("toks")).over(w))
+      // `div` (not `/`): integer floor division on both engines — plain `/`
+      // is a double divide in Spark and its BIGINT cast would round in
+      // DuckDB, truncate in Spark
+      .withColumn("shard",
+        col("bucket") * 1000000 + expr("(cum_tokens - toks) div 2048"))
+      .select(col("doc_id"), col("bucket"), col("shard"), col("toks"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(dedupExact, textStats, langId, docProfile, jaccardNearDup, mediaMeta,
-      tokenCounts, fingerprintRolling, trainSplit, shuffleOrder)
+      tokenCounts, fingerprintRolling, trainSplit, shuffleOrder, packShards)
 }
