@@ -62,20 +62,34 @@ object Vectors {
       }
     }
 
+  /** The int8 quantization scale, s = max|x|/127 — a full fold over the
+    * vector. Hot paths must PROJECT this into a column once per row and
+    * pass it to [[quantizeInt8(vec:Column,scale:Column)*]]: an expression
+    * referenced inside a `transform` lambda is re-evaluated per ELEMENT
+    * (lambda bodies are outside common-subexpression elimination), so
+    * inlining the fold costs dim extra folds per vector — measured at ~2x
+    * the whole quantization query. */
+  def maxAbsScale(vec: Column): Column =
+    aggregate(vec, lit(0.0), (m, x) => greatest(m, abs(x))) / 127.0
+
   /** Symmetric int8 quantization for embedding STORAGE: per-vector scale
     * s = max|x|/127, stored as (array<tinyint>, scale float) — 4x smaller
     * than float32, 8x smaller than double, the usual shape for a large
     * embedding store. Pure column expressions; round-trip error per element
     * is bounded by scale/2 (QuantizeSpec). An all-zero vector gets scale 0
-    * and dequantizes to zeros. */
-  def quantizeInt8(vec: Column): Column = {
-    val scale = aggregate(vec, lit(0.0), (m, x) => greatest(m, abs(x))) / 127.0
+    * and dequantizes to zeros. Convenience form — computes the scale fold
+    * inline (fine for specs and one-off use); hot paths should project
+    * [[maxAbsScale]] first and use the two-argument overload. */
+  def quantizeInt8(vec: Column): Column = quantizeInt8(vec, maxAbsScale(vec))
+
+  /** Quantize against an ALREADY-PROJECTED scale column (see
+    * [[maxAbsScale]] for why the hoisting matters). */
+  def quantizeInt8(vec: Column, scale: Column): Column =
     struct(
       transform(vec, x =>
         when(scale === 0.0, lit(0).cast("tinyint"))
           .otherwise(round(x / scale).cast("tinyint"))).as("q"),
       scale.cast("float").as("scale"))
-  }
 
   def dequantizeInt8(q: Column): Column =
     transform(q.getField("q"),

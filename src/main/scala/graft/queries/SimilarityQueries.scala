@@ -415,7 +415,10 @@ object SimilarityQueries {
       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
     val withQ = t(s, dir, "embeddings")
       .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
-      .withColumn("q", Vectors.quantizeInt8(col("v")))
+      // scale hoisted to its own projection: referenced inside the quantize
+      // transform lambda it would re-run the max-abs fold per ELEMENT
+      .withColumn("s_d", Vectors.maxAbsScale(col("v")))
+      .withColumn("q", Vectors.quantizeInt8(col("v"), col("s_d")))
       .withColumn("dv", Vectors.dequantizeInt8(col("q")))
     val scaleF = col("q").getField("scale").cast("double")
     withQ.select(
@@ -468,7 +471,9 @@ object SimilarityQueries {
     val e0 = t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), Vectors.asDouble(col("embedding")).as("v0"))
     val dq = e0
-      .withColumn("q8", Vectors.quantizeInt8(col("v0")))
+      // scale hoisted (see q_quantize_roundtrip): one max-abs fold per row
+      .withColumn("s_d", Vectors.maxAbsScale(col("v0")))
+      .withColumn("q8", Vectors.quantizeInt8(col("v0"), col("s_d")))
       .select(col("vec_id"), col("label"),
         Vectors.dequantizeInt8(col("q8")).as("v"))
       .withColumn("vn", Vectors.normNative(col("v")))
