@@ -4,11 +4,23 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Per-round scaling-regression gate: replicates the sf0.1 `documents`
-  * table `Repl`x (ids strided far apart so planted-twin offsets never
+  * table `Repl`x, re-runs every documents-only query on base and
+  * replicated data, and writes the measured factor per query to
+  * SCALING.json.
+  *
+  * The replication must preserve the workload's SHAPE, not just its row
+  * count, so each replica is made disjoint from the others on every key a
+  * query buckets by: ids are strided far apart (planted-twin offsets never
   * collide across replicas, and `doc_id % k` plant patterns repeat
-  * identically in every replica — the workload really is Repl x the base),
-  * re-runs every documents-only query on base and replicated data, and
-  * writes the measured factor per query to SCALING.json.
+  * identically per replica) AND every token gets a replica-specific suffix
+  * — identical text across replicas would give all 10 copies identical
+  * MinHash/SimHash signatures and token sets, multiplying every band
+  * bucket's occupancy by Repl (pushing buckets over the hot caps, which
+  * SKIPS them and would let a genuinely quadratic candidate step report a
+  * sub-linear factor) and wiring the dedup graph ACROSS replicas. With
+  * disjoint vocabularies per replica, near-dup structure stays
+  * within-replica and the scaled corpus really is Repl independent copies
+  * of the base workload.
   *
   * A sub-linear-or-linear factor (<= ~Repl) is the evidence that no
   * candidate-generation step has gone quadratic — the failure mode the
@@ -47,14 +59,32 @@ object ScaleProbe {
 
     val base = engine.Tables.t(spark, sfDir, "documents")
     (0 until Repl)
-      .map(r => base.withColumn("doc_id", col("doc_id") + lit(r * Stride)))
+      .map { r =>
+        // replica 0 keeps the base text verbatim; every other replica
+        // suffixes each token with its replica id, so replicas share no
+        // tokens/shingles/signatures (see scaladoc for why that matters)
+        val text =
+          if (r == 0) col("text")
+          else array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(s"~$r"))), " ")
+        base.withColumn("doc_id", col("doc_id") + lit(r * Stride))
+          .withColumn("text", text)
+      }
       .reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
 
     val queries = SparkEntry.queries
+    // a failing query must not abort the probe and discard the completed
+    // measurements — it reports factor NaN and the run continues
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def timeOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      try queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      catch {
+        case t: Throwable =>
+          if (failed.add(name))
+            System.err.println(s"[scale] $name FAILED on $dir: ${t.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     def median(xs: Seq[Double]): Double = {
@@ -76,9 +106,10 @@ object ScaleProbe {
       System.err.println(f"[scale] $q%-24s base=$b%7.3fs x$Repl=$s%7.3fs factor=$factor%5.2f")
       (q, b, s, factor)
     }
-    val json = rows.map { case (q, b, s, f) =>
+    val ok = rows.filterNot { case (q, _, _, _) => failed(q) }
+    val json = ok.map { case (q, b, s, f) =>
       f""""$q":{"base_s":$b%.3f,"x${Repl}_s":$s%.3f,"factor":$f%.2f}"""
-    }.mkString(s"""{"replication":$Repl,"sf":"$sfDir","steady_iters":$SteadyIters,"queries":{""", ",", "}}")
+    }.mkString(s"""{"replication":$Repl,"sf":"$sfDir","steady_iters":$SteadyIters,"failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"queries":{""", ",", "}}")
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

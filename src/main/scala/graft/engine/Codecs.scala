@@ -32,8 +32,12 @@ object Codecs {
   /** One P6 frame starting at `start`, plus the offset just past its raster
     * — the container walk for [[decodePpmFrames]]. Same tolerance as
     * [[decodePpm]]: trailing bytes after the raster are the NEXT frame's
-    * problem, anything malformed is None. */
-  private def decodePpmAt(payload: Array[Byte], start: Int): Option[(Raster, Int)] = {
+    * problem, anything malformed is None. With `copyRaster = false` the
+    * frame is validated and skipped without copying its pixels (the
+    * returned Raster shares a zero-length placeholder) — the cheap-advance
+    * path for strided sampling. */
+  private def decodePpmAt(payload: Array[Byte], start: Int,
+      copyRaster: Boolean = true): Option[(Raster, Int)] = {
     var i = start
     def skipWs(): Unit = {
       var go = true
@@ -74,9 +78,12 @@ object Codecs {
         val need = w * h * 3
         // Long compare: i + need can wrap Int for near-Int.MaxValue pixel
         // counts, which would turn the truncation guard into a crash
-        if (i.toLong + need <= payload.length)
-          Some((Raster(w, h, java.util.Arrays.copyOfRange(payload, i, i + need)), i + need))
-        else None
+        if (i.toLong + need <= payload.length) {
+          val rgb =
+            if (copyRaster) java.util.Arrays.copyOfRange(payload, i, i + need)
+            else Array.emptyByteArray
+          Some((Raster(w, h, rgb), i + need))
+        } else None
       case _ => None
     }
   }
@@ -87,22 +94,37 @@ object Codecs {
     * not a valid frame start — a payload that is not a P6 container yields
     * Nil (and flows to the byte-chunk fallback), a truncated final frame
     * yields the complete frames before it. Frames may differ in size. */
-  def decodePpmFrames(payload: Array[Byte]): Vector[Raster] = {
-    val out = Vector.newBuilder[Raster]
+  def decodePpmFrames(payload: Array[Byte]): Vector[Raster] =
+    decodePpmFramesSampled(payload, 1).map(_._2)
+
+  /** Every `stride`-th frame of a concatenated-P6 container, with its frame
+    * index. Skipped frames are advanced over by HEADER PARSE ONLY — their
+    * rasters are never copied — so sampling a long video at stride 30 does
+    * ~1/30th of the byte copying and holds only the kept frames in memory.
+    * Same stop conditions as [[decodePpmFrames]]. */
+  def decodePpmFramesSampled(payload: Array[Byte], stride: Int): Vector[(Int, Raster)] = {
+    require(stride > 0, s"stride must be positive (got $stride)")
+    val out = Vector.newBuilder[(Int, Raster)]
     var off = 0
+    var idx = 0
     var go = true
     while (go && off < payload.length) {
-      decodePpmAt(payload, off) match {
-        case Some((r, next)) => out += r; off = next
+      decodePpmAt(payload, off, copyRaster = idx % stride == 0) match {
+        case Some((r, next)) =>
+          if (idx % stride == 0) out += ((idx, r))
+          off = next
+          idx += 1
         case None => go = false
       }
     }
     out.result()
   }
 
-  /** Concatenated-P6 container writer (test fixtures / transcode output). */
+  /** Concatenated-P6 container writer (test fixtures / transcode output).
+    * Single allocation — per-frame `++` would copy the accumulated prefix
+    * once per frame (quadratic in container size). */
   def encodePpmFrames(frames: Seq[Raster]): Array[Byte] =
-    frames.map(encodePpm).foldLeft(Array.emptyByteArray)(_ ++ _)
+    Array.concat(frames.map(encodePpm): _*)
 
   def encodePpm(r: Raster): Array[Byte] = {
     val header = s"P6\n${r.width} ${r.height}\n255\n".getBytes("US-ASCII")

@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** @param edges two-column DataFrame of undirected pairs (ids)
+  /** @param edges two-column DataFrame of undirected pairs (ids).
+    *   Duplicate pairs are tolerated (a min aggregate cannot change) but
+    *   each copy is re-shuffled through the propagation join every round —
+    *   callers holding a heavily duplicated edge set (e.g. raw banded LSH
+    *   output, one row per shared band) should `.distinct()` it first, as
+    *   [[graft.engine.Similarity.lshCandidatePairs]] already does.
     * @return (id, component) — component = min id reachable from `id`;
     *         includes every id appearing in `edges`
     */

@@ -145,12 +145,13 @@ object Multimodal {
     media.filter(col("kind") === "video").as[MediaItem].mapPartitions { it =>
       val grid = math.max(1, math.sqrt(dim.toDouble).toInt)
       it.flatMap { m =>
-        val frames = Codecs.decodePpmFrames(m.payload)
-        if (frames.nonEmpty)
-          frames.iterator.zipWithIndex
-            .collect { case (r, idx) if idx % stride == 0 =>
-              FrameFeatures(m.media_id, idx,
-                java.util.Arrays.copyOf(Codecs.grayFeatures(r, grid), dim)) }
+        // skipped frames are advanced over header-only — no raster copy —
+        // so stride-30 sampling of a long container does ~1/30 of the work
+        val kept = Codecs.decodePpmFramesSampled(m.payload, stride)
+        if (kept.nonEmpty)
+          kept.iterator.map { case (idx, r) =>
+            FrameFeatures(m.media_id, idx,
+              java.util.Arrays.copyOf(Codecs.grayFeatures(r, grid), dim)) }
         else
           m.payload.grouped(frameBytes).zipWithIndex
             .collect { case (chunk, idx) if idx % stride == 0 =>

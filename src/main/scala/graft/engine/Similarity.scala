@@ -69,9 +69,14 @@ object Similarity {
     * ~100 shingle hashes collides across distinct shingles with probability
     * ~n/2^16 per slot, noise far below the banding threshold — and 8 windows
     * per digest means HALF the md5 calls of the previous 8-char/4-window
-    * layout (measured: md5 dominates the signature cost). Same single-pass
-    * shape as [[minhashSignatures]]; md5 still costs more per shingle than
-    * xxhash64, which is why the xxhash64 form remains the scale default. */
+    * layout (measured: md5 dominates the signature cost). Regime bound: an
+    * r-row band key over 16-bit slots carries 16r bits, so with r = 2
+    * expect ~n^2/2^33 spurious same-key doc pairs per band — negligible to
+    * ~10^7-10^8 docs per LSH partition, a real verification-cost tax at
+    * 10^9+. Corpora that big use [[minhashSignatures]] (64-bit xxhash64
+    * slots), the documented scale default; this md5 form exists for
+    * oracle-checkability. Same single-pass shape as [[minhashSignatures]];
+    * md5 still costs more per shingle than xxhash64. */
   def minhashSignaturesMd5(docs: DataFrame, idCol: String, textCol: String,
       k: Int, shingleLen: Int = 3): DataFrame = {
     require(k % 8 == 0, "k must be a multiple of 8 (8 hex windows per md5)")
@@ -177,7 +182,10 @@ object Similarity {
     * bit positions; the sign of each positional sum becomes a fingerprint
     * bit. Near-dups differ in few bits (compare with [[hamming16]]).
     * One explode + one groupBy, `bits` aggregate columns. `tokenHash` must
-    * supply at least `bits` hash bits. */
+    * supply at least `bits` hash bits. PRECONDITION: one row per document
+    * (`idCol` unique) — per-doc token dedup happens in-row
+    * (array_distinct), so a doc split across several input rows would
+    * count tokens shared between its rows once per row. */
   def simhashSignature(docs: DataFrame, idCol: String, textCol: String,
       bits: Int, tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     // per-DOC distinct tokens (the SimHash contract) are computable in-row:

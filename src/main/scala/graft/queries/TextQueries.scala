@@ -332,18 +332,24 @@ object TextQueries {
   }
 
   /** Sequence PACKING into fixed-token-budget training shards — the step
-    * between a cleaned corpus and a pretraining dataloader: every doc gets a
-    * shard id such that docs are packed greedily (next-fit by cumulative
-    * token count) up to a 2048-token budget per shard. Distributed shape:
-    * docs hash into 32 independent buckets (md5, engine-mirrorable) and the
-    * packing cumsum is a per-BUCKET window — shards never span buckets, so
-    * no global sort and no single-partition window exists at any corpus
-    * size; at 100 TB each bucket packs in parallel and the shard id stays
-    * deterministic across runs/engines/partitionings. A doc that crosses
-    * the budget boundary belongs to the shard where it STARTS (next-fit
-    * overflow, the standard packing contract — shards are capped at
-    * budget + max_doc_tokens, never split a doc). Fully oracle-checked:
-    * bucket hash, window cumsum, and floor-division shard id all mirror. */
+    * between a cleaned corpus and a pretraining dataloader: every doc gets
+    * a shard id by OFFSET BINNING of the cumulative token stream — a doc
+    * belongs to the 2048-token bin its cumulative range STARTS in.
+    * Distributed shape: docs hash into 32 independent buckets (md5,
+    * engine-mirrorable) and the packing cumsum is a per-BUCKET window —
+    * shards never span buckets, so no global sort and no single-partition
+    * window exists at any corpus size; at 100 TB each bucket packs in
+    * parallel and the shard id stays deterministic across
+    * runs/engines/partitionings. Contract fine print: a doc crossing a bin
+    * boundary is NOT split (its shard holds up to budget + max_doc_tokens),
+    * and a doc spanning multiple whole bins leaves those shard ids
+    * unassigned — ids are deterministic but may be SPARSE, so consumers
+    * enumerate distinct shard ids rather than 0..max (a dense renumbering
+    * is one dense_rank away). The shard-id namespace reserves 10^12 slots
+    * per bucket (~2 * 10^15 tokens per bucket before ids could collide —
+    * two orders of magnitude past a 100-TB corpus split 32 ways). Fully
+    * oracle-checked: bucket hash, window cumsum, and floor-division shard
+    * id all mirror. */
   val packShards: Q = Q(
     "q_pack_shards",
     """WITH d AS (
@@ -358,7 +364,7 @@ object TextQueries {
       |              AS BIGINT) AS cum_tokens
       |  FROM d)
       |SELECT doc_id, bucket,
-      |       CAST(bucket * 1000000 + (cum_tokens - toks) // 2048 AS BIGINT) AS shard,
+      |       CAST(bucket * 1000000000000 + (cum_tokens - toks) // 2048 AS BIGINT) AS shard,
       |       toks, cum_tokens
       |FROM c
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
@@ -375,7 +381,7 @@ object TextQueries {
       // is a double divide in Spark and its BIGINT cast would round in
       // DuckDB, truncate in Spark
       .withColumn("shard",
-        col("bucket") * 1000000 + expr("(cum_tokens - toks) div 2048"))
+        col("bucket") * 1000000000000L + expr("(cum_tokens - toks) div 2048"))
       .select(col("doc_id"), col("bucket"), col("shard"), col("toks"), col("cum_tokens"))
       .orderBy("doc_id")
   }

@@ -75,6 +75,12 @@ class CodecsSpec extends SparkSpec {
     // a non-container yields no frames (fallback path), never throws
     assert(Codecs.decodePpmFrames("plain text".getBytes).isEmpty)
     assert(Codecs.decodePpmFrames(Array.emptyByteArray).isEmpty)
+    // strided sampling: skipped frames advance header-only, kept frames
+    // carry the same rasters the full walk produces
+    val sampled = Codecs.decodePpmFramesSampled(container, 2)
+    assert(sampled.map(_._1) == Vector(0, 2))
+    assert(sampled(0)._2.rgb.sameElements(frames(0).rgb))
+    assert(sampled(1)._2.rgb.sameElements(frames(2).rgb))
   }
 
   test("WAV PCM16: encode/decode round trip and RMS features") {
