@@ -128,6 +128,30 @@ object Multimodal {
     }
   }
 
+  /** Video transcode: every frame of a concatenated-P6 container resampled
+    * to (targetW, targetH) and re-encoded into a new container — the
+    * per-item batch shape of a real transcode stage (decode context, frame
+    * loop, re-encode, all inside the partition iterator). Payloads that are
+    * not P6 containers pass through UNCHANGED, metadata included — the
+    * operator must not claim dimensions it did not produce. */
+  def transcodeVideo(media: Dataset[MediaItem], targetW: Int,
+      targetH: Int): Dataset[MediaItem] = {
+    require(targetW > 0 && targetH > 0,
+      s"target dims must be positive (got $targetW, $targetH)")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val frames = Codecs.decodePpmFrames(m.payload)
+        if (frames.nonEmpty)
+          m.copy(
+            payload = Codecs.encodePpmFrames(
+              frames.map(Codecs.resizeRaster(_, targetW, targetH))),
+            width = targetW, height = targetH)
+        else m
+      }
+    }
+  }
+
   /** Frame sampling for "video". A payload that parses as a
     * concatenated-P6 container ([[Codecs.decodePpmFrames]]) is decoded
     * frame by frame: keep every `stride`-th DECODED frame, grid-pooled

@@ -573,7 +573,75 @@ object SimilarityQueries {
     }
   }
 
+  /** ANN retrieval-quality EVALUATION: recall@3 of the cell-pruned IVF
+    * search against exact brute-force truth, per query — the measurement
+    * loop every production vector index runs on a sampled query set before
+    * trusting an approximate path. Shape: truth comes from ONE corpus scan
+    * against the broadcast bounded query batch (the q_cosine_topk shape),
+    * the approximate side is the q_ann_ivf cell equi-join, and recall is a
+    * keyed join + count of the two top-3 sets — at 100 TB the eval costs
+    * one scan regardless of index size, because the query sample is
+    * bounded. Both ranking pipelines hash-match the oracle independently,
+    * so their intersection does too. */
+  val annRecall: Q = Q(
+    "q_ann_recall",
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qv
+      |      FROM embeddings WHERE vec_id % 50 = 0),
+      |bf AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT q.qid, e.vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+      |        $CosineSql DESC, e.vec_id) AS rk
+      |    FROM q, e WHERE e.vec_id <> q.qid)
+      |  WHERE rk <= 3),
+      |iv AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT q.qid, e.vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+      |        $CosineSql DESC, e.vec_id) AS rk
+      |    FROM q JOIN e ON e.label = q.qlabel AND e.vec_id <> q.qid)
+      |  WHERE rk <= 3),
+      |h AS (
+      |  SELECT bf.qid, COUNT(*) AS hits
+      |  FROM bf JOIN iv ON bf.qid = iv.qid AND bf.vec_id = iv.vec_id
+      |  GROUP BY bf.qid)
+      |SELECT q.qid,
+      |       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+      |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / 3.0 AS recall
+      |FROM q LEFT JOIN h ON h.qid = q.qid
+      |ORDER BY q.qid""".stripMargin) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        Vectors.asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", Vectors.normNative(col("qv")))
+    val e = emb.select(col("vec_id"), col("label"),
+      Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("vn", Vectors.normNative(col("v")))
+    def top3(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3).select("qid", "vec_id")
+    }
+    val cos = Vectors.cosineFromNorms(col("qv"), col("v"), col("qn"), col("vn"))
+    val bf = top3(e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cos.as("cos")))
+    val iv = top3(e.join(broadcast(q), col("label") === col("qlabel"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cos.as("cos")))
+    val hits = bf.join(iv, Seq("qid", "vec_id")).groupBy("qid")
+      .agg(count(lit(1)).as("hits"))
+    q.select("qid").join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / 3.0).as("recall"))
+      .orderBy("qid")
+  }
+
   val all: Seq[Q] =
     Seq(cosineTopK, annIvf, annIvfLearned, annInt8, annLsh, minhashNearDup,
-      simhashNearDup, embedNearDup, dedupComponents, quantizeRoundtrip)
+      simhashNearDup, embedNearDup, dedupComponents, quantizeRoundtrip,
+      annRecall)
 }

@@ -73,6 +73,27 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2L).map(_.frame_idx).sorted.sameElements(Array(0, 2)))
   }
 
+  test("transcodeVideo resamples every container frame; junk passes through") {
+    import graft.engine.Codecs
+    import graft.engine.Codecs.Raster
+    def solid(r: Int, g: Int, b: Int) = Raster(2, 2,
+      Array.fill(4)(Array(r.toByte, g.toByte, b.toByte)).flatten)
+    val container = Codecs.encodePpmFrames(Seq(solid(255, 0, 0), solid(0, 0, 255)))
+    val junk = "not a container".getBytes
+    val items = Seq(
+      MediaItem(1L, "video", container, 2, 2, 0, 0L),
+      MediaItem(2L, "video", junk, 7, 9, 0, 0L)).toDS()
+    val out = Multimodal.transcodeVideo(items, targetW = 1, targetH = 1)
+      .collect().map(m => m.media_id -> m).toMap
+    val frames = Codecs.decodePpmFrames(out(1L).payload)
+    assert(out(1L).width == 1 && out(1L).height == 1)
+    assert(frames.size == 2)
+    assert(frames(0).rgb.sameElements(Array[Byte](255.toByte, 0, 0)))
+    assert(frames(1).rgb.sameElements(Array[Byte](0, 0, 255.toByte)))
+    // non-container: payload AND metadata untouched
+    assert(out(2L).payload.sameElements(junk) && out(2L).width == 7 && out(2L).height == 9)
+  }
+
   test("sampleFrames: every stride-th fixed-size chunk becomes a row") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2, dim = 8)
       .cache()
