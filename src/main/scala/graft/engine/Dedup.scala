@@ -54,33 +54,42 @@ object Dedup {
       .unionAll(e.select(col("a").as("id"), col("a").as("lab")))
       .unionAll(e.select(col("b").as("id"), col("b").as("lab")))
       .groupBy("id").agg(min(col("lab")).as("comp"))
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      // each node's new label: min of its own and its neighbors' labels.
-      // Neighbor messages and the node's own label go through ONE union +
-      // aggregate — two shuffles per round (join key, then node id) where
-      // the previous groupBy-then-left-join shape needed three; the `own`
-      // flag recovers the old label inside the same aggregate so `chg`
-      // (strictly smaller label arrived) needs no separate compare join.
+    // one propagation hop: each node's new label is the min of its own and
+    // its neighbors' labels. Neighbor messages and the node's own label go
+    // through ONE union + aggregate — two shuffles per hop (join key, then
+    // node id) where the previous groupBy-then-left-join shape needed
+    // three; the `own` flag recovers the old label inside the same
+    // aggregate so `chg` (strictly smaller label arrived) needs no
+    // separate compare join.
+    def propagate(labels: DataFrame): DataFrame = {
       val nbr = labels.select(col("id").as("__nb"), col("comp").as("__nc"))
-      val msgs = sym.join(nbr, col("b") === col("__nb"))
+      sym.join(nbr, col("b") === col("__nb"))
         .select(col("a").as("id"), col("__nc").as("lab"), lit(false).as("own"))
         .unionAll(labels.select(col("id"), col("comp").as("lab"), lit(true).as("own")))
-      // the lazy checkpoint is materialized (all partitions — count, not a
-      // short-circuiting limit) by the same action that reads the flag, and
-      // also bounds lineage growth across rounds
-      val next = msgs.groupBy("id")
+        .groupBy("id")
         .agg(min(col("lab")).as("comp"),
           min(when(col("own"), col("lab"))).as("__old"))
         .select(col("id"), col("comp"), (col("comp") < col("__old")).as("chg"))
+    }
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // TWO hops per driver round trip: the loop's cost on shallow graphs
+      // is job latency, not data, so halving the count-job count halves it.
+      // Convergence reads ONLY the second hop's flag — a changeless second
+      // hop means the fixpoint was reached whatever the first hop did (at
+      // worst the final job evaluates one already-converged hop). The lazy
+      // checkpoint is materialized (all partitions — count, not a
+      // short-circuiting limit) by the same action that reads the flag,
+      // and also bounds lineage growth across rounds.
+      val next = propagate(propagate(labels).drop("chg"))
         .localCheckpoint(eager = false)
       val changed = next.filter(col("chg")).count()
       labels = next.drop("chg")
       converged = changed == 0
       i += 1
     }
-    require(converged, s"components did not converge in $maxIter rounds")
+    require(converged, s"components did not converge in $maxIter double-rounds")
     labels
   }
 
