@@ -74,6 +74,21 @@ object Text {
     aggregate(tokens(text), lit(0L), (acc, t) =>
       (acc * 131 + md5Hash32(t)) % 1000000007L)
 
+  /** Sequence-packing layout, single-sourced so the batch query
+    * (q_pack_shards) and the streaming packer (Streams.packShards) cannot
+    * drift: documents hash into [[PackBuckets]] independent buckets, pack
+    * greedily to a [[PackBudget]]-token budget by offset binning of the
+    * per-bucket cumulative token count, and shard ids live in a
+    * [[PackShardStride]]-wide namespace per bucket. */
+  val PackBuckets = 32
+  val PackBudget = 2048L
+  val PackShardStride = 1000000000000L
+
+  /** The packing bucket for a document id (engine-mirrorable md5 recipe,
+    * same shape as the train-split bucketing). */
+  def packBucket(docId: Column): Column =
+    md5Hash32(concat(lit("pack:"), docId.cast("string"))) % PackBuckets
+
   /** Composite quality score in [0,1]: length band + stopword presence +
     * plausible mean token length. Weights are engine policy (documented),
     * each term a deterministic 0/1 step so the score is oracle-exact. */

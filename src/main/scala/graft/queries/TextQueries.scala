@@ -371,8 +371,7 @@ object TextQueries {
     val d = t(s, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
-        (Text.md5Hash32(concat(lit("pack:"), col("doc_id").cast("string"))) % 32)
-          .as("bucket"),
+        Text.packBucket(col("doc_id")).as("bucket"),
         Text.tokenCount(col("text")).cast("long").as("toks"))
     val w = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -381,7 +380,8 @@ object TextQueries {
       // is a double divide in Spark and its BIGINT cast would round in
       // DuckDB, truncate in Spark
       .withColumn("shard",
-        col("bucket") * 1000000000000L + expr("(cum_tokens - toks) div 2048"))
+        col("bucket") * Text.PackShardStride +
+          expr(s"(cum_tokens - toks) div ${Text.PackBudget}"))
       .select(col("doc_id"), col("bucket"), col("shard"), col("toks"), col("cum_tokens"))
       .orderBy("doc_id")
   }

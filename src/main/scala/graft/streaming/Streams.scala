@@ -9,6 +9,45 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
 final case class StreamEvent(user_id: Long, ts: java.sql.Timestamp,
     event_type: String, value: Double)
 
+/** A document arriving at the streaming packer: pre-bucketed, pre-counted. */
+final case class DocArrival(doc_id: Long, bucket: Long, toks: Long)
+
+/** A packed-shard assignment — identical columns (and values, for the same
+  * arrival order) to a batch q_pack_shards row. */
+final case class ShardAssignment(doc_id: Long, bucket: Long, shard: Long,
+    toks: Long, cum_tokens: Long)
+
+/** Streaming sequence packer: one running token counter per bucket in a
+  * named ValueState on the state store. Shard ids are the SAME offset
+  * binning as the batch query — a doc's shard is decided by the cumulative
+  * token count where it starts — so for identical per-bucket arrival order
+  * the stream reproduces the batch assignment bit-for-bit, across any
+  * micro-batch boundaries (the counter survives in state). Within one
+  * micro-batch a bucket's rows fold in doc_id order (the batch packer's
+  * order); ACROSS batches order is the source's contract, as with any
+  * streaming operator. */
+private[streaming] class PackProcessor(budget: Long, shardStride: Long)
+    extends StatefulProcessor[Long, DocArrival, ShardAssignment] {
+  @transient private var cum: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    cum = getHandle.getValueState[Long]("cum_tokens",
+      Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(bucket: Long, rows: Iterator[DocArrival],
+      timers: TimerValues): Iterator[ShardAssignment] = {
+    var c = if (cum.exists()) cum.get() else 0L
+    val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+      val start = c
+      c += d.toks
+      ShardAssignment(d.doc_id, bucket,
+        bucket * shardStride + start / budget, d.toks, c)
+    }
+    cum.update(c)
+    out.iterator
+  }
+}
+
 /** Running per-user aggregate carried across micro-batches. */
 final case class UserRunning(user_id: Long, n_events: Long, total: Double)
 
@@ -164,6 +203,26 @@ object Streams {
           if (cur != null) state.update(cur) else state.remove()
           closed.iterator
       }
+  }
+
+  /** Streaming sequence packing (see [[PackProcessor]]): the incremental
+    * form of q_pack_shards for a continuously-arriving corpus — shard
+    * assignments stream out as docs arrive, with one Long of state per
+    * bucket. Bucket/budget/namespace constants are single-sourced from
+    * [[graft.functions.Text]] so batch and stream agree bit-for-bit.
+    * Requires the RocksDB state store provider (as [[sessionizeTws]]). */
+  def packShards(docs: DataFrame): Dataset[ShardAssignment] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.Text
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        Text.packBucket(col("doc_id")).as("bucket"),
+        Text.tokenCount(col("text")).cast("long").as("toks"))
+      .as[DocArrival]
+      .groupByKey(_.bucket)
+      .transformWithState(
+        new PackProcessor(Text.PackBudget, Text.PackShardStride),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** [[sessionize]] on the Spark 4 `transformWithState` API (see

@@ -193,6 +193,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("packShards: streaming assignments match the batch packer bit-for-bit") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the batch truth: the declared query over the sf0.001 corpus
+      val batch = graft.queries.TextQueries.packShards.build(spark, sf)
+        .select("doc_id", "bucket", "shard", "toks", "cum_tokens")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      // stream the same docs in doc_id order, split across two micro-batches
+      // (per-bucket running state must survive the boundary)
+      val docs = graft.engine.Tables.t(spark, sf, "documents")
+        .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+        .orderBy("doc_id").as[(Long, String)].collect()
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      val in = MemoryStream[(Long, String)]
+      val q = Streams.packShards(in.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName("pack").outputMode("append").start()
+      try {
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+        val streamed = spark.table("pack")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        assert(streamed == batch,
+          s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("the same transform runs in batch mode (unified API)") {
     val batch = Seq(evAt(1, "10:05", 2.0), evAt(1, "10:20", 3.0), evAt(2, "11:05", 7.0))
       .toDF()
