@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables.t
+import graft.functions.Text
+
+/** LLM-data-pipeline batch 3: corpus curation operators — benchmark
+  * decontamination, deterministic mixture sampling, repetition-based quality
+  * filtering (Gopher-style), vocabulary construction, and TF-IDF keyword
+  * extraction. North-star extensions (SURVEY §7.5); the reference has no
+  * corpus tooling at all.
+  *
+  * Scale posture shared by the batch: per-document work is bounded by
+  * document length (in-row higher-order functions over a PROJECTED token
+  * array — never a re-split per lambda element, see the CSE lesson on
+  * [[graft.functions.Vectors]]); cross-document state is either a bounded
+  * broadcast side (benchmark n-gram set, vocabulary top-k) or a keyed
+  * aggregation (df counts) — nothing is all-pairs, nothing globally sorts
+  * the corpus.
+  */
+object CorpusQueries {
+
+  /** Token 8-grams of a projected token-array column, md5-keyed and
+    * deduplicated in-row (no (doc, ngram) row ever shuffles twice).
+    * Guarded: Spark's `sequence(1, n)` runs DESCENDING for n < 1 (DuckDB's
+    * `range` is empty), so short docs must hit the empty branch explicitly. */
+  private def ngramKeys(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(tk) - (n - 1)),
+        i => md5(concat_ws(" ", slice(tk, i, lit(n))).cast("binary")))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Benchmark DECONTAMINATION: flag corpus documents sharing token 8-grams
+    * with a held-out benchmark set — the overlap check every training corpus
+    * runs against eval benchmarks before pretraining. The benchmark here is
+    * the deterministic ~1% slice `doc_id % 97 = 0`; contamination is planted
+    * so the operator has signal to find: every benchmark doc re-enters the
+    * corpus verbatim under a shifted id (ratio 1.0), and a subset of corpus
+    * docs get a benchmark doc's text spliced on (partial ratios).
+    *
+    * Shape at 100 TB: the benchmark n-gram key set is bounded (benchmarks
+    * are small by construction) → broadcast hash join against the corpus
+    * n-gram stream; keys are md5 strings so the join carries 32-byte keys,
+    * not n-gram text. One aggregation per side, no pairwise compare. */
+  val decontaminate: Q = Q(
+    "q_decontaminate",
+    """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+      |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+      |b0 AS (SELECT text AS btext FROM bench ORDER BY doc_id LIMIT 1),
+      |planted AS (
+      |  SELECT doc_id, text FROM corpus
+      |  UNION ALL SELECT doc_id + 2000000 AS doc_id, text FROM bench
+      |  UNION ALL SELECT c.doc_id + 3000000 AS doc_id, c.text || ' ' || b0.btext AS text
+      |  FROM corpus c CROSS JOIN b0 WHERE c.doc_id % 31 = 5),
+      |ng AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 6),
+      |           i -> md5(array_to_string(string_split(text, ' ')[i:i+7], ' ')))) AS ngs
+      |  FROM planted),
+      |bk AS (
+      |  SELECT DISTINCT unnest(ngs) AS k FROM (
+      |    SELECT list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 6),
+      |             i -> md5(array_to_string(string_split(text, ' ')[i:i+7], ' ')))) AS ngs
+      |    FROM bench)),
+      |ex AS (SELECT doc_id, unnest(ngs) AS k FROM ng),
+      |m AS (SELECT e.doc_id, COUNT(b.k) AS n_matched
+      |      FROM ex e LEFT JOIN bk b USING(k) GROUP BY e.doc_id),
+      |sizes AS (SELECT doc_id, len(ngs) AS n_ngrams FROM ng)
+      |SELECT s.doc_id, CAST(s.n_ngrams AS BIGINT) AS n_ngrams,
+      |       CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+      |       CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / s.n_ngrams AS contamination,
+      |       CASE WHEN CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / s.n_ngrams >= 0.05
+      |            THEN 'contaminated' ELSE 'clean' END AS verdict
+      |FROM sizes s LEFT JOIN m ON s.doc_id = m.doc_id
+      |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    // 1-row "first benchmark doc" side for the partial-contamination plant
+    // (same broadcast-scalar shape as q_scalar_lookup)
+    val b0 = bench.orderBy("doc_id").limit(1).select(col("text").as("btext"))
+    val planted = corpus
+      .unionAll(bench.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      .unionAll(corpus.filter(col("doc_id") % 31 === 5).crossJoin(broadcast(b0))
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(col("text"), lit(" "), col("btext")).as("text")))
+    val ng = planted.select(col("doc_id"),
+      ngramKeys(split(col("text"), " "), 8).as("ngs"))
+    val bk = bench
+      .select(explode(ngramKeys(split(col("text"), " "), 8)).as("k"))
+      .distinct()
+    val ex = ng.select(col("doc_id"), explode(col("ngs")).as("k"))
+    val hit = ex.join(broadcast(bk), Seq("k"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+    val sizes = ng.select(col("doc_id"), size(col("ngs")).cast("long").as("n_ngrams"))
+    val contamination =
+      coalesce(col("n_matched"), lit(0L)).cast("double") / col("n_ngrams")
+    sizes.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        contamination.as("contamination"),
+        when(contamination >= 0.05, "contaminated").otherwise("clean").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic MIXTURE SAMPLING: hit per-language target sampling rates
+    * (the domain/language re-weighting step of every pretraining data
+    * recipe) with a content-hash Bernoulli — keep a doc iff its md5 bucket
+    * (0..999) falls under the language's rate-per-mille. Same md5 recipe as
+    * the train split, so the kept SET (not just its size) is stable across
+    * runs, engines, partitionings, and corpus growth; changing the salt
+    * resamples. Pure per-row column math + one keyed aggregation — no
+    * rand(), no sort, no sampling pass that must see the whole corpus. */
+  val mixSample: Q = Q(
+    "q_mix_sample",
+    """WITH d AS (
+      |  SELECT lang,
+      |         CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS b,
+      |         CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 400 ELSE 700 END AS rate,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(CASE WHEN b < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(SUM(CASE WHEN b < rate THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+      |       CAST(SUM(CASE WHEN b < rate THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accept_rate
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val b = Text.md5Hash32(
+      concat(lit("mix:"), col("doc_id").cast("string"))) % 1000
+    val rate = when(col("lang") === "en", 1000)
+      .when(col("lang") === "zh", 400).otherwise(700)
+    val kept = col("b") < col("rate")
+    t(s, dir, "documents")
+      .select(col("lang"), b.as("b"), rate.as("rate"),
+        Text.tokenCount(col("text")).cast("long").as("toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, col("toks")).otherwise(0L)).as("kept_tokens"),
+        (sum(when(kept, 1L).otherwise(0L)).cast("double") / count(lit(1)))
+          .as("accept_rate"))
+      .orderBy("lang")
+  }
+
+  /** REPETITION-based quality filter (the Gopher-rule family): per-doc
+    * duplicate-token fraction, most-frequent-token fraction, and
+    * most-frequent-bigram fraction, thresholded to a keep/drop verdict.
+    * Everything is computed IN-ROW over projected token/bigram arrays —
+    * O(distinct × len) per doc, bounded by doc length, zero shuffles before
+    * the final sort: the shape that holds at any corpus size because no
+    * (doc, token) row ever crosses the network. */
+  val repetitionQuality: Q = Q(
+    "q_repetition_quality",
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |bg AS (
+      |  SELECT doc_id, tk,
+      |         CASE WHEN len(tk) >= 2
+      |              THEN list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
+      |              ELSE CAST([] AS VARCHAR[]) END AS bg
+      |  FROM tk),
+      |m AS (
+      |  SELECT doc_id,
+      |         len(tk) AS n_tokens,
+      |         len(list_distinct(tk)) AS n_distinct,
+      |         list_max(list_transform(list_distinct(tk),
+      |           t -> len(list_filter(tk, x -> x = t)))) AS top_tok,
+      |         CASE WHEN len(bg) >= 1
+      |              THEN list_max(list_transform(list_distinct(bg),
+      |                     g -> len(list_filter(bg, x -> x = g))))
+      |              ELSE 0 END AS top_bg,
+      |         len(bg) AS n_bigrams
+      |  FROM bg)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_frac,
+      |       CAST(top_tok AS DOUBLE) / n_tokens AS top_token_frac,
+      |       CASE WHEN n_bigrams >= 1 THEN CAST(top_bg AS DOUBLE) / n_bigrams ELSE 0.0 END AS top_bigram_frac,
+      |       CASE WHEN CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3
+      |             AND CAST(top_tok AS DOUBLE) / n_tokens <= 0.2
+      |             AND (CASE WHEN n_bigrams >= 1 THEN CAST(top_bg AS DOUBLE) / n_bigrams ELSE 0.0 END) <= 0.18
+      |            THEN 'keep' ELSE 'drop' END AS verdict
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // project tk/bg ONCE: lambda bodies sit outside common-subexpression
+    // elimination, so referencing a computed split()/transform() inside the
+    // multiplicity lambdas would re-run it per ELEMENT (Vectors.scala lesson)
+    val withTk = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val withBg = withTk.withColumn("bg",
+      when(size(col("tk")) >= 2,
+        transform(sequence(lit(1), size(col("tk")) - 1),
+          i => concat_ws(" ", slice(col("tk"), i, lit(2)))))
+        .otherwise(array().cast("array<string>")))
+    def maxMult(arr: Column): Column =
+      array_max(transform(array_distinct(arr),
+        u => size(filter(arr, x => x === u))))
+    val m = withBg.select(col("doc_id"),
+      size(col("tk")).as("n_tokens"),
+      size(array_distinct(col("tk"))).as("n_distinct"),
+      maxMult(col("tk")).as("top_tok"),
+      when(size(col("bg")) >= 1, maxMult(col("bg"))).otherwise(0).as("top_bg"),
+      size(col("bg")).as("n_bigrams"))
+    val distinctFrac = col("n_distinct").cast("double") / col("n_tokens")
+    val topTokFrac = col("top_tok").cast("double") / col("n_tokens")
+    val topBgFrac = when(col("n_bigrams") >= 1,
+      col("top_bg").cast("double") / col("n_bigrams")).otherwise(0.0)
+    m.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        distinctFrac.as("distinct_frac"),
+        topTokFrac.as("top_token_frac"),
+        topBgFrac.as("top_bigram_frac"),
+        when(distinctFrac >= 0.3 && topTokFrac <= 0.2 && topBgFrac <= 0.18,
+          "keep").otherwise("drop").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** VOCABULARY construction: corpus-frequency (cf) and document-frequency
+    * (df) per token, top-100 by cf with a deterministic token tiebreak, and
+    * a contiguous token_id assigned in rank order — the token→id table a
+    * tokenizer/embedding layer trains against. One keyed aggregation + a
+    * TakeOrdered top-k; the global row_number runs AFTER the limit, over a
+    * bounded 100-row set (never a corpus-wide single-partition window). */
+  val vocabTopk: Q = Q(
+    "q_vocab_topk",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |v AS (SELECT tok, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+      |top AS (SELECT * FROM v ORDER BY cf DESC, tok LIMIT 100)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, tok) AS BIGINT) AS token_id,
+      |       tok, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df
+      |FROM top ORDER BY token_id""".stripMargin) { (s, dir) =>
+    val top = t(s, dir, "documents")
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("cf").desc, col("tok"))
+      .limit(100)
+    top.withColumn("token_id",
+        row_number().over(Window.orderBy(col("cf").desc, col("tok"))).cast("long"))
+      .select(col("token_id"), col("tok"), col("cf"), col("df"))
+      .orderBy("token_id")
+  }
+
+  /** TF-IDF KEYWORD extraction: top-3 tokens per document by tf/df — the
+    * exact-rational surrogate of tf·idf (monotone in tf and 1/df; ln(N/df)
+    * is libm-dependent and would not hash-match across engines, the ratio
+    * is one IEEE division and does). df is a vocabulary-bounded table →
+    * broadcast-joinable at scale; the rank window partitions BY DOCUMENT, so
+    * per-partition work is bounded by doc vocabulary, never corpus size. */
+  val tfidfKeywords: Q = Q(
+    "q_tfidf_keywords",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+      |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+      |sc AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+      |              CAST(tf.tf AS DOUBLE) / df.df AS score
+      |       FROM tf JOIN df USING (tok)),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk FROM sc)
+      |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok,
+      |       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+    val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    tf.join(df, Seq("tok"))
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  val all: Seq[Q] =
+    Seq(decontaminate, mixSample, repetitionQuality, vocabTopk, tfidfKeywords)
+}

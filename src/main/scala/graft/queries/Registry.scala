@@ -6,7 +6,8 @@ object Registry {
   def all: Seq[Q] =
     RelationalQueries.all ++ WindowQueries.all ++ PipelineQueries.all ++
       StatQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
-      EventQueries.all ++ ScalarQueries.all ++ AdvancedJoinQueries.all
+      EventQueries.all ++ ScalarQueries.all ++ AdvancedJoinQueries.all ++
+      CorpusQueries.all
 
   def queries = all.map(q => q.name -> q.build).toMap
   def oracleSql = all.flatMap(q => q.oracle.map(q.name -> _)).toMap

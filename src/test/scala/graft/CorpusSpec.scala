@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.queries.CorpusQueries
+
+/** Behavioral coverage for the corpus-curation batch (CorpusQueries); the
+  * oracle gate covers cross-engine value parity, these pin the semantics the
+  * oracle can't state (plant detection, threshold behavior, id contiguity). */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A documents.parquet-shaped temp dir with crafted texts. */
+  private def corpusDir(rows: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("corpus-spec").toString
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("decontaminate: verbatim benchmark copies flag at 1.0, splices partially, rest clean") {
+    val out = CorpusQueries.decontaminate.build(spark, sf)
+      .select("doc_id", "contamination", "verdict")
+      .as[(Long, Double, String)].collect()
+    val full = out.filter(_._1 >= 2000000L).filter(_._1 < 3000000L)
+    assert(full.nonEmpty && full.forall { case (_, c, v) =>
+      c == 1.0 && v == "contaminated" }, "re-planted benchmark docs must be fully contaminated")
+    val partial = out.filter(_._1 >= 3000000L)
+    assert(partial.forall { case (_, c, v) =>
+      c > 0.0 && c < 1.0 && v == "contaminated" },
+      "spliced docs must be partially contaminated")
+    // sf0.001 plants genuine near-copies of doc 0 (the benchmark slice) at
+    // ids 50/82 — those MUST flag; everything else stays clean
+    val originals = out.filter(_._1 < 2000000L)
+    assert(originals.filter(o => o._1 == 50L || o._1 == 82L)
+      .forall(_._3 == "contaminated"),
+      "genuine near-copies of a benchmark doc must be caught")
+    assert(originals.filterNot(o => o._1 == 50L || o._1 == 82L)
+      .forall(_._3 == "clean"), "unrelated corpus docs must not be flagged")
+  }
+
+  test("decontaminate: disjoint-vocabulary corpus stays clean end-to-end") {
+    // doc 0 is the benchmark slice (0 % 97 == 0); 5 gets spliced (5 % 31 == 5)
+    val dir = corpusDir(Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5L, "one two three four five six seven eight nine ten"),
+      (10L, "red orange yellow green blue indigo violet white black gray")))
+    val out = CorpusQueries.decontaminate.build(spark, dir)
+      .select("doc_id", "contamination", "verdict")
+      .as[(Long, Double, String)].collect().toSeq
+    assert(out.filter(_._1 < 2000000L).forall(_._3 == "clean"),
+      "disjoint originals must be clean")
+    assert(out.find(_._1 == 2000000L).get._2 == 1.0)
+    val spliced = out.find(_._1 == 3000005L).get
+    assert(spliced._2 > 0.0 && spliced._2 < 1.0 && spliced._3 == "contaminated")
+  }
+
+  test("repetition quality: degenerate repetition drops, varied text keeps") {
+    val dir = corpusDir(Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over the lazy sleeping dog"),
+      (3L, "buy now buy now buy now buy now buy now")))
+    val got = CorpusQueries.repetitionQuality.build(spark, dir)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(got(1L) == "drop", "single-token doc must fail every repetition rule")
+    assert(got(2L) == "keep")
+    assert(got(3L) == "drop", "two-token loop must fail the bigram rule")
+    // fraction sanity on the varied doc: "the" appears twice in 10 tokens
+    val row = CorpusQueries.repetitionQuality.build(spark, dir)
+      .filter(col("doc_id") === 2L)
+      .select("n_tokens", "distinct_frac", "top_token_frac", "top_bigram_frac")
+      .as[(Long, Double, Double, Double)].head()
+    assert(row == ((10L, 0.9, 0.2, 1.0 / 9)))
+  }
+
+  test("mix sample: rate-1000 language keeps everything; kept set is a hash property") {
+    val out = CorpusQueries.mixSample.build(spark, sf)
+      .select("lang", "n_docs", "n_kept", "accept_rate")
+      .as[(String, Long, Long, Double)].collect()
+    val en = out.find(_._1 == "en").get
+    assert(en._2 == en._3 && en._4 == 1.0, "en rate is 1000/1000 -> keep all")
+    assert(out.forall { case (_, n, k, r) => k <= n && r == k.toDouble / n })
+  }
+
+  test("vocab top-k: contiguous ids in (cf desc, token) order") {
+    val v = CorpusQueries.vocabTopk.build(spark, sf)
+      .select("token_id", "tok", "cf")
+      .as[(Long, String, Long)].collect()
+    assert(v.map(_._1).toSeq == (1L to v.length).toSeq, "ids contiguous from 1")
+    val ordered = v.sortBy { case (_, tok, cf) => (-cf, tok) }
+    assert(v.toSeq == ordered.toSeq, "id order must be (cf desc, token asc)")
+  }
+
+  test("tfidf keywords: at most 3 per doc, rank 1..3, score = tf/df") {
+    val k = CorpusQueries.tfidfKeywords.build(spark, sf)
+      .select("doc_id", "rnk", "tf", "df", "score")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(k.nonEmpty)
+    assert(k.forall { case (_, r, tf, df, s) =>
+      r >= 1 && r <= 3 && s == tf.toDouble / df })
+    assert(k.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq })
+  }
+}
