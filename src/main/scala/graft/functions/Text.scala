@@ -89,6 +89,21 @@ object Text {
   def packBucket(docId: Column): Column =
     md5Hash32(concat(lit("pack:"), docId.cast("string"))) % PackBuckets
 
+  /** Token n-grams of a projected token-array column as md5 keys,
+    * deduplicated in-row — the unit of benchmark decontamination
+    * (q_decontaminate) and its streaming form (Streams.contaminationHits),
+    * single-sourced so batch and stream agree key-for-key. Guarded:
+    * Spark's `sequence(1, m)` runs DESCENDING for m < 1 (DuckDB's `range`
+    * is empty), so short docs must hit the empty branch explicitly.
+    * Mirror: `list_distinct(list_transform(range(1, len(tk)-(n-2)),
+    * i -> md5(array_to_string(tk[i:i+n-1], ' '))))`. */
+  def ngramMd5Keys(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(tk) - (n - 1)),
+        i => md5(concat_ws(" ", slice(tk, i, lit(n))).cast("binary")))))
+      .otherwise(array().cast("array<string>"))
+
   /** Composite quality score in [0,1]: length band + stopword presence +
     * plausible mean token length. Weights are engine policy (documented),
     * each term a deterministic 0/1 step so the score is oracle-exact. */

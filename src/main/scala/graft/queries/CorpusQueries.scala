@@ -22,16 +22,10 @@ import graft.functions.Text
   */
 object CorpusQueries {
 
-  /** Token 8-grams of a projected token-array column, md5-keyed and
-    * deduplicated in-row (no (doc, ngram) row ever shuffles twice).
-    * Guarded: Spark's `sequence(1, n)` runs DESCENDING for n < 1 (DuckDB's
-    * `range` is empty), so short docs must hit the empty branch explicitly. */
-  private def ngramKeys(tk: Column, n: Int): Column =
-    when(size(tk) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(tk) - (n - 1)),
-        i => md5(concat_ws(" ", slice(tk, i, lit(n))).cast("binary")))))
-      .otherwise(array().cast("array<string>"))
+  /** Token 8-grams, md5-keyed and deduplicated in-row ([[Text.ngramMd5Keys]]
+    * — shared with the streaming form so batch and stream agree
+    * key-for-key). */
+  private def ngramKeys(tk: Column, n: Int): Column = Text.ngramMd5Keys(tk, n)
 
   /** Benchmark DECONTAMINATION: flag corpus documents sharing token 8-grams
     * with a held-out benchmark set — the overlap check every training corpus

@@ -147,6 +147,25 @@ object Streams {
       .select("doc_id", "candidate_doc_id")
   }
 
+  /** Incremental benchmark DECONTAMINATION: each arriving doc's md5 token
+    * n-gram keys ([[graft.functions.Text.ngramMd5Keys]] — the SAME keys as
+    * batch q_decontaminate, single-sourced) joined stream-static against the
+    * bounded benchmark key set (broadcast). Stateless per-row projection +
+    * stateless join — no watermark or state store — so it emits (doc_id,
+    * matched key) HIT rows; the per-doc ratio/verdict is a downstream
+    * aggregation (foreachBatch or the batch operator over the sink), which
+    * is where it belongs: a streaming group-by doc_id would hold unbounded
+    * state for a count that is final as soon as the doc's single row has
+    * passed. */
+  def contaminationHits(docs: DataFrame, benchKeys: DataFrame,
+      n: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(graft.functions.Text.ngramMd5Keys(split(col("text"), " "), n))
+          .as("k"))
+      .join(broadcast(benchKeys.select(col("k"))), Seq("k"))
+      .select("doc_id", "k")
+
   /** Cross-batch running totals per user via mapGroupsWithState: minimal
     * custom-state shape (the KeyValueGroupedDataset API the reference's
     * per-country accumulations would need incrementally). */

@@ -80,6 +80,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contaminationHits: streamed benchmark copy flags, splice partially, clean doc silent") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, explode, split}
+    import graft.functions.Text
+    val bench = graft.engine.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") === 0)
+    val benchKeys = bench
+      .select(explode(Text.ngramMd5Keys(split(col("text"), " "), 8)).as("k"))
+      .distinct()
+    val benchText = bench.select("text").as[String].head()
+    val nBenchKeys = benchKeys.count()
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.contaminationHits(in.toDF().toDF("doc_id", "text"), benchKeys)
+      .writeStream.format("memory").queryName("decon").outputMode("append").start()
+    try {
+      in.addData(
+        (9001L, benchText),                                  // verbatim copy
+        (9002L, "p q r s t u v w x y z " + benchText),       // splice
+        (9003L, "aa bb cc dd ee ff gg hh ii jj kk ll"))      // disjoint
+      q.processAllAvailable()
+      val hits = spark.table("decon").select("doc_id", "k")
+        .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.length)
+      assert(hits.getOrElse(9001L, 0) == nBenchKeys,
+        "verbatim copy must hit every benchmark key exactly once")
+      assert(hits.getOrElse(9002L, 0) == nBenchKeys,
+        "a clean-prefix splice still contains every benchmark 8-gram")
+      assert(!hits.contains(9003L), "disjoint doc must emit no hits")
+    } finally q.stop()
+  }
+
   test("runningTotals: state accumulates across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[StreamEvent]
