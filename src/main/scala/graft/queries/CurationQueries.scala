@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables.t
+import graft.functions.Text
+
+/** LLM-data-pipeline batch 4: corpus curation operators over the document
+  * CONTENT itself — cross-document exact-substring dedup, per-source caps,
+  * corpus-support language-model scoring, and blocklist redaction.
+  * North-star extensions (SURVEY §7.5); the reference has no corpus tooling.
+  *
+  * Scale posture shared by the batch: cross-document state is always a keyed
+  * aggregation or keyed equi-join (duplicate-gram keys, per-source counts,
+  * bigram count tables) — never all-pairs, never a corpus-wide sort, never a
+  * window over an unbounded partition (the per-source rank is two-phase over
+  * 32 hash buckets). Per-document work is bounded by document length and
+  * runs over a PROJECTED token array (the CSE lesson on
+  * [[graft.functions.Vectors]]: never re-derive an expensive expression
+  * inside a HOF lambda).
+  */
+object CurationQueries {
+
+  /** Cross-document EXACT-SUBSTRING dedup (the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" operator, at token-8-gram
+    * granularity): any 8-token span that also occurs in another document is
+    * removed from BOTH, and the cleaned text is rebuilt from the surviving
+    * tokens in order. Near-dup operators (MinHash/SimHash) drop whole
+    * documents; this one edits them — the complementary tool for the long
+    * boilerplate tails that survive document-level dedup.
+    *
+    * Shape at 100 TB: gram extraction is per-row bounded fan-out (one row
+    * per 8-gram, 32-byte md5 keys, positions carried); the duplicate-gram
+    * set is one keyed aggregation (count distinct docs >= 2); coverage is a
+    * keyed equi-join back on the gram key with a fixed x8 position fan-out;
+    * the rebuild is a per-document bounded collect. No pairwise compare, no
+    * global sort — the final ORDER BY is presentation only. */
+  val substringDedup: Q = Q(
+    "q_substring_dedup",
+    """WITH tk AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(range(1, len(tk)-6)) AS p,
+      |         unnest(list_transform(range(1, len(tk)-6),
+      |                i -> md5(array_to_string(tk[i:i+7],' ')))) AS k
+      |  FROM tk),
+      |dup AS (SELECT k FROM g GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2),
+      |cov AS (SELECT DISTINCT g.doc_id, g.p + off.o AS cp
+      |        FROM g JOIN dup USING (k)
+      |        CROSS JOIN (SELECT unnest(range(0,8)) AS o) off),
+      |tokpos AS (SELECT doc_id, unnest(tk) AS tok,
+      |                  unnest(range(1, len(tk)+1)) AS p FROM tk),
+      |kept AS (SELECT t.doc_id, t.tok, t.p FROM tokpos t
+      |         LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.cp
+      |         WHERE c.cp IS NULL),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |               string_agg(tok, ' ' ORDER BY p) AS cleaned
+      |        FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+      |       CAST(len(t.tk) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+      |       COALESCE(a.cleaned, '') AS cleaned_text
+      |FROM tk t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val tk = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    // one row per 8-gram occurrence, position carried (1-based to mirror
+    // DuckDB range); NO in-row dedup — a span repeated inside one doc but
+    // nowhere else is NOT a cross-doc duplicate, and coverage needs every
+    // start position anyway
+    val g = tk.select(col("doc_id"), posexplode(
+        when(size(col("tk")) >= 8,
+          transform(sequence(lit(1), size(col("tk")) - 7),
+            i => md5(concat_ws(" ", slice(col("tk"), i, lit(8))).cast("binary"))))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "k")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("k"))
+    val dup = g.groupBy("k")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("k")
+    // covered positions: each duplicate gram start covers [p, p+7] — a
+    // bounded x8 fan-out, deduplicated per (doc, position)
+    // renamed join columns: tokpos and cov share the tk lineage, so keeping
+    // `doc_id` on both sides would lean on dataset-id disambiguation
+    val cov = g.join(dup, Seq("k"))
+      .select(col("doc_id").as("cov_doc_id"),
+        explode(sequence(col("p"), col("p") + 7)).as("cp"))
+      .distinct()
+    val tokpos = tk
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("tok"))
+    val kept = tokpos.join(cov,
+      col("doc_id") === col("cov_doc_id") && col("p") === col("cp"),
+      "left_anti")
+    // rebuild: per-doc bounded collect, ordered by the unique position
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("tok")))),
+        x => x.getField("tok")), " ").as("cleaned"))
+    tk.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source document CAP (the "domain cap" of web curation — no single
+    * domain may contribute more than N documents): keep the first
+    * [[SourceCap]] docs per source under a deterministic content-hash order,
+    * reporting each kept doc's rank and its source's total.
+    *
+    * Shape at 100 TB: exact top-N per key WITHOUT a per-source window over
+    * an unbounded partition — phase 1 ranks within (source, md5-bucket) and
+    * keeps N per bucket (each partition 1/32 of a source, and a hot source
+    * splits 32 ways); phase 2 re-ranks the <= 32*N survivors per source — a
+    * bounded partition at any corpus size. Same exact result as the naive
+    * single window because the order (hash, doc_id) is total. */
+  val sourceCap: Q = Q(
+    "q_source_cap",
+    """WITH n AS (SELECT source, COUNT(*) AS n_source_docs FROM documents GROUP BY source),
+      |r AS (SELECT doc_id, source,
+      |  ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY CAST(('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+      |             doc_id) AS rnk
+      |  FROM documents)
+      |SELECT r.doc_id, r.source, CAST(r.rnk AS BIGINT) AS rnk,
+      |       CAST(n.n_source_docs AS BIGINT) AS n_source_docs
+      |FROM r JOIN n USING (source) WHERE r.rnk <= 20
+      |ORDER BY r.source, r.rnk""".stripMargin) { (s, dir) =>
+    val h = Text.md5Hash32(concat(lit("cap:"), col("doc_id").cast("string")))
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), h.as("h"))
+    // phase 1: local top-N inside (source, hash-bucket) — bounds every
+    // window partition to ~1/32 of a source
+    val local = base
+      .withColumn("b", pmod(col("h"), lit(32)))
+      .withColumn("r1", row_number().over(
+        Window.partitionBy(col("source"), col("b"))
+          .orderBy(col("h"), col("doc_id"))))
+      .filter(col("r1") <= SourceCap)
+      .drop("r1", "b")
+    // phase 2: exact rank over the <= 32*N survivors per source
+    val capped = local
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= SourceCap)
+    val totals = t(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_source_docs"))
+    capped.join(broadcast(totals), Seq("source"))
+      .select(col("doc_id"), col("source"), col("rnk"), col("n_source_docs"))
+      .orderBy("source", "rnk")
+  }
+
+  val SourceCap = 20
+
+  /** Corpus-support LANGUAGE-MODEL score: for every document, how well the
+    * corpus's own bigram statistics predict it — sum over the doc's bigram
+    * instances of the corpus bigram count, over the sum of the prefix-token
+    * counts (the maximum-likelihood P(w2|w1) aggregated as a ratio of two
+    * exact integer sums). High support = the doc is typical of the corpus;
+    * low = novel or noisy. The integer-sum form is the determinism trick:
+    * both sums are BIGINTs (aggregation-order-free), and the score is ONE
+    * IEEE division — so it hash-matches across engines where a float sum of
+    * per-bigram probabilities would not.
+    *
+    * Shape at 100 TB: bigram/prefix count tables are keyed aggregations
+    * (vocabulary-bounded, far smaller than the corpus); scoring is two keyed
+    * equi-joins and one group-by — the exact shape of q_tfidf_keywords. */
+  val lmScore: Q = Q(
+    "q_lm_score",
+    """WITH tk AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      |bi AS (SELECT doc_id,
+      |              unnest(list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1],' '))) AS bg,
+      |              unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1
+      |       FROM tk),
+      |c2 AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY bg),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+      |d AS (SELECT b.doc_id, COUNT(*) AS n_bigrams, SUM(c2.c2) AS sum_c2, SUM(c1.c1) AS sum_c1
+      |      FROM bi b JOIN c2 USING (bg) JOIN c1 USING (w1) GROUP BY b.doc_id)
+      |SELECT t.doc_id, CAST(COALESCE(d.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |       CAST(COALESCE(d.sum_c2, 0) AS BIGINT) AS sum_c2,
+      |       CAST(COALESCE(d.sum_c1, 0) AS BIGINT) AS sum_c1,
+      |       CAST(d.sum_c2 AS DOUBLE) / d.sum_c1 AS support
+      |FROM tk t LEFT JOIN d USING (doc_id) ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val tk = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val bi = tk.select(col("doc_id"), explode(
+        when(size(col("tk")) >= 2,
+          transform(sequence(lit(1), size(col("tk")) - 1),
+            i => struct(
+              concat_ws(" ", slice(col("tk"), i, lit(2))).as("bg"),
+              element_at(col("tk"), i).as("w1"))))
+          .otherwise(array().cast("array<struct<bg:string,w1:string>>"))).as("x"))
+      .select(col("doc_id"), col("x.bg").as("bg"), col("x.w1").as("w1"))
+    val c2 = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val d = bi.join(c2, Seq("bg")).join(c1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c2")).as("sum_c2"), sum(col("c1")).as("sum_c1"))
+    tk.select(col("doc_id"))
+      .join(d, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_c2"), lit(0L)).as("sum_c2"),
+        coalesce(col("sum_c1"), lit(0L)).as("sum_c1"),
+        (col("sum_c2").cast("double") / col("sum_c1")).as("support"))
+      .orderBy("doc_id")
+  }
+
+  /** The scrub blocklist — engine policy, bounded by construction (real
+    * blocklists are thousands of terms: still broadcast-trivial). */
+  val Blocklist = Seq("spark", "join", "query", "data")
+
+  /** BLOCKLIST content scrub: redact blocklisted tokens in place, count
+    * hits, and drop documents past a hit-fraction threshold — the
+    * bad-word / unsafe-content filtering stage of every web-corpus recipe.
+    * Everything is in-row column math over the projected token array (the
+    * blocklist is a literal array — at real scale, a broadcast variable
+    * feeding the same HOF): zero shuffles before the presentation sort, so
+    * the operator is embarrassingly parallel at any corpus size. */
+  val blocklistScrub: Q = Q(
+    "q_blocklist_scrub",
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      |m AS (SELECT doc_id, len(tk) AS n_tokens,
+      |             len(list_filter(tk, x -> list_contains(['spark','join','query','data'], x))) AS n_hits,
+      |             array_to_string(list_transform(tk,
+      |               x -> CASE WHEN list_contains(['spark','join','query','data'], x)
+      |                         THEN '[X]' ELSE x END), ' ') AS scrubbed_text
+      |      FROM d)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(n_hits AS BIGINT) AS n_hits,
+      |       CAST(n_hits AS DOUBLE) / n_tokens AS hit_frac,
+      |       scrubbed_text,
+      |       CASE WHEN CAST(n_hits AS DOUBLE) / n_tokens > 0.2
+      |            THEN 'drop' ELSE 'keep' END AS verdict
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val listed: Column => Column = x => x.isin(Blocklist.map(lit): _*)
+    val m = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(filter(col("tk"), listed)).cast("long").as("n_hits"),
+        array_join(transform(col("tk"),
+          x => when(listed(x), "[X]").otherwise(x)), " ").as("scrubbed_text"))
+    val frac = col("n_hits").cast("double") / col("n_tokens")
+    m.select(col("doc_id"), col("n_tokens"), col("n_hits"),
+        frac.as("hit_frac"), col("scrubbed_text"),
+        when(frac > 0.2, "drop").otherwise("keep").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(substringDedup, sourceCap, lmScore, blocklistScrub)
+}

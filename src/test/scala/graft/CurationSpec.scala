@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.CurationQueries
+import graft.functions.Text
+
+/** Behavioral coverage for the content-curation batch (CurationQueries);
+  * the oracle gate covers cross-engine value parity, these pin the
+  * semantics the oracle can't state (span-removal exactness, two-phase ==
+  * naive rank, the integer-ratio LM score, redaction layout). */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A documents.parquet-shaped temp dir with crafted (id, text, source). */
+  private def corpusDir(rows: Seq[(Long, String, String)]): String = {
+    val dir = Files.createTempDirectory("curation-spec").toString
+    rows.toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        col("source"), length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("substring dedup: shared 8-gram spans removed from BOTH docs, rest untouched") {
+    val dir = corpusDir(Seq(
+      (1L, "a b c d e f g h i j", "s"),
+      (2L, "z y x a b c d e f g h w", "s"),
+      (3L, "p q r s t u v aa bb cc", "s")))
+    val got = CurationQueries.substringDedup.build(spark, dir)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // doc 1: gram "a b c d e f g h" starts at 1, covers 1..8 -> "i j" survives
+    assert(got(0) == ((1L, 10L, 8L, "i j")))
+    // doc 2: same gram starts at 4, covers 4..11 -> "z y x" + "w" survive
+    assert(got(1) == ((2L, 12L, 8L, "z y x w")))
+    // doc 3 shares nothing: untouched
+    assert(got(2) == ((3L, 10L, 0L, "p q r s t u v aa bb cc")))
+  }
+
+  test("substring dedup: a span repeated only WITHIN one doc is not removed") {
+    val eight = "a b c d e f g h"
+    val dir = corpusDir(Seq(
+      (1L, s"$eight x $eight", "s"),
+      (2L, "p q r s t u v w aa bb", "s")))
+    val got = CurationQueries.substringDedup.build(spark, dir)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0)._3 == 0L && got(0)._4 == s"$eight x $eight",
+      "within-doc repetition is q_repetition_quality's job, not cross-doc dedup")
+  }
+
+  test("substring dedup: fully-duplicated doc rebuilds to the empty string") {
+    val t = "a b c d e f g h"
+    val dir = corpusDir(Seq((1L, t, "s"), (2L, t, "s")))
+    val got = CurationQueries.substringDedup.build(spark, dir)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.forall(r => r._3 == 8L && r._4 == ""))
+  }
+
+  test("source cap: two-phase rank equals the naive single-window rank exactly") {
+    val got = CurationQueries.sourceCap.build(spark, sf)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val h = Text.md5Hash32(concat(lit("cap:"), col("doc_id").cast("string")))
+    val naive = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= CurationQueries.SourceCap)
+      .select(col("doc_id"), col("source"), col("rnk"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got.map { case (d, s2, r, _) => (d, s2, r) } == naive)
+    // every source contributes at most cap docs with contiguous ranks
+    val bySource = got.groupBy(_._2)
+    assert(bySource.forall { case (_, rows) =>
+      rows.size <= CurationQueries.SourceCap &&
+        rows.map(_._3).toSeq.sorted == (1L to rows.size).toSeq })
+  }
+
+  test("lm score: integer sums match the hand-computed MLE ratio") {
+    val dir = corpusDir(Seq(
+      (1L, "a b a b", "s"), (2L, "a b c", "s"), (3L, "x", "s")))
+    val got = CurationQueries.lmScore.build(spark, dir)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    // c2: "a b"->3, "b a"->1, "b c"->1 ; c1: a->3, b->2
+    assert(got(0) == ((1L, 3L, 7L, 8L, Some(7.0 / 8))))
+    assert(got(1) == ((2L, 2L, 4L, 5L, Some(4.0 / 5))))
+    assert(got(2) == ((3L, 0L, 0L, 0L, None)), "single-token doc: no bigrams, null support")
+  }
+
+  test("blocklist scrub: redaction in place, threshold verdict") {
+    val dir = corpusDir(Seq(
+      (1L, "spark is fast", "s"),
+      (2L, "the cat sat on the mat", "s"),
+      (3L, "spark query data join spark", "s")))
+    val got = CurationQueries.blocklistScrub.build(spark, dir)
+      .select("doc_id", "n_hits", "hit_frac", "scrubbed_text", "verdict")
+      .as[(Long, Long, Double, String, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 1L, 1.0 / 3, "[X] is fast", "drop")))
+    assert(got(1) == ((2L, 0L, 0.0, "the cat sat on the mat", "keep")))
+    assert(got(2) == ((3L, 5L, 1.0, "[X] [X] [X] [X] [X]", "drop")))
+  }
+}
