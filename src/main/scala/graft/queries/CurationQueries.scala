@@ -66,12 +66,16 @@ object CurationQueries {
     // DuckDB range); NO in-row dedup — a span repeated inside one doc but
     // nowhere else is NOT a cross-doc duplicate, and coverage needs every
     // start position anyway
+    // lazily checkpointed: the duplicate-key aggregation AND the coverage
+    // join both consume g, and fan-out re-executes the md5 gram pipeline
+    // per consumer (the q_decontaminate lesson — measured ~2x)
     val g = tk.select(col("doc_id"), posexplode(
         when(size(col("tk")) >= 8,
           transform(sequence(lit(1), size(col("tk")) - 7),
             i => md5(concat_ws(" ", slice(col("tk"), i, lit(8))).cast("binary"))))
           .otherwise(array().cast("array<string>"))).as(Seq("pos", "k")))
       .select(col("doc_id"), (col("pos") + 1).as("p"), col("k"))
+      .localCheckpoint(eager = false)
     val dup = g.groupBy("k")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -192,6 +196,9 @@ object CurationQueries {
               element_at(col("tk"), i).as("w1"))))
           .otherwise(array().cast("array<struct<bg:string,w1:string>>"))).as("x"))
       .select(col("doc_id"), col("x.bg").as("bg"), col("x.w1").as("w1"))
+      // three consumers (c2 aggregation, c1 aggregation, scoring join) —
+      // checkpointed so the explode pipeline executes once, not thrice
+      .localCheckpoint(eager = false)
     val c2 = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
     val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
     val d = bi.join(c2, Seq("bg")).join(c1, Seq("w1"))
