@@ -26,7 +26,10 @@ import graft.functions.Vectors
   */
 object SimilarityQueries {
 
-  private val CosineSql =
+  /** Sequential-fold cosine between `q.qv` and `e.v` — shared with the
+    * classifier-eval batch (ClassifyQueries) so every consumer mirrors the
+    * same IEEE evaluation tree. */
+  private[queries] val CosineSql =
     """list_reduce(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2]), (x, y) -> x + y)
       |    / (sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y))
       |     * sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y)))""".stripMargin
