@@ -257,5 +257,99 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(substringDedup, sourceCap, lmScore, blocklistScrub)
+  /** END-TO-END CURATION REPORT: the composed filter pipeline a corpus
+    * actually runs — every gate evaluated per document in priority order
+    * (benchmark contamination > length > repetition > blocklist), one
+    * verdict with the deciding reason. Composes the signals of
+    * q_decontaminate / q_repetition_quality / q_blocklist_scrub into the
+    * single table a curation run reads, over the non-benchmark corpus
+    * (`doc_id % 97 <> 0`; the held-out slice defines the contamination
+    * keys, as in q_decontaminate).
+    *
+    * Shape at 100 TB: one fused pass — per-doc metrics and the n-gram keys
+    * ride through a single explode_outer + broadcast left join + one
+    * aggregation (the q_decontaminate fuse; a second consumer of the
+    * n-gram pipeline would re-execute it). The benchmark key set is
+    * bounded and broadcast; nothing else crosses the network before the
+    * presentation sort. */
+  val curationReport: Q = Q(
+    "q_curation_report",
+    """WITH corpus AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents WHERE doc_id % 97 <> 0),
+      |bk AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |           range(1, len(string_split(text, ' ')) - 6),
+      |           i -> md5(array_to_string(string_split(text, ' ')[i:i+7], ' '))))) AS k
+      |  FROM documents WHERE doc_id % 97 = 0),
+      |met AS (
+      |  SELECT doc_id, len(tk) AS n_tokens,
+      |         CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS distinct_frac,
+      |         CAST(len(list_filter(tk, x -> list_contains(['spark','join','query','data'], x))) AS DOUBLE)
+      |           / len(tk) AS hit_frac,
+      |         CASE WHEN len(tk) >= 8
+      |              THEN list_distinct(list_transform(range(1, len(tk)-6),
+      |                     i -> md5(array_to_string(tk[i:i+7], ' '))))
+      |              ELSE CAST([] AS VARCHAR[]) END AS ngs
+      |  FROM corpus),
+      |cont AS (
+      |  SELECT e.doc_id, COUNT(b.k) AS n_matched
+      |  FROM (SELECT doc_id, unnest(ngs) AS k FROM met) e
+      |  LEFT JOIN bk b USING (k) GROUP BY e.doc_id),
+      |r AS (
+      |  SELECT m.doc_id, m.n_tokens, m.distinct_frac, m.hit_frac,
+      |         COALESCE(CAST(c.n_matched AS DOUBLE) / NULLIF(len(m.ngs), 0), 0.0) AS contamination
+      |  FROM met m LEFT JOIN cont c USING (doc_id))
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, distinct_frac, hit_frac, contamination,
+      |       CASE WHEN contamination >= 0.05 THEN 'contaminated'
+      |            WHEN n_tokens < 20 THEN 'too_short'
+      |            WHEN n_tokens > 2000 THEN 'too_long'
+      |            WHEN distinct_frac < 0.30 THEN 'repetitive'
+      |            WHEN hit_frac > 0.2 THEN 'blocklisted'
+      |            ELSE 'keep' END AS verdict
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val listed: Column => Column = x => x.isin(Blocklist.map(lit): _*)
+    val bk = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(Text.ngramMd5Keys(split(col("text"), " "), 8)).as("k"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    // single fused pass (the q_decontaminate lesson): metrics and the
+    // n-gram keys ride the same explode_outer so one aggregation yields
+    // everything — no second consumer of the md5 pipeline, no checkpoint
+    val met = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (size(array_distinct(col("tk"))).cast("double") / size(col("tk")))
+          .as("distinct_frac"),
+        (size(filter(col("tk"), listed)).cast("double") / size(col("tk")))
+          .as("hit_frac"),
+        Text.ngramMd5Keys(col("tk"), 8).as("ngs"))
+    val agg = met
+      .select(col("doc_id"), col("n_tokens"), col("distinct_frac"),
+        col("hit_frac"), size(col("ngs")).as("n_ngrams"),
+        explode_outer(col("ngs")).as("k"))
+      .join(broadcast(bk), Seq("k"), "left")
+      .groupBy("doc_id")
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        max(col("distinct_frac")).as("distinct_frac"),
+        max(col("hit_frac")).as("hit_frac"),
+        max(col("n_ngrams")).as("n_ngrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_matched"))
+    val contamination = when(col("n_ngrams") > 0,
+      col("n_matched").cast("double") / col("n_ngrams")).otherwise(0.0)
+    agg
+      .select(col("doc_id"), col("n_tokens"), col("distinct_frac"),
+        col("hit_frac"), contamination.as("contamination"))
+      .withColumn("verdict",
+        when(col("contamination") >= 0.05, "contaminated")
+          .when(col("n_tokens") < 20, "too_short")
+          .when(col("n_tokens") > 2000, "too_long")
+          .when(col("distinct_frac") < 0.30, "repetitive")
+          .when(col("hit_frac") > 0.2, "blocklisted")
+          .otherwise("keep"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(substringDedup, sourceCap, lmScore, blocklistScrub, curationReport)
 }

@@ -87,6 +87,25 @@ class CurationSpec extends SparkSpec {
     assert(got(2) == ((3L, 0L, 0L, 0L, None)), "single-token doc: no bigrams, null support")
   }
 
+  test("curation report: each gate fires on its plant, priority order holds") {
+    val bench = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    val clean = (1 to 24).map(i => s"w$i").mkString(" ")
+    val dir = corpusDir(Seq(
+      (0L, bench, "s"),                                    // benchmark slice
+      (1L, bench, "s"),                                    // verbatim copy -> contaminated
+      (2L, "x y z", "s"),                                  // too_short
+      (3L, Seq.fill(25)("r").mkString(" "), "s"),          // repetitive
+      (4L, (1 to 12).flatMap(i => Seq("spark", s"u$i")).mkString(" "), "s"), // blocklisted
+      (5L, clean, "s"),                                    // keep
+      (6L, Seq.fill(20)(bench).mkString(" "), "s")))       // contaminated AND repetitive
+    val got = CurationQueries.curationReport.build(spark, dir)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "contaminated", 2L -> "too_short",
+      3L -> "repetitive", 4L -> "blocklisted", 5L -> "keep",
+      6L -> "contaminated"), s"got $got")
+    assert(!got.contains(0L), "the benchmark slice itself is not reported")
+  }
+
   test("blocklist scrub: redaction in place, threshold verdict") {
     val dir = corpusDir(Seq(
       (1L, "spark is fast", "s"),
