@@ -104,6 +104,32 @@ object Text {
         i => md5(concat_ws(" ", slice(tk, i, lit(n))).cast("binary")))))
       .otherwise(array().cast("array<string>"))
 
+  /** Distinct-token fraction of a projected token array — the repetition
+    * signal (DuckDB mirror: len(list_distinct(tk)) / len(tk)). */
+  def distinctTokenFrac(tk: Column): Column =
+    size(array_distinct(tk)).cast("double") / size(tk)
+
+  /** Fraction of tokens on a bounded blocklist, via an in-row filter
+    * (DuckDB mirror: len(list_filter(tk, x -> list_contains([...], x))) /
+    * len(tk)). */
+  def blocklistHitFrac(tk: Column, blocklist: Seq[String]): Column =
+    size(filter(tk, x => x.isin(blocklist.map(lit): _*))).cast("double") /
+      size(tk)
+
+  /** The IN-ROW curation gates in priority order (length, repetition,
+    * blocklist), single-sourced so the batch report (q_curation_report,
+    * which prepends the benchmark-contamination gate) and the streaming
+    * gate ([[graft.streaming.Streams.curationGate]]) cannot drift. Pure
+    * column math — stateless, so the streaming form needs no watermark or
+    * state store. */
+  def curationGate(nTokens: Column, distinctFrac: Column,
+      hitFrac: Column): Column =
+    when(nTokens < 20, "too_short")
+      .when(nTokens > 2000, "too_long")
+      .when(distinctFrac < 0.30, "repetitive")
+      .when(hitFrac > 0.2, "blocklisted")
+      .otherwise("keep")
+
   /** Composite quality score in [0,1]: length band + stopword presence +
     * plausible mean token length. Weights are engine policy (documented),
     * each term a deterministic 0/1 step so the score is oracle-exact. */

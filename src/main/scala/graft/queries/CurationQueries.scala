@@ -307,7 +307,6 @@ object CurationQueries {
       |            ELSE 'keep' END AS verdict
       |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = t(s, dir, "documents")
-    val listed: Column => Column = x => x.isin(Blocklist.map(lit): _*)
     val bk = docs.filter(col("doc_id") % 97 === 0)
       .select(explode(Text.ngramMd5Keys(split(col("text"), " "), 8)).as("k"))
       .distinct()
@@ -319,10 +318,8 @@ object CurationQueries {
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"),
         size(col("tk")).cast("long").as("n_tokens"),
-        (size(array_distinct(col("tk"))).cast("double") / size(col("tk")))
-          .as("distinct_frac"),
-        (size(filter(col("tk"), listed)).cast("double") / size(col("tk")))
-          .as("hit_frac"),
+        Text.distinctTokenFrac(col("tk")).as("distinct_frac"),
+        Text.blocklistHitFrac(col("tk"), Blocklist).as("hit_frac"),
         Text.ngramMd5Keys(col("tk"), 8).as("ngs"))
     val agg = met
       .select(col("doc_id"), col("n_tokens"), col("distinct_frac"),
@@ -342,11 +339,8 @@ object CurationQueries {
         col("hit_frac"), contamination.as("contamination"))
       .withColumn("verdict",
         when(col("contamination") >= 0.05, "contaminated")
-          .when(col("n_tokens") < 20, "too_short")
-          .when(col("n_tokens") > 2000, "too_long")
-          .when(col("distinct_frac") < 0.30, "repetitive")
-          .when(col("hit_frac") > 0.2, "blocklisted")
-          .otherwise("keep"))
+          .otherwise(Text.curationGate(col("n_tokens"),
+            col("distinct_frac"), col("hit_frac"))))
       .orderBy("doc_id")
   }
 

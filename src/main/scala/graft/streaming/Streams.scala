@@ -166,6 +166,27 @@ object Streams {
       .join(broadcast(benchKeys.select(col("k"))), Seq("k"))
       .select("doc_id", "k")
 
+  /** Streaming CURATION GATE: the in-row quality gates of the batch
+    * report (length, repetition, blocklist — single-sourced via
+    * [[graft.functions.Text.curationGate]], so stream and batch verdicts
+    * agree bit-for-bit) applied to each arriving document. Stateless
+    * per-row projection — no watermark, no state store — because every
+    * gate is decidable from the document's own row; the one cross-corpus
+    * gate (benchmark contamination) is [[contaminationHits]]'s
+    * stream-static join, composed downstream exactly as in batch. */
+  def curationGate(docs: DataFrame,
+      blocklist: Seq[String] = graft.queries.CurationQueries.Blocklist): DataFrame = {
+    val tk = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        graft.functions.Text.distinctTokenFrac(col("tk")).as("distinct_frac"),
+        graft.functions.Text.blocklistHitFrac(col("tk"), blocklist).as("hit_frac"))
+      .withColumn("verdict", graft.functions.Text.curationGate(
+        col("n_tokens"), col("distinct_frac"), col("hit_frac")))
+  }
+
   /** Cross-batch running totals per user via mapGroupsWithState: minimal
     * custom-state shape (the KeyValueGroupedDataset API the reference's
     * per-country accumulations would need incrementally). */

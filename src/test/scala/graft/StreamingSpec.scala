@@ -110,6 +110,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curationGate: stateless stream verdicts match the shared batch gates") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.curationGate(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curation").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "x y z"),                                            // too_short
+        (2L, Seq.fill(25)("r").mkString(" ")),                    // repetitive
+        (3L, (1 to 12).flatMap(i => Seq("spark", s"u$i")).mkString(" ")), // blocklisted
+        (4L, (1 to 24).map(i => s"w$i").mkString(" ")))           // keep
+      q.processAllAvailable()
+      val got = spark.table("curation").select("doc_id", "verdict")
+        .as[(Long, String)].collect().toMap
+      assert(got == Map(1L -> "too_short", 2L -> "repetitive",
+        3L -> "blocklisted", 4L -> "keep"), s"got $got")
+    } finally q.stop()
+  }
+
   test("runningTotals: state accumulates across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[StreamEvent]
