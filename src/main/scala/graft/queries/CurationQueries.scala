@@ -60,51 +60,9 @@ object CurationQueries {
       |       CAST(len(t.tk) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
       |       COALESCE(a.cleaned, '') AS cleaned_text
       |FROM tk t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
-    val tk = t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-    // one row per 8-gram occurrence, position carried (1-based to mirror
-    // DuckDB range); NO in-row dedup — a span repeated inside one doc but
-    // nowhere else is NOT a cross-doc duplicate, and coverage needs every
-    // start position anyway
-    // lazily checkpointed: the duplicate-key aggregation AND the coverage
-    // join both consume g, and fan-out re-executes the md5 gram pipeline
-    // per consumer (the q_decontaminate lesson — measured ~2x)
-    val g = tk.select(col("doc_id"), posexplode(
-        when(size(col("tk")) >= 8,
-          transform(sequence(lit(1), size(col("tk")) - 7),
-            i => md5(concat_ws(" ", slice(col("tk"), i, lit(8))).cast("binary"))))
-          .otherwise(array().cast("array<string>"))).as(Seq("pos", "k")))
-      .select(col("doc_id"), (col("pos") + 1).as("p"), col("k"))
-      .localCheckpoint(eager = false)
-    val dup = g.groupBy("k")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select("k")
-    // covered positions: each duplicate gram start covers [p, p+7] — a
-    // bounded x8 fan-out, deduplicated per (doc, position)
-    // renamed join columns: tokpos and cov share the tk lineage, so keeping
-    // `doc_id` on both sides would lean on dataset-id disambiguation
-    val cov = g.join(dup, Seq("k"))
-      .select(col("doc_id").as("cov_doc_id"),
-        explode(sequence(col("p"), col("p") + 7)).as("cp"))
-      .distinct()
-    val tokpos = tk
-      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), (col("pos") + 1).as("p"), col("tok"))
-    val kept = tokpos.join(cov,
-      col("doc_id") === col("cov_doc_id") && col("p") === col("cp"),
-      "left_anti")
-    // rebuild: per-doc bounded collect, ordered by the unique position
-    val agg = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("n_kept"),
-      array_join(transform(
-        array_sort(collect_list(struct(col("p"), col("tok")))),
-        x => x.getField("tok")), " ").as("cleaned"))
-    tk.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("cleaned"), lit("")).as("cleaned_text"))
+    graft.engine.Curation
+      .substringDedup(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, minDocs = 2)
       .orderBy("doc_id")
   }
 

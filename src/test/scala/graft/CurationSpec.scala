@@ -57,6 +57,21 @@ class CurationSpec extends SparkSpec {
     assert(got.forall(r => r._3 == 8L && r._4 == ""))
   }
 
+  test("engine substring dedup: n and minDocs parameterize the span rule") {
+    val dir = corpusDir(Seq(
+      (1L, "a b c x1 y1 z1", "s"),
+      (2L, "a b c x2 y2 z2", "s"),
+      (3L, "a b c x3 y3 z3", "s"),
+      (4L, "d e f x4 y4 z4", "s"),
+      (5L, "d e f x5 y5 z5", "s")))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val got = graft.engine.Curation
+      .substringDedup(docs, "doc_id", "text", n = 3, minDocs = 3)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    // "a b c" occurs in 3 docs -> removed everywhere; "d e f" only in 2 -> kept
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 0L, 5L -> 0L), s"got $got")
+  }
+
   test("source cap: two-phase rank equals the naive single-window rank exactly") {
     val got = CurationQueries.sourceCap.build(spark, sf)
       .as[(Long, String, Long, Long)].collect().toSet
