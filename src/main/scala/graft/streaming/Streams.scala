@@ -48,6 +48,41 @@ private[streaming] class PackProcessor(budget: Long, shardStride: Long)
   }
 }
 
+/** A document arriving at the streaming source cap. */
+final case class CapArrival(doc_id: Long, source: String)
+
+/** An admitted document with its per-source admission rank (1-based). */
+final case class CapAdmission(doc_id: Long, source: String, rnk: Long)
+
+/** Streaming per-source cap: one admission counter per source in a named
+  * ValueState — admit a document while its source's count is below the
+  * cap, drop the rest, forever (the counter survives micro-batch
+  * boundaries in the state store). The streaming twin of q_source_cap:
+  * on an unbounded stream "first N in arrival order" replaces the batch
+  * operator's content-hash order, which needs the whole corpus. Within a
+  * micro-batch rows fold in doc_id order, so replaying the same batches
+  * reproduces the same admissions. State is ONE Long per source —
+  * bounded by source cardinality at any stream length. */
+private[streaming] class CapProcessor(cap: Long)
+    extends StatefulProcessor[String, CapArrival, CapAdmission] {
+  @transient private var admitted: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    admitted = getHandle.getValueState[Long]("admitted",
+      Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(source: String, rows: Iterator[CapArrival],
+      timers: TimerValues): Iterator[CapAdmission] = {
+    var c = if (admitted.exists()) admitted.get() else 0L
+    val out = rows.toSeq.sortBy(_.doc_id).flatMap { d =>
+      if (c < cap) { c += 1; Some(CapAdmission(d.doc_id, source, c)) }
+      else None
+    }
+    admitted.update(c)
+    out.iterator
+  }
+}
+
 /** Running per-user aggregate carried across micro-batches. */
 final case class UserRunning(user_id: Long, n_events: Long, total: Double)
 
@@ -262,6 +297,20 @@ object Streams {
       .groupByKey(_.bucket)
       .transformWithState(
         new PackProcessor(Text.PackBudget, Text.PackShardStride),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming per-source document cap (see [[CapProcessor]]): the
+    * incremental form of q_source_cap for a continuously-arriving corpus —
+    * admissions stream out while a source is under its cap, with one Long
+    * of state per source. Requires the RocksDB state store provider (as
+    * [[sessionizeTws]]). */
+  def sourceCap(docs: DataFrame, cap: Long): Dataset[CapAdmission] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source"))
+      .as[CapArrival]
+      .groupByKey(_.source)
+      .transformWithState(new CapProcessor(cap),
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -279,6 +279,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sourceCap: per-source admission counter survives micro-batch boundaries") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = Streams.sourceCap(in.toDF().toDF("doc_id", "source"), cap = 2)
+        .writeStream.format("memory").queryName("srccap").outputMode("append").start()
+      try {
+        in.addData((1L, "a"), (2L, "a"), (3L, "b"))
+        q.processAllAvailable()
+        // source a is already full: 4 and 5 must be dropped, b admits one more
+        in.addData((4L, "a"), (5L, "a"), (6L, "b"), (7L, "b"))
+        q.processAllAvailable()
+        val got = spark.table("srccap")
+          .as[(Long, String, Long)].collect().toSet
+        assert(got == Set((1L, "a", 1L), (2L, "a", 2L), (3L, "b", 1L),
+          (6L, "b", 2L)), s"got $got")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("the same transform runs in batch mode (unified API)") {
     val batch = Seq(evAt(1, "10:05", 2.0), evAt(1, "10:20", 3.0), evAt(2, "11:05", 7.0))
       .toDF()
