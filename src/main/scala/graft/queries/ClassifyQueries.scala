@@ -132,11 +132,17 @@ object ClassifyQueries {
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label").as("true_label"), col("clabel"),
         Vectors.cosineFromNorms(col("v"), col("cv"), col("vn"), col("cn")).as("cos"))
-    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("clabel"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+    // argmax as max(struct(cos, -label)): same (cos desc, label asc)
+    // tie-break as a rank window, but an AGGREGATE — map-side partial
+    // combine collapses each vector's centroid candidates before the
+    // shuffle, where a per-vector window would shuffle every scored row
+    val best = scored
+      .groupBy(col("vec_id"), col("true_label"))
+      .agg(max(struct(col("cos"), (-col("clabel")).as("negl"))).as("b"))
+      .select(col("true_label"), (-col("b.negl")).as("pred_label"))
+    best
       .groupBy(col("true_label").cast("long").as("true_label"),
-        col("clabel").cast("long").as("pred_label"))
+        col("pred_label").cast("long").as("pred_label"))
       .agg(count(lit(1)).as("n"))
       .orderBy("true_label", "pred_label")
   }
