@@ -302,6 +302,40 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** CURRICULUM ORDERING: the deterministic global training order that
+    * presents easy documents first — difficulty bands (token-count
+    * buckets) ascend, and within a band documents are hash-shuffled (the
+    * curriculum-learning data layout: banded difficulty, shuffled inside
+    * each band). Composes the engine's distributed numbering
+    * ([[graft.engine.TimeSeries.globalRowNumber]], the q_shuffle_order
+    * machinery): the stitch bucket is (band, md5-sub-bucket), so the
+    * global order is (band, sub, hash) — band-major and shuffled within —
+    * while every window partition stays ~1/64 of a band and offsets ride a
+    * bounded broadcast table. No global sort, no unbounded partition. */
+  val curriculumOrder: Q = Q(
+    "q_curriculum_order",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(floor(len(string_split(text, ' ')) / 25.0) AS BIGINT) AS band,
+      |         CAST(('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      |  FROM documents)
+      |SELECT doc_id, band,
+      |       CAST(ROW_NUMBER() OVER (ORDER BY band, h % 64, h, doc_id) AS BIGINT) AS ord
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val h = Text.md5Hash32(concat(lit("cur:"), col("doc_id").cast("string")))
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        floor(Text.tokenCount(col("text")) / lit(25.0)).cast("long").as("band"),
+        h.as("h"))
+      .withColumn("sub", pmod(col("h"), lit(64L)))
+    graft.engine.TimeSeries
+      .globalRowNumber(d, col("band") * 64 + col("sub"),
+        Seq(col("h"), col("doc_id")), "ord")
+      .select(col("doc_id"), col("band"), col("ord"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
-    Seq(substringDedup, sourceCap, lmScore, blocklistScrub, curationReport)
+    Seq(substringDedup, sourceCap, lmScore, blocklistScrub, curationReport,
+      curriculumOrder)
 }

@@ -91,6 +91,31 @@ class CurationSpec extends SparkSpec {
         rows.map(_._3).toSeq.sorted == (1L to rows.size).toSeq })
   }
 
+  test("curriculum order: band-major, shuffled within, equal to the naive global rank") {
+    val got = CurationQueries.curriculumOrder.build(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    // ords are a permutation of 1..N
+    assert(got.map(_._3).sorted.toSeq == (1L to got.length).toSeq)
+    // band-major: every doc of a lower band precedes every doc of a higher
+    val byOrd = got.sortBy(_._3)
+    assert(byOrd.map(_._2).toSeq == byOrd.map(_._2).sorted.toSeq,
+      "bands must ascend along the training order")
+    // the distributed stitch equals the naive single-window rank
+    val h = graft.functions.Text.md5Hash32(
+      concat(lit("cur:"), col("doc_id").cast("string")))
+    val naive = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        floor(graft.functions.Text.tokenCount(col("text")) / lit(25.0))
+          .cast("long").as("band"), h.as("h"))
+      .withColumn("ord", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("band"), pmod(col("h"), lit(64L)), col("h"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("band"), col("ord"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.toSet == naive)
+  }
+
   test("lm score: integer sums match the hand-computed MLE ratio") {
     val dir = corpusDir(Seq(
       (1L, "a b a b", "s"), (2L, "a b c", "s"), (3L, "x", "s")))
