@@ -110,5 +110,59 @@ object EventQueries {
       .orderBy("user_id", "session_start")
   }
 
-  val all: Seq[Q] = Seq(jsonExtract, windowTumbling, windowSliding, windowSession)
+  /** FUNNEL analysis: how far each user progresses through the ordered
+    * view -> click -> purchase sequence, where each stage must strictly
+    * follow the previous one in event time — the classic product-analytics
+    * operator (and, for a training-data pipeline, the interaction-quality
+    * signal event logs are filtered on).
+    *
+    * Shape at 100 TB: each stage is a per-user MIN aggregation (map-side
+    * partial) JOINED to the next stage's filtered events on the user key —
+    * three keyed aggregations + three keyed equi-joins, never a per-user
+    * sort or a window over the raw event stream; stage tables shrink to
+    * <= one row per user before every join. */
+  val eventFunnel: Q = Q(
+    "q_event_funnel",
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |s1 AS (SELECT user_id, MIN(ts) AS t_view FROM events
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t_click
+      |       FROM events e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t_view GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+      |       FROM events e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY e.user_id)
+      |SELECT u.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+      |       CAST(CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+      |                 WHEN s2.t_click IS NOT NULL THEN 2
+      |                 WHEN s1.t_view IS NOT NULL THEN 1
+      |                 ELSE 0 END AS BIGINT) AS stage
+      |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |LEFT JOIN s3 USING (user_id)
+      |ORDER BY u.user_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+    val u = ev.select("user_id").distinct()
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    u.join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_purchase").isNotNull, 3L)
+          .when(col("t_click").isNotNull, 2L)
+          .when(col("t_view").isNotNull, 1L)
+          .otherwise(0L).as("stage"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(jsonExtract, windowTumbling, windowSliding, windowSession, eventFunnel)
 }
