@@ -163,6 +163,38 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** RETENTION COHORTS: users grouped by their first-seen week, counted in
+    * every later week they return — the cohort-retention matrix of product
+    * analytics (and the freshness/engagement profile an interaction-log
+    * pipeline slices training data by). Week truncation is Monday-start
+    * ISO in BOTH engines, so the cohort keys hash-match.
+    *
+    * Shape: distinct (user, week) pairs -> per-user MIN (map-side partial)
+    * -> one keyed join back -> one aggregation. Never a window, never a
+    * sort before the presentation ORDER BY; every table after the distinct
+    * is bounded by users x weeks. */
+  val retentionCohorts: Q = Q(
+    "q_retention_cohorts",
+    """WITH uw AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      |c AS (SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY user_id)
+      |SELECT c.cohort_week,
+      |       CAST(datediff('day', c.cohort_week, uw.wk) / 7 AS BIGINT) AS week_offset,
+      |       COUNT(*) AS active_users
+      |FROM uw JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val uw = t(s, dir, "events")
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val c = uw.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+    uw.join(c, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val all: Seq[Q] =
-    Seq(jsonExtract, windowTumbling, windowSliding, windowSession, eventFunnel)
+    Seq(jsonExtract, windowTumbling, windowSliding, windowSession, eventFunnel,
+      retentionCohorts)
 }

@@ -83,6 +83,49 @@ private[streaming] class CapProcessor(cap: Long)
   }
 }
 
+/** Funnel progress carried across micro-batches: the stage reached so far
+  * and the event-time anchor the next stage must strictly follow. */
+final case class FunnelState(stage: Long, anchorMicros: Long)
+
+/** A stage transition emitted by the streaming funnel. */
+final case class FunnelTransition(user_id: Long, stage: Long,
+    ts: java.sql.Timestamp)
+
+/** Streaming FUNNEL state machine: per-user progression through the
+  * view -> click -> purchase sequence with strict event-time ordering —
+  * the incremental twin of q_event_funnel. State is ONE (stage, anchor)
+  * pair per user; a transition fires when the next stage's event type
+  * arrives with ts strictly after the anchor, exactly the batch
+  * operator's min-after-anchor rule (for in-event-time-order arrival the
+  * stream reproduces the batch stages — proven in StreamingSpec). Within
+  * a micro-batch rows fold in ts order. */
+private[streaming] class FunnelProcessor(steps: Seq[String])
+    extends StatefulProcessor[Long, StreamEvent, FunnelTransition] {
+  @transient private var progress: ValueState[FunnelState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    progress = getHandle.getValueState[FunnelState]("progress",
+      Encoders.product[FunnelState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[StreamEvent],
+      timers: TimerValues): Iterator[FunnelTransition] = {
+    var st = if (progress.exists()) progress.get() else FunnelState(0L, Long.MinValue)
+    val out = Seq.newBuilder[FunnelTransition]
+    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+      if (st.stage < steps.length && e.event_type == steps(st.stage.toInt) &&
+          (st.stage == 0L || micros(e.ts) > st.anchorMicros)) {
+        st = FunnelState(st.stage + 1, micros(e.ts))
+        out += FunnelTransition(user, st.stage, e.ts)
+      }
+    }
+    progress.update(st)
+    out.result().iterator
+  }
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+}
+
 /** Running per-user aggregate carried across micro-batches. */
 final case class UserRunning(user_id: Long, n_events: Long, total: Double)
 
@@ -297,6 +340,18 @@ object Streams {
       .groupByKey(_.bucket)
       .transformWithState(
         new PackProcessor(Text.PackBudget, Text.PackShardStride),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming funnel (see [[FunnelProcessor]]): stage transitions stream
+    * out as each user crosses view -> click -> purchase in strict
+    * event-time order, with one (stage, anchor) pair of state per user.
+    * Requires the RocksDB state store provider (as [[sessionizeTws]]). */
+  def funnelStages(events: Dataset[StreamEvent],
+      steps: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelTransition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(steps),
         TimeMode.None(), OutputMode.Append())
   }
 

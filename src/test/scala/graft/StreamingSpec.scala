@@ -306,6 +306,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("funnelStages: stream transitions reproduce the batch funnel stages") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // batch truth: final stage per user from the declared query
+      val batch = graft.queries.EventQueries.eventFunnel.build(spark, sf)
+        .select("user_id", "stage").as[(Long, Long)].collect().toMap
+      // stream the same events in event-time order, split mid-stream
+      val events = graft.engine.Tables.t(spark, sf, "events")
+        .select(col("user_id"), col("ts"), col("event_type"),
+          col("value")).orderBy("ts")
+        .as[StreamEvent].collect()
+      val (b1, b2) = events.splitAt(events.length / 2)
+      val in = MemoryStream[StreamEvent]
+      val q = Streams.funnelStages(in.toDS())
+        .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+      try {
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+        val streamed = spark.table("funnel")
+          .select("user_id", "stage").as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        val batchReached = batch.filter(_._2 > 0)
+        assert(streamed == batchReached,
+          s"diff: ${(streamed.toSet diff batchReached.toSet).take(3)} vs " +
+            s"${(batchReached.toSet diff streamed.toSet).take(3)}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("the same transform runs in batch mode (unified API)") {
     val batch = Seq(evAt(1, "10:05", 2.0), evAt(1, "10:20", 3.0), evAt(2, "11:05", 7.0))
       .toDF()
