@@ -335,7 +335,50 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** CORPUS SNAPSHOT DIFF: the incremental-ingestion primitive — given
+    * yesterday's corpus and today's, classify every document as added,
+    * removed, changed, or same by comparing content fingerprints across a
+    * full-outer join on the id. At 100 TB this is how a corpus updates
+    * without reprocessing: only `added`/`changed` flow into the cleaning
+    * pipeline. Snapshots are derived deterministically from the table so
+    * the oracle can replay them: the old snapshot drops `doc_id % 11 = 3`
+    * (later "added") and the new one rewrites text for `doc_id % 13 = 2`
+    * ("changed") and drops `doc_id % 17 = 5` ("removed").
+    *
+    * Shape: two filtered scans, per-row md5 fingerprints, ONE keyed
+    * full-outer join, no aggregation at all before the presentation sort. */
+  val corpusDiff: Q = Q(
+    "q_corpus_diff",
+    """WITH old AS (
+      |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 11 <> 3),
+      |new AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 13 = 2 THEN text || ' rev2' ELSE text END) AS fp
+      |  FROM documents WHERE doc_id % 17 <> 5)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |       CASE WHEN o.doc_id IS NULL THEN 'added'
+      |            WHEN n.doc_id IS NULL THEN 'removed'
+      |            WHEN o.fp <> n.fp THEN 'changed'
+      |            ELSE 'same' END AS verdict
+      |FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id").as("o_id"), md5(col("text").cast("binary")).as("o_fp"))
+    val neu = docs.filter(col("doc_id") % 17 =!= 5)
+      .select(col("doc_id").as("n_id"),
+        md5(when(col("doc_id") % 13 === 2, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).cast("binary")).as("n_fp"))
+    old.join(neu, col("o_id") === col("n_id"), "full_outer")
+      .select(coalesce(col("o_id"), col("n_id")).as("doc_id"),
+        when(col("o_id").isNull, "added")
+          .when(col("n_id").isNull, "removed")
+          .when(col("o_fp") =!= col("n_fp"), "changed")
+          .otherwise("same").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(substringDedup, sourceCap, lmScore, blocklistScrub, curationReport,
-      curriculumOrder)
+      curriculumOrder, corpusDiff)
 }

@@ -146,6 +146,22 @@ class CurationSpec extends SparkSpec {
     assert(!got.contains(0L), "the benchmark slice itself is not reported")
   }
 
+  test("corpus diff: verdict partition matches the plant rules") {
+    val got = CurationQueries.corpusDiff.build(spark, sf)
+      .as[(Long, String)].collect()
+    got.foreach { case (id, v) =>
+      val expected =
+        if (id % 11 == 3 && id % 17 == 5) None // in neither snapshot
+        else if (id % 11 == 3) Some("added")
+        else if (id % 17 == 5) Some("removed")
+        else if (id % 13 == 2) Some("changed")
+        else Some("same")
+      assert(expected.contains(v), s"doc $id: got $v expected $expected")
+    }
+    assert(Set("added", "removed", "changed", "same")
+      .subsetOf(got.map(_._2).toSet), "all four verdicts must occur")
+  }
+
   test("blocklist scrub: redaction in place, threshold verdict") {
     val dir = corpusDir(Seq(
       (1L, "spark is fast", "s"),
