@@ -8,7 +8,8 @@ import graft.functions.Text
 
 /** LLM-data-pipeline batch 4: corpus curation operators over the document
   * CONTENT itself — cross-document exact-substring dedup, per-source caps,
-  * corpus-support language-model scoring, and blocklist redaction.
+  * corpus-support language-model scoring, blocklist redaction, the composed
+  * curation report, curriculum ordering, and corpus snapshot diffing.
   * North-star extensions (SURVEY §7.5); the reference has no corpus tooling.
   *
   * Scale posture shared by the batch: cross-document state is always a keyed
