@@ -379,7 +379,59 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** TOKEN-BUDGET MIXTURE: admit documents per language, in content-hash
+    * order, until the language's token budget is filled — the "sample B
+    * tokens of each domain" step of a pretraining data recipe (the
+    * token-weighted complement of q_mix_sample's rate-based form). The
+    * budget is STRIPED across 64 hash sub-buckets (B/64 tokens each, the
+    * q_pack_shards bucketing idea): each stripe admits docs while its
+    * running token count is under its share, so no window partition ever
+    * exceeds ~1/64 of a language — the distributed form of "take until B
+    * tokens", deterministic and engine-mirrorable (same kept SET across
+    * runs, partitionings, and engines). */
+  val budgetMixture: Q = {
+    // per-stripe budgets precomputed (integer division), embedded as
+    // literals in BOTH engines' plans
+    val budgets = Map("en" -> 5000L, "zh" -> 2000L).withDefaultValue(3000L)
+    val (bEn, bZh, bOther) =
+      (budgets("en") / 64, budgets("zh") / 64, budgets("other") / 64)
+    Q(
+      "q_budget_mixture",
+      s"""WITH d AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |         CAST(('0x' || substr(md5('bud:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT *, h % 64 AS stripe,
+        |         CASE lang WHEN 'en' THEN $bEn WHEN 'zh' THEN $bZh ELSE $bOther END AS stripe_budget
+        |  FROM d),
+        |c AS (
+        |  SELECT *, COALESCE(SUM(toks) OVER (PARTITION BY lang, stripe
+        |              ORDER BY h, doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_start
+        |  FROM b)
+        |SELECT doc_id, lang, toks, CAST(cum_start AS BIGINT) AS cum_start
+        |FROM c WHERE cum_start < stripe_budget ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val h = Text.md5Hash32(concat(lit("bud:"), col("doc_id").cast("string")))
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          Text.tokenCount(col("text")).cast("long").as("toks"), h.as("h"))
+        .withColumn("stripe", pmod(col("h"), lit(64L)))
+        .withColumn("stripe_budget",
+          when(col("lang") === "en", bEn)
+            .when(col("lang") === "zh", bZh).otherwise(bOther))
+      val w = Window.partitionBy(col("lang"), col("stripe"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("cum_start", coalesce(sum(col("toks")).over(w), lit(0L)))
+        .filter(col("cum_start") < col("stripe_budget"))
+        .select(col("doc_id"), col("lang"), col("toks"), col("cum_start"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(substringDedup, sourceCap, lmScore, blocklistScrub, curationReport,
-      curriculumOrder, corpusDiff)
+      curriculumOrder, corpusDiff, budgetMixture)
 }

@@ -146,6 +146,30 @@ class CurationSpec extends SparkSpec {
     assert(!got.contains(0L), "the benchmark slice itself is not reported")
   }
 
+  test("budget mixture: every stripe stays within budget and admits greedily") {
+    val got = CurationQueries.budgetMixture.build(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // every admitted doc STARTED under its stripe budget
+    val budget = Map("en" -> 5000L / 64, "zh" -> 2000L / 64).withDefaultValue(3000L / 64)
+    assert(got.forall { case (_, lang, _, cum) => cum < budget(lang) })
+    // greedy: within a (lang, stripe) the admitted cum_starts are exactly
+    // the running sum of the admitted docs in hash order (no gaps)
+    val h = graft.functions.Text.md5Hash32(
+      concat(lit("bud:"), col("doc_id").cast("string")))
+    val hashes = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), h.as("h")).as[(Long, Long)].collect().toMap
+    got.groupBy { case (id, lang, _, _) => (lang, hashes(id) % 64) }
+      .foreach { case (_, rows) =>
+        val ordered = rows.sortBy { case (id, _, _, _) => (hashes(id), id) }
+        var cum = 0L
+        ordered.foreach { case (id, _, toks, cumStart) =>
+          assert(cumStart == cum, s"doc $id: gap in stripe cumsum")
+          cum += toks
+        }
+      }
+  }
+
   test("corpus diff: verdict partition matches the plant rules") {
     val got = CurationQueries.corpusDiff.build(spark, sf)
       .as[(Long, String)].collect()
