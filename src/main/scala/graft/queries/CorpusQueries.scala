@@ -282,6 +282,43 @@ object CorpusQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** LENGTH-DISTRIBUTION profile: exact per-language token-count quantiles
+    * (p50/p90/p99), min/max, and mean — the corpus profile a curation run
+    * reads before setting length gates and packing budgets. Spark's exact
+    * `percentile` and DuckDB's `quantile_cont` share the same linear
+    * interpolation tree, so the doubles hash-match bit-for-bit (verified:
+    * non-representable results like 87.20000000000002 agree exactly).
+    *
+    * Scale note: exact percentile state is a per-group value→count map, so
+    * memory is bounded by the DISTINCT token counts per language — the doc
+    * length domain, small by construction. For unbounded value domains the
+    * approx_percentile sketch is the scale path; the mean is an exact
+    * integer-sum ratio either way. */
+  val lengthQuantiles: Q = Q(
+    "q_length_quantiles",
+    """WITH d AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(MIN(nt) AS BIGINT) AS min_nt,
+      |       CAST(MAX(nt) AS BIGINT) AS max_nt,
+      |       CAST(SUM(nt) AS DOUBLE) / COUNT(*) AS mean_nt,
+      |       quantile_cont(nt, 0.5) AS p50,
+      |       quantile_cont(nt, 0.9) AS p90,
+      |       quantile_cont(nt, 0.99) AS p99
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val nt = Text.tokenCount(col("text")).cast("long")
+    t(s, dir, "documents")
+      .select(col("lang"), nt.as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("nt")).as("min_nt"), max(col("nt")).as("max_nt"),
+        (sum(col("nt")).cast("double") / count(lit(1))).as("mean_nt"),
+        percentile(col("nt"), lit(0.5)).as("p50"),
+        percentile(col("nt"), lit(0.9)).as("p90"),
+        percentile(col("nt"), lit(0.99)).as("p99"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] =
-    Seq(decontaminate, mixSample, repetitionQuality, vocabTopk, tfidfKeywords)
+    Seq(decontaminate, mixSample, repetitionQuality, vocabTopk, tfidfKeywords,
+      lengthQuantiles)
 }
