@@ -210,6 +210,58 @@ class StreamingSpec extends SparkSpec {
     assert(after2 == after1 + 5L, s"cross-restart duplicate not suppressed: $after2")
   }
 
+  test("funnelStages: stage state survives a checkpointed query RESTART") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val root = java.nio.file.Files.createTempDirectory("graft-funnel-files")
+    val inDir = root.resolve("in")
+    val outDir = root.resolve("out").toString
+    val cpDir = root.resolve("cp").toString
+    java.nio.file.Files.createDirectories(inDir)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    def writeBatch(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(inDir.resolve(name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).json(inDir.toString)
+        .as[StreamEvent]
+      val q = Streams.funnelStages(src)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", cpDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      writeBatch("b1.jsonl", Seq(
+        """{"user_id":1,"ts":"2026-01-01T10:00:00.000Z","event_type":"view","value":1.0}""",
+        """{"user_id":1,"ts":"2026-01-01T10:01:00.000Z","event_type":"click","value":1.0}"""))
+      runOnce()
+      // a NEW query over the SAME checkpoint: the (stage=2, anchor) state
+      // must survive the restart, so the purchase completes the funnel and
+      // the stale click (before the anchor) does nothing
+      writeBatch("b2.jsonl", Seq(
+        """{"user_id":1,"ts":"2026-01-01T09:59:00.000Z","event_type":"purchase","value":1.0}""",
+        """{"user_id":1,"ts":"2026-01-01T10:02:00.000Z","event_type":"purchase","value":1.0}"""))
+      runOnce()
+      val got = spark.read.parquet(outDir)
+        .select("user_id", "stage").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 1L), (1L, 2L), (1L, 3L)),
+        s"restart lost funnel state: $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("sessionizeTws: transformWithState matches the flatMapGroups semantics") {
     implicit val ctx = spark.sqlContext
     // transformWithState requires the RocksDB state store provider — scope
