@@ -38,10 +38,13 @@ object Curation {
       .agg(countDistinct(id).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("k")
+    // no distinct: overlapping duplicate grams cover some positions twice,
+    // but the anti-join below excludes on ANY match, so duplicate coverage
+    // rows are harmless — deduplicating them would cost a full extra
+    // shuffle + aggregate for nothing
     val cov = g.join(dup, Seq("k"))
       .select(id.as("cov_id"),
         explode(sequence(col("p"), col("p") + (n - 1))).as("cp"))
-      .distinct()
     val tokpos = tk
       .select(id, posexplode(col("tk")).as(Seq("pos", "tok")))
       .select(id, (col("pos") + 1).as("p"), col("tok"))
