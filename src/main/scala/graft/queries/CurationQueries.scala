@@ -431,7 +431,100 @@ object CurationQueries {
     }
   }
 
+  /** THE END-TO-END PIPELINE, one Catalyst plan: curation gates
+    * (q_curation_report's composed verdict) → first-writer-wins exact
+    * dedup → deterministic train split → sequence packing into
+    * token-budget shards. This is the capstone composition — the full
+    * corpus-to-dataloader recipe as a single declared query, every stage
+    * reusing the already-verified operator logic (the Spark side literally
+    * calls curationReport.build and the shared Text pack/split recipes),
+    * so the composed plan inherits each stage's scale shape: broadcast
+    * contamination keys, keyed dedup aggregation, per-row split math,
+    * per-bucket pack windows. Nothing new shuffles; Catalyst fuses the
+    * stages into one job graph. */
+  val pipelineE2e: Q = Q(
+    "q_pipeline_e2e",
+    """WITH corpus AS (SELECT doc_id, string_split(text,' ') AS tk, text FROM documents WHERE doc_id % 97 <> 0),
+      |bk AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |           range(1, len(string_split(text, ' ')) - 6),
+      |           i -> md5(array_to_string(string_split(text, ' ')[i:i+7], ' '))))) AS k
+      |  FROM documents WHERE doc_id % 97 = 0),
+      |met AS (
+      |  SELECT doc_id, text, len(tk) AS n_tokens,
+      |         CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS distinct_frac,
+      |         CAST(len(list_filter(tk, x -> list_contains(['spark','join','query','data'], x))) AS DOUBLE)
+      |           / len(tk) AS hit_frac,
+      |         CASE WHEN len(tk) >= 8
+      |              THEN list_distinct(list_transform(range(1, len(tk)-6),
+      |                     i -> md5(array_to_string(tk[i:i+7], ' '))))
+      |              ELSE CAST([] AS VARCHAR[]) END AS ngs
+      |  FROM corpus),
+      |cont AS (
+      |  SELECT e.doc_id, COUNT(b.k) AS n_matched
+      |  FROM (SELECT doc_id, unnest(ngs) AS k FROM met) e
+      |  LEFT JOIN bk b USING (k) GROUP BY e.doc_id),
+      |gated AS (
+      |  SELECT m.doc_id, m.text
+      |  FROM met m LEFT JOIN cont c USING (doc_id)
+      |  WHERE COALESCE(CAST(c.n_matched AS DOUBLE) / NULLIF(len(m.ngs), 0), 0.0) < 0.05
+      |    AND m.n_tokens >= 20 AND m.n_tokens <= 2000
+      |    AND m.distinct_frac >= 0.30 AND m.hit_frac <= 0.2),
+      |fp AS (SELECT doc_id, text, md5(lower(text)) AS fp FROM gated),
+      |canon AS (SELECT fp, MIN(doc_id) AS keep_id FROM fp GROUP BY fp),
+      |ded AS (SELECT f.doc_id, f.text FROM fp f
+      |        JOIN canon c ON f.fp = c.fp AND f.doc_id = c.keep_id),
+      |train AS (
+      |  SELECT doc_id, text FROM ded
+      |  WHERE CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90),
+      |d AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS bucket,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM train),
+      |c2 AS (
+      |  SELECT doc_id, bucket, toks,
+      |         CAST(SUM(toks) OVER (PARTITION BY bucket ORDER BY doc_id
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS BIGINT) AS cum_tokens
+      |  FROM d)
+      |SELECT doc_id, bucket,
+      |       CAST(bucket * 1000000000000 + (cum_tokens - toks) // 2048 AS BIGINT) AS shard,
+      |       toks, cum_tokens
+      |FROM c2 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // stage 1: the verified composed gate, reused verbatim
+    val keep = curationReport.build(s, dir)
+      .filter(col("verdict") === "keep")
+      .select(col("doc_id"))
+    val gated = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .join(keep, Seq("doc_id"))
+    // stage 2: first-writer-wins exact dedup on the content fingerprint
+    val fp = gated.select(col("doc_id"), col("text"),
+      Text.fingerprint(col("text")).as("fp"))
+    val canon = fp.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+    val ded = fp.join(canon, Seq("fp"))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("text"))
+    // stage 3: deterministic train slice (the q_train_split rule)
+    val train = ded.filter(
+      Text.md5Hash32(concat(lit("split:"), col("doc_id").cast("string"))) % 100 < 90)
+    // stage 4: pack into token-budget shards (the q_pack_shards recipe)
+    val d = train.select(col("doc_id"),
+      Text.packBucket(col("doc_id")).as("bucket"),
+      Text.tokenCount(col("text")).cast("long").as("toks"))
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum_tokens", sum(col("toks")).over(w))
+      .withColumn("shard",
+        col("bucket") * Text.PackShardStride +
+          expr(s"(cum_tokens - toks) div ${Text.PackBudget}"))
+      .select(col("doc_id"), col("bucket"), col("shard"), col("toks"),
+        col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(substringDedup, sourceCap, lmScore, blocklistScrub, curationReport,
-      curriculumOrder, corpusDiff, budgetMixture)
+      curriculumOrder, corpusDiff, budgetMixture, pipelineE2e)
 }

@@ -170,6 +170,34 @@ class CurationSpec extends SparkSpec {
       }
   }
 
+  test("pipeline e2e: every output doc passed every stage") {
+    val out = CurationQueries.pipelineE2e.build(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_._1).toSet
+    // stage 1: gate — output ⊆ the report's keep set
+    val keep = CurationQueries.curationReport.build(spark, sf)
+      .filter(col("verdict") === "keep")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(keep), "a gated-out doc leaked into the shards")
+    // stage 2: dedup — output fingerprints are unique
+    val fps = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select(graft.functions.Text.fingerprint(col("text")).as("fp"))
+      .as[String].collect()
+    assert(fps.distinct.length == fps.length, "duplicate content in the output")
+    // stage 3: split — only train-bucket docs
+    val trainBucket = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), (graft.functions.Text.md5Hash32(
+        concat(lit("split:"), col("doc_id").cast("string"))) % 100).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(ids.forall(trainBucket(_) < 90), "non-train doc in the output")
+    // stage 4: pack arithmetic — shard = bucket*stride + (cum-toks)/budget
+    assert(out.forall { case (_, bucket, shard, toks, cum) =>
+      shard == bucket * graft.functions.Text.PackShardStride +
+        (cum - toks) / graft.functions.Text.PackBudget })
+  }
+
   test("corpus diff: verdict partition matches the plant rules") {
     val got = CurationQueries.corpusDiff.build(spark, sf)
       .as[(Long, String)].collect()
