@@ -262,6 +262,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sourceCap: admission counter survives a checkpointed query RESTART") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val root = java.nio.file.Files.createTempDirectory("graft-cap-files")
+    val inDir = root.resolve("in")
+    val outDir = root.resolve("out").toString
+    val cpDir = root.resolve("cp").toString
+    java.nio.file.Files.createDirectories(inDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType)))
+    def writeBatch(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(inDir.resolve(name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).json(inDir.toString)
+      val q = Streams.sourceCap(src, cap = 2)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", cpDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      writeBatch("b1.jsonl", Seq(
+        """{"doc_id":1,"source":"a"}""", """{"doc_id":2,"source":"a"}"""))
+      runOnce()
+      // a NEW query over the SAME checkpoint: source a's counter is full,
+      // so both later docs must be dropped
+      writeBatch("b2.jsonl", Seq(
+        """{"doc_id":3,"source":"a"}""", """{"doc_id":4,"source":"b"}"""))
+      runOnce()
+      val got = spark.read.parquet(outDir)
+        .select("doc_id", "source", "rnk")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == Set((1L, "a", 1L), (2L, "a", 2L), (4L, "b", 1L)),
+        s"restart lost cap state: $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("sessionizeTws: transformWithState matches the flatMapGroups semantics") {
     implicit val ctx = spark.sqlContext
     // transformWithState requires the RocksDB state store provider — scope
