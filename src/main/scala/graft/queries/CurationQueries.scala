@@ -524,7 +524,75 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** SHARD MANIFEST: the dataloader's index — one row per packed shard
+    * with its document count, token total, and id range, aggregated over
+    * the end-to-end pipeline's output. A training job opens this table to
+    * plan epoch iteration without touching the data; at 100 TB it is one
+    * map-side-combined aggregation over the shard assignment (shard count
+    * ~ tokens/budget, always a tiny fraction of the corpus). */
+  val shardManifest: Q = Q(
+    "q_shard_manifest",
+    """WITH corpus AS (SELECT doc_id, string_split(text,' ') AS tk, text FROM documents WHERE doc_id % 97 <> 0),
+      |bk AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |           range(1, len(string_split(text, ' ')) - 6),
+      |           i -> md5(array_to_string(string_split(text, ' ')[i:i+7], ' '))))) AS k
+      |  FROM documents WHERE doc_id % 97 = 0),
+      |met AS (
+      |  SELECT doc_id, text, len(tk) AS n_tokens,
+      |         CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS distinct_frac,
+      |         CAST(len(list_filter(tk, x -> list_contains(['spark','join','query','data'], x))) AS DOUBLE)
+      |           / len(tk) AS hit_frac,
+      |         CASE WHEN len(tk) >= 8
+      |              THEN list_distinct(list_transform(range(1, len(tk)-6),
+      |                     i -> md5(array_to_string(tk[i:i+7], ' '))))
+      |              ELSE CAST([] AS VARCHAR[]) END AS ngs
+      |  FROM corpus),
+      |cont AS (
+      |  SELECT e.doc_id, COUNT(b.k) AS n_matched
+      |  FROM (SELECT doc_id, unnest(ngs) AS k FROM met) e
+      |  LEFT JOIN bk b USING (k) GROUP BY e.doc_id),
+      |gated AS (
+      |  SELECT m.doc_id, m.text
+      |  FROM met m LEFT JOIN cont c USING (doc_id)
+      |  WHERE COALESCE(CAST(c.n_matched AS DOUBLE) / NULLIF(len(m.ngs), 0), 0.0) < 0.05
+      |    AND m.n_tokens >= 20 AND m.n_tokens <= 2000
+      |    AND m.distinct_frac >= 0.30 AND m.hit_frac <= 0.2),
+      |fp AS (SELECT doc_id, text, md5(lower(text)) AS fp FROM gated),
+      |canon AS (SELECT fp, MIN(doc_id) AS keep_id FROM fp GROUP BY fp),
+      |ded AS (SELECT f.doc_id, f.text FROM fp f
+      |        JOIN canon c ON f.fp = c.fp AND f.doc_id = c.keep_id),
+      |train AS (
+      |  SELECT doc_id, text FROM ded
+      |  WHERE CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90),
+      |d AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS bucket,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM train),
+      |c2 AS (
+      |  SELECT doc_id, bucket, toks,
+      |         CAST(SUM(toks) OVER (PARTITION BY bucket ORDER BY doc_id
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS BIGINT) AS cum_tokens
+      |  FROM d),
+      |shards AS (
+      |  SELECT doc_id, toks,
+      |         CAST(bucket * 1000000000000 + (cum_tokens - toks) // 2048 AS BIGINT) AS shard
+      |  FROM c2)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM shards GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+    pipelineE2e.build(s, dir)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("shard")
+  }
+
   val all: Seq[Q] =
     Seq(substringDedup, sourceCap, lmScore, blocklistScrub, curationReport,
-      curriculumOrder, corpusDiff, budgetMixture, pipelineE2e)
+      curriculumOrder, corpusDiff, budgetMixture, pipelineE2e, shardManifest)
 }
