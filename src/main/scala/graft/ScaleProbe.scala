@@ -40,7 +40,7 @@ object ScaleProbe {
     "q_substring_dedup", "q_source_cap", "q_lm_score", "q_blocklist_scrub",
     "q_curation_report", "q_curriculum_order", "q_corpus_diff",
     "q_budget_mixture", "q_length_quantiles", "q_pipeline_e2e",
-    "q_shard_manifest")
+    "q_shard_manifest", "q_dedup_normalized", "q_label_mismatch")
 
   private val Repl = 10
   // larger than any planted-twin id offset (1_000_000 + base ids), so

@@ -386,7 +386,76 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** NORMALIZED exact dedup: fingerprint the text after lowercasing,
+    * stripping non-alphanumerics, and collapsing whitespace — the
+    * "fuzzy-exact" pass that catches trivially-edited duplicates
+    * (case/punctuation/spacing variants) that the raw fingerprint misses.
+    * Variant copies are planted (`doc_id % 23 = 1` re-enters uppercased
+    * with punctuation bolted on) so the operator has signal to find; the
+    * output is the duplicate GROUPS only. Same 100-TB shape as
+    * q_dedup_exact: per-row normalization, 32-byte shuffle keys, one
+    * aggregation. */
+  val dedupNormalized: Q = Q(
+    "q_dedup_normalized",
+    """WITH planted AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 4000000 AS doc_id, upper(text) || ' !!' AS text
+      |  FROM documents WHERE doc_id % 23 = 1),
+      |keyed AS (
+      |  SELECT doc_id,
+      |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |                                 ' +', ' ', 'g'))) AS nfp
+      |  FROM planted)
+      |SELECT nfp, MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies
+      |FROM keyed
+      |GROUP BY nfp HAVING COUNT(*) > 1
+      |ORDER BY canonical_doc""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.unionAll(
+      docs.filter(col("doc_id") % 23 === 1)
+        .select((col("doc_id") + 4000000).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text")))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    planted
+      .select(col("doc_id"), md5(norm.cast("binary")).as("nfp"))
+      .groupBy("nfp")
+      .agg(min("doc_id").as("canonical_doc"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .orderBy("canonical_doc")
+  }
+
+  /** LABEL-NOISE audit: documents whose declared `lang` disagrees with the
+    * stopword-heuristic language guess (the q_lang_id rule) — the
+    * metadata-vs-content consistency check a curation run uses to find
+    * mislabeled slices before per-language sampling trusts the labels.
+    * Pure per-row column math; only the mismatches are emitted. */
+  val labelMismatch: Q = Q(
+    "q_label_mismatch",
+    """WITH g AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+      |           / len(string_split(text, ' ')) AS en_ratio
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |       CASE WHEN en_ratio >= 0.05 THEN 'en_like' ELSE 'other' END AS guess,
+      |       en_ratio
+      |FROM g
+      |WHERE (lang = 'en') <> (en_ratio >= 0.05)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val ratio = Text.stopwordRatio(col("text"), Stopwords)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), ratio.as("en_ratio"))
+      .filter((col("lang") === "en") =!= (col("en_ratio") >= 0.05))
+      .select(col("doc_id"), col("lang"),
+        when(col("en_ratio") >= 0.05, "en_like").otherwise("other").as("guess"),
+        col("en_ratio"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(dedupExact, textStats, langId, docProfile, jaccardNearDup, mediaMeta,
-      tokenCounts, fingerprintRolling, trainSplit, shuffleOrder, packShards)
+      tokenCounts, fingerprintRolling, trainSplit, shuffleOrder, packShards,
+      dedupNormalized, labelMismatch)
 }
