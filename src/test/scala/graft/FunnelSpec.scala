@@ -40,6 +40,33 @@ class FunnelSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 0L), s"got $got")
   }
 
+  test("funnel agrees with a sequential model on random event streams") {
+    val rnd = new scala.util.Random(20260813L)
+    val types = Array("view", "click", "purchase", "error", "signup")
+    val events = (1 to 300).map { i =>
+      (1L + rnd.nextInt(12), ts(rnd.nextInt(60)), types(rnd.nextInt(types.length)))
+    }.distinct // duplicate (user, ts, type) rows would make min-ties ambiguous
+    // sequential model: anchor-chained first-occurrence scan per user
+    val want = events.groupBy(_._1).map { case (u, evs) =>
+      val sorted = evs.sortBy(_._2.getTime)
+      var stage = 0L
+      var anchor = Long.MinValue
+      for ((_, t, ty) <- sorted) {
+        val steps = Seq("view", "click", "purchase")
+        if (stage < 3 && ty == steps(stage.toInt) &&
+            (stage == 0L || t.getTime > anchor)) {
+          stage += 1; anchor = t.getTime
+        }
+      }
+      u -> stage
+    }
+    val dir = eventsDir(events)
+    val got = EventQueries.eventFunnel.build(spark, dir)
+      .select("user_id", "stage").as[(Long, Long)].collect().toMap
+    assert(got == want, s"diff: ${(got.toSet diff want.toSet).take(3)} vs " +
+      s"${(want.toSet diff got.toSet).take(3)}")
+  }
+
   test("funnel: a later same-type event can satisfy the stage") {
     // user's SECOND view is followed by the click, even though the first
     // view is too — min(t_view) is the anchor, so both orderings pass
