@@ -1,35 +1,64 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Per-round scaling-regression gate: replicates the sf0.1 `documents`
-  * table `Repl`x, re-runs every documents-only query on base and
-  * replicated data, and writes the measured factor per query to
-  * SCALING.json.
+/** Per-round scaling-regression gate: replicates the sf0.1 `documents`,
+  * `embeddings`, and `events` tables `Repl`x, re-runs every single-table
+  * query on base and replicated data, and writes the measured factor per
+  * query to SCALING.json.
   *
   * The replication must preserve the workload's SHAPE, not just its row
   * count, so each replica is made disjoint from the others on every key a
-  * query buckets by: ids are strided far apart (planted-twin offsets never
-  * collide across replicas, and `doc_id % k` plant patterns repeat
-  * identically per replica) AND every token gets a replica-specific suffix
-  * — identical text across replicas would give all 10 copies identical
-  * MinHash/SimHash signatures and token sets, multiplying every band
-  * bucket's occupancy by Repl (pushing buckets over the hot caps, which
-  * SKIPS them and would let a genuinely quadratic candidate step report a
-  * sub-linear factor) and wiring the dedup graph ACROSS replicas. With
-  * disjoint vocabularies per replica, near-dup structure stays
-  * within-replica and the scaled corpus really is Repl independent copies
-  * of the base workload.
+  * query buckets by:
+  *
+  *  - `documents`: ids are strided far apart (planted-twin offsets never
+  *    collide across replicas, and `doc_id % k` plant patterns repeat
+  *    identically per replica) AND every token gets a replica-specific
+  *    suffix — identical text across replicas would give all 10 copies
+  *    identical MinHash/SimHash signatures and token sets, multiplying
+  *    every band bucket's occupancy by Repl (pushing buckets over the hot
+  *    caps, which SKIPS them and would let a genuinely quadratic candidate
+  *    step report a sub-linear factor) and wiring the dedup graph ACROSS
+  *    replicas. With disjoint vocabularies per replica, near-dup structure
+  *    stays within-replica and the scaled corpus really is Repl
+  *    independent copies of the base workload.
+  *  - `embeddings`: vec_id strided (the stride is divisible by the %50/%25
+  *    query-batch patterns, and larger than the +100_000 planted-twin
+  *    offset of q_embed_neardup), `label` offset per replica
+  *    (q_embed_neardup / q_ann_ivf / q_ncm_classify block or cell on
+  *    label — shared labels would wire blocks ACROSS replicas, growing
+  *    each per-label pair step by Repl^2 instead of Repl), and the vector
+  *    itself jittered by a small per-replica constant so replicas are 10
+  *    distinct point sets, not 10 coincident copies (coincident copies
+  *    would make every KMeans/LSH cell hold Repl exact echoes of the base
+  *    cell and every cosine a tie).
+  *  - `events`: user_id and event_id strided; timestamps kept — 10x users
+  *    in the same time range is the realistic growth direction for an
+  *    event log (window keys stay fixed, per-key counts grow linearly,
+  *    per-user state stays constant-size).
   *
   * A sub-linear-or-linear factor (<= ~Repl) is the evidence that no
   * candidate-generation step has gone quadratic — the failure mode the
-  * fixed-SF bench can never see. Run each round; the judge reads
-  * SCALING.json next to BENCH.json.
+  * fixed-SF bench can never see. Known deliberate exceptions, documented
+  * rather than hidden: the brute-force EVAL queries (q_cosine_topk,
+  * q_knn_classify, and q_ann_recall's ground-truth half) score a query
+  * BATCH that grows with the corpus (vec_id % 50) against the whole
+  * corpus, so their work is Theta(N^2/50) BY DESIGN — they exist as the
+  * yardstick the ANN paths approximate; the production shape fixes the
+  * query batch (then cost is linear in N) or uses the ANN paths whose
+  * per-query candidates are cell-bounded.
+  *
+  * Run each round; the judge reads SCALING.json next to BENCH.json. With
+  * SPARK_GRAFT_STRESS=1 the probe additionally runs the three heaviest
+  * document queries once at `StressRepl`x (~1M docs) and records wall
+  * time + shuffle bytes in a `stress` block — the direct evidence that
+  * the most expensive shapes survive a 100x+ scale-up.
   */
 object ScaleProbe {
 
-  /** Queries that read ONLY the documents table (the replicated input). */
+  /** Queries that read ONLY the documents table (replicated input #1). */
   private val DocQueries = Seq(
     "q_dedup_exact", "q_text_stats", "q_lang_id", "q_doc_profile",
     "q_jaccard_neardup", "q_media_meta", "q_token_counts",
@@ -42,15 +71,100 @@ object ScaleProbe {
     "q_budget_mixture", "q_length_quantiles", "q_pipeline_e2e",
     "q_shard_manifest", "q_dedup_normalized", "q_label_mismatch")
 
+  /** Queries that read ONLY the embeddings table (replicated input #2). */
+  private val EmbQueries = Seq(
+    "q_cosine_topk", "q_ann_ivf", "q_ann_lsh", "q_ann_int8",
+    "q_ann_ivf_learned", "q_ann_recall", "q_embed_neardup",
+    "q_quantize_roundtrip", "q_knn_classify", "q_ncm_classify")
+
+  /** Queries that read ONLY the events table (replicated input #3). */
+  private val EvQueries = Seq(
+    "q_json_extract", "q_window_tumbling", "q_window_sliding",
+    "q_window_session", "q_event_funnel", "q_retention_cohorts")
+
   private val Repl = 10
-  // larger than any planted-twin id offset (1_000_000 + base ids), so
-  // replica id ranges can never overlap each other or their planted twins
+  // larger than any planted-twin id offset (max is 4_000_000 + base ids,
+  // from q_dedup_normalized's planted variants; q_embed_neardup uses
+  // +100_000, others <= 1_000_000), and divisible by every `id % k` plant/
+  // query-batch modulus in use (10, 25, 50), so replica id ranges never
+  // overlap their planted twins and every replica repeats the base plant
+  // pattern exactly
   private val Stride = 10_000_000L
+  /** One-shot stress replication for the heavy three (1M docs from the
+    * 5k-doc sf0.1 base). */
+  private val StressRepl = 200
+  private val StressQueries =
+    Seq("q_substring_dedup", "q_decontaminate", "q_dedup_components")
+
+  /** Documents replicated `repl`x with disjoint id ranges and disjoint
+    * per-replica vocabularies (see object scaladoc). */
+  private def scaledDocuments(spark: SparkSession, sfDir: String, repl: Int): DataFrame = {
+    val base = engine.Tables.t(spark, sfDir, "documents")
+    (0 until repl).map { r =>
+      // replica 0 keeps the base text verbatim; every other replica
+      // suffixes each token with its replica id, so replicas share no
+      // tokens/shingles/signatures
+      val text =
+        if (r == 0) col("text")
+        else array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"~$r"))), " ")
+      base.withColumn("doc_id", col("doc_id") + lit(r * Stride))
+        .withColumn("text", text)
+    }.reduce(_ unionAll _)
+  }
+
+  /** Embeddings replicated with strided vec_id, per-replica label space,
+    * and a small per-replica additive jitter on the vector (replica 0
+    * verbatim). Element type stays float. */
+  private def scaledEmbeddings(spark: SparkSession, sfDir: String, repl: Int): DataFrame = {
+    val base = engine.Tables.t(spark, sfDir, "embeddings")
+    (0 until repl).map { r =>
+      val vec =
+        if (r == 0) col("embedding")
+        else transform(col("embedding"), x => x + lit((r * 1e-3).toFloat))
+      base.select(
+        (col("vec_id") + lit(r * Stride)).as("vec_id"),
+        vec.as("embedding"),
+        (col("label") + lit(r * 10000)).as("label"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Events replicated with strided user_id/event_id, timestamps kept.
+    * Reads the RAW parquet (not Tables.t) so `ts` stays the int64-nanos
+    * column the testdata uses and the scaled file round-trips through
+    * Tables.t identically to the base file. */
+  private def scaledEvents(spark: SparkSession, sfDir: String, repl: Int): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/events.parquet")
+    (0 until repl).map { r =>
+      base.withColumn("event_id", col("event_id") + lit(r * Stride))
+        .withColumn("user_id", col("user_id") + lit(r * Stride))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Accumulates per-stage shuffle metrics for the stress block. Listener
+    * delivery is async — callers pause briefly after a job before reading. */
+  private final class ShuffleTracker extends SparkListener {
+    @volatile var writeBytes = 0L
+    @volatile var readBytes = 0L
+    @volatile var maxStageWriteBytes = 0L
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        val w = m.shuffleWriteMetrics.bytesWritten
+        writeBytes += w
+        readBytes += m.shuffleReadMetrics.totalBytesRead
+        if (w > maxStageWriteBytes) maxStageWriteBytes = w
+      }
+    }
+    def reset(): Unit = { writeBytes = 0L; readBytes = 0L; maxStageWriteBytes = 0L }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runStress = sys.env.get("SPARK_GRAFT_STRESS").exists(_.nonEmpty)
     val scaledDir = "target/scaleprobe"
+    val stressDir = "target/scaleprobe-stress"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -62,21 +176,12 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val base = engine.Tables.t(spark, sfDir, "documents")
-    (0 until Repl)
-      .map { r =>
-        // replica 0 keeps the base text verbatim; every other replica
-        // suffixes each token with its replica id, so replicas share no
-        // tokens/shingles/signatures (see scaladoc for why that matters)
-        val text =
-          if (r == 0) col("text")
-          else array_join(transform(split(col("text"), " "),
-            t => concat(t, lit(s"~$r"))), " ")
-        base.withColumn("doc_id", col("doc_id") + lit(r * Stride))
-          .withColumn("text", text)
-      }
-      .reduce(_ unionAll _)
+    scaledDocuments(spark, sfDir, Repl)
       .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
+    scaledEmbeddings(spark, sfDir, Repl)
+      .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
+    scaledEvents(spark, sfDir, Repl)
+      .write.mode("overwrite").parquet(s"$scaledDir/events.parquet")
 
     val queries = SparkEntry.queries
     // a failing query must not abort the probe and discard the completed
@@ -104,7 +209,7 @@ object ScaleProbe {
       median((1 to SteadyIters).map(_ => timeOnce(name, dir)))
     }
 
-    val rows = DocQueries.map { q =>
+    val rows = (DocQueries ++ EmbQueries ++ EvQueries).map { q =>
       val b = bench(q, sfDir)
       val s = bench(q, scaledDir)
       val factor = s / b
@@ -112,9 +217,36 @@ object ScaleProbe {
       (q, b, s, factor)
     }
     val ok = rows.filterNot { case (q, _, _, _) => failed(q) }
-    val json = ok.map { case (q, b, s, f) =>
+    val queriesJson = ok.map { case (q, b, s, f) =>
       f""""$q":{"base_s":$b%.3f,"x${Repl}_s":$s%.3f,"factor":$f%.2f}"""
-    }.mkString(s"""{"replication":$Repl,"sf":"$sfDir","steady_iters":$SteadyIters,"failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"queries":{""", ",", "}}")
+    }.mkString("\"queries\":{", ",", "}")
+
+    val stressJson = if (!runStress) "" else {
+      scaledDocuments(spark, sfDir, StressRepl)
+        .write.mode("overwrite").parquet(s"$stressDir/documents.parquet")
+      val nDocs = spark.read.parquet(s"$stressDir/documents.parquet").count()
+      val tracker = new ShuffleTracker
+      spark.sparkContext.addSparkListener(tracker)
+      val entries = StressQueries.map { q =>
+        timeOnce(q, sfDir) // warm codegen/JIT on the base SF first
+        Thread.sleep(1000)
+        tracker.reset()
+        val wall = timeOnce(q, stressDir)
+        Thread.sleep(1000) // let async listener delivery drain
+        System.err.println(f"[stress] $q%-20s x$StressRepl wall=$wall%8.2fs " +
+          f"shufW=${tracker.writeBytes}%d maxStageW=${tracker.maxStageWriteBytes}%d")
+        f""""$q":{"wall_s":$wall%.2f,"shuffle_write_bytes":${tracker.writeBytes},""" +
+          f""""shuffle_read_bytes":${tracker.readBytes},""" +
+          f""""max_stage_shuffle_write_bytes":${tracker.maxStageWriteBytes}}"""
+      }
+      entries.mkString(
+        s""","stress":{"replication":$StressRepl,"docs":$nDocs,"queries":{""",
+        ",", "}}")
+    }
+
+    val json = s"""{"replication":$Repl,"sf":"$sfDir","steady_iters":$SteadyIters,""" +
+      s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +
+      queriesJson + stressJson + "}"
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

@@ -26,8 +26,12 @@ object ClassifyQueries {
     * by majority vote of its 5 nearest neighbors (cosine, brute-force
     * truth — the yardstick the ANN variants approximate), and report the
     * prediction next to the ground truth. Vote ties break by (count desc,
-    * label asc), so the prediction is deterministic. The query batch is
-    * bounded (vec_id % 50) and broadcast; the corpus is ONE scan. */
+    * label asc), so the prediction is deterministic. The query batch
+    * (vec_id % 50) is proportionally small — 1/50 of the corpus, so the
+    * broadcast side and the scored-pairs cost both grow linearly with the
+    * table; brute-force by design (it IS the ground truth the ANN paths
+    * approximate). A fixed-size batch would cap it, but the eval reads
+    * every 50th vector on purpose. The corpus is ONE scan. */
   val knnClassify: Q = Q(
     "q_knn_classify",
     s"""WITH q AS (

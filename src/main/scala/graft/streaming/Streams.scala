@@ -98,7 +98,9 @@ final case class FunnelTransition(user_id: Long, stage: Long,
   * arrives with ts strictly after the anchor, exactly the batch
   * operator's min-after-anchor rule (for in-event-time-order arrival the
   * stream reproduces the batch stages — proven in StreamingSpec). Within
-  * a micro-batch rows fold in ts order. */
+  * a micro-batch rows fold in microsecond-precision ts order — the same
+  * precision the anchor comparison uses, so two events inside one
+  * millisecond cannot fold out of order. */
 private[streaming] class FunnelProcessor(steps: Seq[String])
     extends StatefulProcessor[Long, StreamEvent, FunnelTransition] {
   @transient private var progress: ValueState[FunnelState] = _
@@ -111,7 +113,7 @@ private[streaming] class FunnelProcessor(steps: Seq[String])
       timers: TimerValues): Iterator[FunnelTransition] = {
     var st = if (progress.exists()) progress.get() else FunnelState(0L, Long.MinValue)
     val out = Seq.newBuilder[FunnelTransition]
-    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+    rows.toSeq.sortBy(e => (micros(e.ts), e.event_type)).foreach { e =>
       if (st.stage < steps.length && e.event_type == steps(st.stage.toInt) &&
           (st.stage == 0L || micros(e.ts) > st.anchorMicros)) {
         st = FunnelState(st.stage + 1, micros(e.ts))

@@ -60,6 +60,24 @@ class SinksSpec extends SparkSpec {
     val plan = one.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [") &&
       !plan.contains("PartitionFilters: []"), plan.take(500))
-    assert(one.count() == docs.filter(col("lang") === langs.head).count())
+    assert(one.collect().length ==
+      docs.filter(col("lang") === langs.head).count())
+    // the scan METRIC proves pruning actually skipped the other partitions'
+    // files — only lang=<head>'s parquet files were selected, strictly
+    // fewer than the directory holds in total
+    def parquetFilesUnder(d: java.io.File): Int = {
+      val here = Option(d.listFiles()).getOrElse(Array.empty)
+      here.count(f => f.isFile && f.getName.endsWith(".parquet")) +
+        here.filter(_.isDirectory).map(parquetFilesUnder).sum
+    }
+    val filesInHead = parquetFilesUnder(new java.io.File(s"$dir/lang=${langs.head}"))
+    val filesTotal = parquetFilesUnder(new java.io.File(dir))
+    val scan = one.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metrics("numFiles").value == filesInHead,
+      s"scan read ${scan.metrics("numFiles").value} files, partition holds $filesInHead")
+    assert(filesInHead < filesTotal,
+      s"pruning test vacuous: $filesInHead of $filesTotal files")
   }
 }
