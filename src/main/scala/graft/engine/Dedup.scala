@@ -7,18 +7,27 @@ import org.apache.spark.sql.functions._
   * (d1, d2); deciding which docs to keep needs the transitive closure — a
   * doc similar to A and to B puts all three in one duplicate cluster.
   *
-  * [[components]] is min-label propagation: every node starts as its own
-  * label; each round every node takes the minimum label in its
-  * neighborhood; fixpoint = connected components, labeled by their minimum
-  * member id (the natural "keep the smallest doc_id" canonical choice).
-  * Rounds needed = graph diameter — near-dup clusters are shallow (a
-  * handful of hops), so the loop is short; each round is two keyed
-  * shuffles (join + min aggregate), nothing quadratic. The loop runs
-  * driver-side but every step is a distributed plan, and each round is
-  * exactly ONE job: the propagation select carries a `chg` flag, the
-  * next labels are LAZILY localCheckpoint'ed, and the count of changed
-  * rows both materializes that checkpoint and decides convergence — no
-  * separate compare-join action per round.
+  * [[components]] is min-label propagation with pointer jumping: every
+  * node starts as its own label; each round every node takes the minimum
+  * label in its neighborhood (two hops), then jumps through its label's
+  * label (`comp <- comp[comp]`, path compression). Fixpoint = connected
+  * components, labeled by their minimum member id (the natural "keep the
+  * smallest doc_id" canonical choice). Neighbor hops alone need
+  * diameter-many rounds — fine for shallow near-dup clusters, but a
+  * corpus whose candidate buckets chain (the 1M-doc stress probe built
+  * exactly that: planted-twin buckets form components hundreds of hops
+  * deep) would blow any fixed round cap. The compression step doubles
+  * the propagated distance per round, so convergence is O(log diameter)
+  * — ~6 rounds for a 300-deep chain, bounded ~20 for any graph that
+  * fits on disk. Each round is keyed shuffles only (joins + min
+  * aggregate), nothing quadratic, and exactly ONE job: the selects carry
+  * a `chg` flag, the next labels are LAZILY localCheckpoint'ed, and the
+  * count of changed rows both materializes that checkpoint and decides
+  * convergence — no separate compare-join action per round. The
+  * compression join's key is the label itself — near the fixpoint every
+  * member of a component shares one key, a deliberate hot key: the probe
+  * side is one row per key, which AQE skew-join replicates across the
+  * split fact partitions.
   */
 object Dedup {
 
@@ -71,18 +80,40 @@ object Dedup {
           min(when(col("own"), col("lab"))).as("__old"))
         .select(col("id"), col("comp"), (col("comp") < col("__old")).as("chg"))
     }
+    // pointer jumping: replace every label by its label's label. Labels
+    // are monotone (comp[x] <= x always: the seed takes a min with the own
+    // id and every later step only lowers), so comp[comp[x]] <= comp[x]
+    // and the jump is itself a propagation step — it doubles the distance
+    // covered so far. comp values are node ids present in `labels`
+    // (they originate as ids in the seed), so the lookup always hits; the
+    // left join + coalesce is belt-and-braces. `chg` folds the jump's
+    // changes into the incoming flag.
+    def compress(labels: DataFrame): DataFrame = {
+      val l2 = labels.select(col("id").as("__cid"), col("comp").as("__cc"))
+      labels.join(l2, col("comp") === col("__cid"), "left")
+        .select(col("id"),
+          coalesce(col("__cc"), col("comp")).as("comp"),
+          (col("chg") ||
+            coalesce(col("__cc"), col("comp")) < col("comp")).as("chg"))
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // TWO hops per driver round trip: the loop's cost on shallow graphs
-      // is job latency, not data, so halving the count-job count halves it.
-      // Convergence reads ONLY the second hop's flag — a changeless second
-      // hop means the fixpoint was reached whatever the first hop did (at
-      // worst the final job evaluates one already-converged hop). The lazy
-      // checkpoint is materialized (all partitions — count, not a
-      // short-circuiting limit) by the same action that reads the flag,
-      // and also bounds lineage growth across rounds.
-      val next = propagate(propagate(labels).drop("chg"))
+      // TWO hops + one jump per driver round trip: the loop's cost on
+      // shallow graphs is job latency, not data, so batching the count-job
+      // count down matters. Convergence reads the final flag, which folds
+      // the second hop's and the jump's — a changeless second hop means
+      // the propagation fixpoint was reached whatever the first hop did,
+      // and at that fixpoint the jump is a no-op. The lazy checkpoint is
+      // materialized (all partitions — count, not a short-circuiting
+      // limit) by the same action that reads the flag, and also bounds
+      // lineage growth across rounds.
+      // the jump only joins from round 3 on: a shallow graph (the common
+      // near-dup case) converges in 1-2 rounds and never pays the extra
+      // shuffle pair; a deep one starts doubling two rounds late, which
+      // costs O(1) extra rounds against its O(log diameter) total
+      val hopped = propagate(propagate(labels).drop("chg"))
+      val next = (if (i < 2) hopped else compress(hopped))
         .localCheckpoint(eager = false)
       val changed = next.filter(col("chg")).count()
       labels = next.drop("chg")

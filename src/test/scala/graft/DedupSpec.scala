@@ -19,6 +19,15 @@ class DedupSpec extends SparkSpec {
     assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
   }
 
+  test("components: a 400-deep chain converges inside the default cap") {
+    // pointer jumping makes rounds O(log diameter); plain neighbor
+    // propagation would need 200 double-rounds here and trip the cap —
+    // the 1M-doc stress probe's failure mode, kept as a regression test
+    val edges = (0L until 400L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Dedup.components(edges).as[(Long, Long)].collect().toMap
+    assert(comp.size == 401 && comp.values.forall(_ == 0L), s"${comp.take(5)}")
+  }
+
   test("components: an id appearing only in self-loop edges is kept") {
     val edges = Seq((5L, 5L), (1L, 2L)).toDF("a", "b")
     val comp = Dedup.components(edges).as[(Long, Long)].collect().toMap
