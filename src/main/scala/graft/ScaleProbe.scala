@@ -48,7 +48,11 @@ import org.apache.spark.sql.functions._
   * corpus, so their work is Theta(N^2/50) BY DESIGN — they exist as the
   * yardstick the ANN paths approximate; the production shape fixes the
   * query batch (then cost is linear in N) or uses the ANN paths whose
-  * per-query candidates are cell-bounded.
+  * per-query candidates are cell-bounded. The `fixed_batch` block
+  * MEASURES that production shape rather than arguing it: the same
+  * brute-force and learned-IVF plans with the query batch pinned to the
+  * base replica (`vec_id < Stride` — constant 40 queries at every
+  * scale), so the factor shows cost linear in corpus size.
   *
   * Run each round; the judge reads SCALING.json next to BENCH.json. With
   * SPARK_GRAFT_STRESS=1 the probe additionally runs the three heaviest
@@ -98,7 +102,7 @@ object ScaleProbe {
 
   /** Documents replicated `repl`x with disjoint id ranges and disjoint
     * per-replica vocabularies (see object scaladoc). */
-  private def scaledDocuments(spark: SparkSession, sfDir: String, repl: Int): DataFrame = {
+  private[graft] def scaledDocuments(spark: SparkSession, sfDir: String, repl: Int): DataFrame = {
     val base = engine.Tables.t(spark, sfDir, "documents")
     (0 until repl).map { r =>
       // replica 0 keeps the base text verbatim; every other replica
@@ -116,7 +120,7 @@ object ScaleProbe {
   /** Embeddings replicated with strided vec_id, per-replica label space,
     * and a small per-replica additive jitter on the vector (replica 0
     * verbatim). Element type stays float. */
-  private def scaledEmbeddings(spark: SparkSession, sfDir: String, repl: Int): DataFrame = {
+  private[graft] def scaledEmbeddings(spark: SparkSession, sfDir: String, repl: Int): DataFrame = {
     val base = engine.Tables.t(spark, sfDir, "embeddings")
     (0 until repl).map { r =>
       val vec =
@@ -133,12 +137,43 @@ object ScaleProbe {
     * Reads the RAW parquet (not Tables.t) so `ts` stays the int64-nanos
     * column the testdata uses and the scaled file round-trips through
     * Tables.t identically to the base file. */
-  private def scaledEvents(spark: SparkSession, sfDir: String, repl: Int): DataFrame = {
+  private[graft] def scaledEvents(spark: SparkSession, sfDir: String, repl: Int): DataFrame = {
     val base = spark.read.parquet(s"$sfDir/events.parquet")
     (0 until repl).map { r =>
       base.withColumn("event_id", col("event_id") + lit(r * Stride))
         .withColumn("user_id", col("user_id") + lit(r * Stride))
     }.reduce(_ unionAll _)
+  }
+
+  /** q_cosine_topk's exact plan shape (broadcast query batch, projected
+    * norms, rank window per query) with the batch PINNED to the base
+    * replica — the fixed-query-batch production form whose cost is linear
+    * in corpus size. */
+  private def fixedBatchCosine(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    val emb = engine.Tables.t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < Stride)
+      .select(col("vec_id").as("qid"), Vectors.asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", Vectors.normNative(col("qv")))
+    val e = emb.select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("vn", Vectors.normNative(col("v")))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Vectors.cosineFromNorms(col("qv"), col("v"), col("qn"), col("vn")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+  }
+
+  /** The learned-IVF search (seeded KMeans cells, nProbe-pruned candidate
+    * join) with the query batch pinned to the base replica. */
+  private def fixedBatchIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = engine.Tables.t(spark, dir, "embeddings")
+    val idx = engine.Ivf.build(emb, "vec_id", "embedding", nCells = 8)
+    engine.Ivf.searchTopK(idx,
+      col("vec_id") % 50 === 0 && col("vec_id") < Stride,
+      "vec_id", "embedding", k = 3, nProbe = 2)
   }
 
   /** Accumulates per-stage shuffle metrics for the stress block. Listener
@@ -221,6 +256,28 @@ object ScaleProbe {
       f""""$q":{"base_s":$b%.3f,"x${Repl}_s":$s%.3f,"factor":$f%.2f}"""
     }.mkString("\"queries\":{", ",", "}")
 
+    // fixed-query-batch production shapes (see scaladoc): same protocol,
+    // same dirs, batch pinned to the base replica
+    val fixedRows =
+      Seq(("cosine_bruteforce", fixedBatchCosine _),
+          ("ann_ivf_learned", fixedBatchIvf _)).map { case (name, build) =>
+        def benchFixed(dir: String): Double = {
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            build(spark, dir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          once()
+          median((1 to SteadyIters).map(_ => once()))
+        }
+        val b = benchFixed(sfDir)
+        val s = benchFixed(scaledDir)
+        System.err.println(
+          f"[scale] fixed:$name%-18s base=$b%7.3fs x$Repl=$s%7.3fs factor=${s / b}%5.2f")
+        f""""$name":{"base_s":$b%.3f,"x${Repl}_s":$s%.3f,"factor":${s / b}%.2f}"""
+      }
+    val fixedJson = fixedRows.mkString(""","fixed_batch":{""", ",", "}")
+
     val stressJson = if (!runStress) "" else {
       scaledDocuments(spark, sfDir, StressRepl)
         .write.mode("overwrite").parquet(s"$stressDir/documents.parquet")
@@ -246,7 +303,7 @@ object ScaleProbe {
 
     val json = s"""{"replication":$Repl,"sf":"$sfDir","steady_iters":$SteadyIters,""" +
       s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +
-      queriesJson + stressJson + "}"
+      queriesJson + fixedJson + stressJson + "}"
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

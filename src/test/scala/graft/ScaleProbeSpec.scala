@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** The scale probe's replication must produce Repl INDEPENDENT copies of
+  * the base workload — disjoint on every key a query buckets by (tokens,
+  * labels, ids), with per-replica plant patterns intact. These invariants
+  * are what make SCALING.json's factors meaningful (shared keys would wire
+  * near-dup/label structure ACROSS replicas and let a quadratic step hide
+  * behind hot-bucket skips — or, as the 1M-doc stress showed for the one
+  * token the queries themselves append, blow component depth up); guard
+  * them with the real replicators at a small Repl.
+  */
+class ScaleProbeSpec extends SparkSpec {
+
+  private val repl = 3
+  private val stride = 10000000L
+
+  private def replicaSlices(d: DataFrame, idCol: String): Seq[DataFrame] =
+    (0 until repl).map(r =>
+      d.filter(col(idCol) >= r * stride && col(idCol) < (r + 1) * stride))
+
+  test("document replicas: disjoint ids + vocabularies, plant pattern intact") {
+    val d = ScaleProbe.scaledDocuments(spark, sf, repl).cache()
+    val base = Tables.t(spark, sf, "documents")
+    val n = base.count()
+    val slices = replicaSlices(d, "doc_id")
+    assert(d.count() == repl * n && slices.map(_.count()).forall(_ == n))
+    // every `doc_id % k` plant/batch pattern repeats identically per replica
+    val plantCounts = slices.map(_.filter(col("doc_id") % 10 === 0).count())
+    assert(plantCounts.distinct.size == 1, s"$plantCounts")
+    // replicas share NO tokens (disjoint vocabularies)
+    def toks(df: DataFrame): DataFrame =
+      df.select(explode(split(col("text"), " ")).as("t")).distinct()
+    assert(toks(slices(0)).join(toks(slices(1)), "t").count() == 0)
+    assert(toks(slices(1)).join(toks(slices(2)), "t").count() == 0)
+    d.unpersist()
+  }
+
+  test("embedding replicas: disjoint ids + label spaces, jittered vectors") {
+    val e = ScaleProbe.scaledEmbeddings(spark, sf, repl).cache()
+    val base = Tables.t(spark, sf, "embeddings")
+    val n = base.count()
+    val slices = replicaSlices(e, "vec_id")
+    assert(e.count() == repl * n && slices.map(_.count()).forall(_ == n))
+    // label spaces disjoint: blocks (embed_neardup) and cells (ann_ivf)
+    // stay within-replica
+    assert(slices(0).select("label").distinct()
+      .join(slices(1).select("label").distinct(), "label").count() == 0)
+    // replica 0 is the base verbatim; replica 1 is jittered, not a copy
+    val r0 = slices(0).select(col("vec_id"), element_at(col("embedding"), 1).as("x0"))
+    val r1 = slices(1).select((col("vec_id") - stride).as("vec_id"),
+      element_at(col("embedding"), 1).as("x1"))
+    val b0 = base.select(col("vec_id"), element_at(col("embedding"), 1).as("xb"))
+    assert(r0.join(b0, "vec_id").filter(col("x0") =!= col("xb")).count() == 0)
+    val drift = r1.join(b0, "vec_id")
+      .select(abs(col("x1") - col("xb") - lit(1e-3f)).as("d"))
+      .agg(max("d")).head.getFloat(0)
+    assert(drift < 1e-5f, s"jitter drift $drift")
+    e.unpersist()
+  }
+
+  test("event replicas: disjoint users/ids, identical time range") {
+    val ev = ScaleProbe.scaledEvents(spark, sf, repl).cache()
+    val base = spark.read.parquet(s"$sf/events.parquet")
+    val n = base.count()
+    val slices = replicaSlices(ev, "event_id")
+    assert(ev.count() == repl * n && slices.map(_.count()).forall(_ == n))
+    assert(slices(0).select("user_id").distinct()
+      .join(slices(1).select("user_id").distinct(), "user_id").count() == 0)
+    // timestamps are kept: same min/max per replica — 3x traffic in the
+    // SAME window keys, the growth direction the events probe models
+    val ranges = slices.map(_.agg(min("ts"), max("ts")).head)
+    assert(ranges.distinct.size == 1, s"$ranges")
+    ev.unpersist()
+  }
+}
