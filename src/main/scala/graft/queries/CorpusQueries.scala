@@ -245,8 +245,14 @@ object CorpusQueries {
       .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
       .orderBy(col("cf").desc, col("tok"))
       .limit(100)
+    // the numbering window sits on the LIMIT-bounded table (<= 100 rows at
+    // any scale — PlanFlags allows it), but it still gets the boundedGlobal
+    // non-foldable constant key so WindowExec never logs the
+    // single-partition warning and the bench log stays warning-free
     top.withColumn("token_id",
-        row_number().over(Window.orderBy(col("cf").desc, col("tok"))).cast("long"))
+        row_number().over(Window
+          .partitionBy(graft.engine.TimeSeries.boundedGlobal(col("tok")): _*)
+          .orderBy(col("cf").desc, col("tok"))).cast("long"))
       .select(col("token_id"), col("tok"), col("cf"), col("df"))
       .orderBy("token_id")
   }

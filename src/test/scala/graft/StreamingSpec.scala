@@ -444,6 +444,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("funnelStages: same-millisecond events fold in microsecond order") {
+    // view, click, purchase all inside ONE millisecond (100/300/500 us).
+    // A millisecond-precision sort would tie and fall back to event_type
+    // order (click < purchase < view), miss every transition after the
+    // view, and stall the user's funnel state permanently — the ADVICE r6
+    // scenario, pinned here against the micros-precision sort.
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val baseMs = Timestamp.valueOf("2026-01-01 10:00:00").getTime
+      def at(us: Int): Timestamp = {
+        val t = new Timestamp(baseMs); t.setNanos(us * 1000); t
+      }
+      val in = MemoryStream[StreamEvent]
+      val q = Streams.funnelStages(in.toDS())
+        .writeStream.format("memory").queryName("funnel_us")
+        .outputMode("append").start()
+      try {
+        in.addData(Seq(
+          StreamEvent(1L, at(100), "view", 1.0),
+          StreamEvent(1L, at(300), "click", 1.0),
+          StreamEvent(1L, at(500), "purchase", 1.0)))
+        q.processAllAvailable()
+        val stages = spark.table("funnel_us")
+          .select("stage").as[Long].collect().toSet
+        assert(stages == Set(1L, 2L, 3L), s"got stages $stages")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("the same transform runs in batch mode (unified API)") {
     val batch = Seq(evAt(1, "10:05", 2.0), evAt(1, "10:20", 3.0), evAt(2, "11:05", 7.0))
       .toDF()
