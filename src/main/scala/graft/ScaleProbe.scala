@@ -31,9 +31,20 @@ import org.apache.spark.sql.functions._
   *    label — shared labels would wire blocks ACROSS replicas, growing
   *    each per-label pair step by Repl^2 instead of Repl), and the vector
   *    itself jittered by a small per-replica constant so replicas are 10
-  *    distinct point sets, not 10 coincident copies (coincident copies
-  *    would make every KMeans/LSH cell hold Repl exact echoes of the base
-  *    cell and every cosine a tie).
+  *    distinct point sets rather than coincident copies (which would make
+  *    every cosine a tie and KMeans degenerate). The jitter does NOT make
+  *    the vector-DERIVED buckets disjoint — a small shift flips almost no
+  *    LSH hyperplane sign and moves almost no vector across a KMeans cell
+  *    boundary — so for q_ann_lsh / q_ann_ivf_learned the scaled corpus
+  *    is 10x the occupancy of the SAME 16 buckets / 8 cells: with the
+  *    %50 query batch also growing 10x, their self-search candidate step
+  *    is Theta(N^2/buckets) at FIXED index params, same as the
+  *    brute-force evals below. That is the honest semantics of "same
+  *    index params, 10x corpus"; the production path scales
+  *    nPlanes/nCells with N, and the `fixed_batch` block measures the
+  *    fixed-batch linear form. Only the label-keyed paths
+  *    (q_embed_neardup, q_ann_ivf's label cells, q_ncm_classify) are
+  *    replica-independent by construction.
   *  - `events`: user_id and event_id strided; timestamps kept — 10x users
   *    in the same time range is the realistic growth direction for an
   *    event log (window keys stay fixed, per-key counts grow linearly,
@@ -58,7 +69,11 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_STRESS=1 the probe additionally runs the three heaviest
   * document queries once at `StressRepl`x (~1M docs) and records wall
   * time + shuffle bytes in a `stress` block — the direct evidence that
-  * the most expensive shapes survive a 100x+ scale-up.
+  * the most expensive shapes survive a 100x+ scale-up. Run the stress
+  * with SPARK_DRIVER_MEM=24g: the build's 8g default sits at the margin
+  * for the 1M-doc substring dedup (observed to OOM about one run in
+  * four); a stress failure is recorded in the block's own `failed` list
+  * and never touches the 10x measurements.
   */
 object ScaleProbe {
 
@@ -89,11 +104,17 @@ object ScaleProbe {
   private val Repl = 10
   // larger than any planted-twin id offset (max is 4_000_000 + base ids,
   // from q_dedup_normalized's planted variants; q_embed_neardup uses
-  // +100_000, others <= 1_000_000), and divisible by every `id % k` plant/
-  // query-batch modulus in use (10, 25, 50), so replica id ranges never
-  // overlap their planted twins and every replica repeats the base plant
-  // pattern exactly
-  private val Stride = 10_000_000L
+  // +100_000, others <= 1_000_000), so replica id ranges never overlap
+  // their planted twins; divisible by the plant/query-batch moduli 10, 25
+  // and 50, so those patterns repeat identically per replica. The other
+  // moduli in use (97, 31, 11, 13, 17 — decontamination splits, corpus-diff
+  // snapshots) do NOT divide it: replica r's subset shifts to a coset of
+  // the same modulus, which preserves every subset's SIZE (the workload
+  // volume) though not the literal ids; and q_decontaminate's broadcast of
+  // the global-min benchmark doc shares that ONE doc's n-grams across
+  // replicas — an O(1) hot-key, not a scale shape. private[graft] so
+  // ScaleProbeSpec asserts against the real value instead of a copy.
+  private[graft] val Stride = 10_000_000L
   /** One-shot stress replication for the heavy three (1M docs from the
     * 5k-doc sf0.1 base). */
   private val StressRepl = 200
@@ -177,11 +198,13 @@ object ScaleProbe {
   }
 
   /** Accumulates per-stage shuffle metrics for the stress block. Listener
-    * delivery is async — callers pause briefly after a job before reading. */
+    * delivery is async — callers drain the bus through a sentinel job
+    * (see `drain` in main) before reading or resetting. */
   private final class ShuffleTracker extends SparkListener {
     @volatile var writeBytes = 0L
     @volatile var readBytes = 0L
     @volatile var maxStageWriteBytes = 0L
+    @volatile var stagesSeen = 0L
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
       if (m != null) {
@@ -190,6 +213,7 @@ object ScaleProbe {
         readBytes += m.shuffleReadMetrics.totalBytesRead
         if (w > maxStageWriteBytes) maxStageWriteBytes = w
       }
+      stagesSeen += 1
     }
     def reset(): Unit = { writeBytes = 0L; readBytes = 0L; maxStageWriteBytes = 0L }
   }
@@ -197,7 +221,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runStress = sys.env.get("SPARK_GRAFT_STRESS").exists(_.nonEmpty)
+    val runStress = sys.env.get("SPARK_GRAFT_STRESS")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     val scaledDir = "target/scaleprobe"
     val stressDir = "target/scaleprobe-stress"
     val spark = SparkSession.builder()
@@ -257,24 +282,33 @@ object ScaleProbe {
     }.mkString("\"queries\":{", ",", "}")
 
     // fixed-query-batch production shapes (see scaladoc): same protocol,
-    // same dirs, batch pinned to the base replica
+    // same dirs, batch pinned to the base replica. A failure here must not
+    // abort the probe either — it lands in `failed` as fixed:<name> and
+    // the block simply omits that entry.
     val fixedRows =
       Seq(("cosine_bruteforce", fixedBatchCosine _),
-          ("ann_ivf_learned", fixedBatchIvf _)).map { case (name, build) =>
-        def benchFixed(dir: String): Double = {
-          def once(): Double = {
-            val t0 = System.nanoTime()
-            build(spark, dir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
+          ("ann_ivf_learned", fixedBatchIvf _)).flatMap { case (name, build) =>
+        try {
+          def benchFixed(dir: String): Double = {
+            def once(): Double = {
+              val t0 = System.nanoTime()
+              build(spark, dir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            }
+            once()
+            median((1 to SteadyIters).map(_ => once()))
           }
-          once()
-          median((1 to SteadyIters).map(_ => once()))
+          val b = benchFixed(sfDir)
+          val s = benchFixed(scaledDir)
+          System.err.println(
+            f"[scale] fixed:$name%-18s base=$b%7.3fs x$Repl=$s%7.3fs factor=${s / b}%5.2f")
+          Some(f""""$name":{"base_s":$b%.3f,"x${Repl}_s":$s%.3f,"factor":${s / b}%.2f}""")
+        } catch {
+          case t: Throwable =>
+            failed.add(s"fixed:$name")
+            System.err.println(s"[scale] fixed:$name FAILED: ${t.getMessage}")
+            None
         }
-        val b = benchFixed(sfDir)
-        val s = benchFixed(scaledDir)
-        System.err.println(
-          f"[scale] fixed:$name%-18s base=$b%7.3fs x$Repl=$s%7.3fs factor=${s / b}%5.2f")
-        f""""$name":{"base_s":$b%.3f,"x${Repl}_s":$s%.3f,"factor":${s / b}%.2f}"""
       }
     val fixedJson = fixedRows.mkString(""","fixed_batch":{""", ",", "}")
 
@@ -284,20 +318,47 @@ object ScaleProbe {
       val nDocs = spark.read.parquet(s"$stressDir/documents.parquet").count()
       val tracker = new ShuffleTracker
       spark.sparkContext.addSparkListener(tracker)
-      val entries = StressQueries.map { q =>
-        timeOnce(q, sfDir) // warm codegen/JIT on the base SF first
-        Thread.sleep(1000)
-        tracker.reset()
-        val wall = timeOnce(q, stressDir)
-        Thread.sleep(1000) // let async listener delivery drain
-        System.err.println(f"[stress] $q%-20s x$StressRepl wall=$wall%8.2fs " +
-          f"shufW=${tracker.writeBytes}%d maxStageW=${tracker.maxStageWriteBytes}%d")
-        f""""$q":{"wall_s":$wall%.2f,"shuffle_write_bytes":${tracker.writeBytes},""" +
-          f""""shuffle_read_bytes":${tracker.readBytes},""" +
-          f""""max_stage_shuffle_write_bytes":${tracker.maxStageWriteBytes}}"""
+      // the listener bus is FIFO: once the sentinel job's stage-completed
+      // event lands in the tracker, every event from the preceding job has
+      // been delivered too — deterministic, unlike a fixed sleep
+      def drain(): Unit = {
+        val before = tracker.stagesSeen
+        spark.range(1).count()
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (tracker.stagesSeen == before && System.nanoTime() < deadline)
+          Thread.sleep(50)
+      }
+      // stress failures get their own list and NO queries entry (timeOnce's
+      // shared `failed` set would retroactively disqualify the query's
+      // 10x measurement above, which already completed fine)
+      val stressFailed = scala.collection.mutable.LinkedHashSet.empty[String]
+      def run(q: String, dir: String): Double = {
+        val t0 = System.nanoTime()
+        queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val entries = StressQueries.flatMap { q =>
+        try {
+          run(q, sfDir) // warm codegen/JIT on the base SF first
+          drain()
+          tracker.reset()
+          val wall = run(q, stressDir)
+          drain()
+          System.err.println(f"[stress] $q%-20s x$StressRepl wall=$wall%8.2fs " +
+            f"shufW=${tracker.writeBytes}%d maxStageW=${tracker.maxStageWriteBytes}%d")
+          Some(f""""$q":{"wall_s":$wall%.2f,"shuffle_write_bytes":${tracker.writeBytes},""" +
+            f""""shuffle_read_bytes":${tracker.readBytes},""" +
+            f""""max_stage_shuffle_write_bytes":${tracker.maxStageWriteBytes}}""")
+        } catch {
+          case t: Throwable =>
+            stressFailed.add(q)
+            System.err.println(s"[stress] $q FAILED at x$StressRepl: ${t.getMessage}")
+            None
+        }
       }
       entries.mkString(
-        s""","stress":{"replication":$StressRepl,"docs":$nDocs,"queries":{""",
+        s""","stress":{"replication":$StressRepl,"docs":$nDocs,""" +
+          s""""failed":[${stressFailed.map("\"" + _ + "\"").mkString(",")}],"queries":{""",
         ",", "}}")
     }
 

@@ -246,13 +246,13 @@ object CorpusQueries {
       .orderBy(col("cf").desc, col("tok"))
       .limit(100)
     // the numbering window sits on the LIMIT-bounded table (<= 100 rows at
-    // any scale — PlanFlags allows it), but it still gets the boundedGlobal
-    // non-foldable constant key so WindowExec never logs the
-    // single-partition warning and the bench log stays warning-free
+    // any scale — PlanFlags allows it), but it still goes through
+    // TimeSeries.rowIndex so it inherits the boundedGlobal non-foldable
+    // constant key (no WindowExec single-partition warning) from the one
+    // place that encodes that trick
     top.withColumn("token_id",
-        row_number().over(Window
-          .partitionBy(graft.engine.TimeSeries.boundedGlobal(col("tok")): _*)
-          .orderBy(col("cf").desc, col("tok"))).cast("long"))
+        graft.engine.TimeSeries
+          .rowIndex(Seq.empty, Seq(col("cf").desc, col("tok"))).cast("long"))
       .select(col("token_id"), col("tok"), col("cf"), col("df"))
       .orderBy("token_id")
   }

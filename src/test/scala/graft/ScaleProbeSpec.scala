@@ -17,7 +17,7 @@ import graft.engine.Tables
 class ScaleProbeSpec extends SparkSpec {
 
   private val repl = 3
-  private val stride = 10000000L
+  private val stride = ScaleProbe.Stride // the probe's real constant
 
   private def replicaSlices(d: DataFrame, idCol: String): Seq[DataFrame] =
     (0 until repl).map(r =>
