@@ -32,5 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Duser.timezone=UTC",
   // keep derby's metastore_db out of the repo root (bucketed-table tests)
   "-Dderby.system.home=/tmp/graft-derby",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the 1M-doc stress probe (SPARK_GRAFT_STRESS) sits at the OOM margin
+  // on the 8g default, so stress runs get 24g unless overridden
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM",
+    if (sys.env.contains("SPARK_GRAFT_STRESS")) "24g" else "8g")}",
 )
