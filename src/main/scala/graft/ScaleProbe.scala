@@ -67,10 +67,15 @@ import org.apache.spark.sql.functions._
   *
   * Run each round; the judge reads SCALING.json next to BENCH.json. With
   * SPARK_GRAFT_STRESS=1 the probe additionally runs the three heaviest
-  * document queries once at `StressRepl`x (~1M docs) plus the event-state
+  * document queries once at `StressRepl`x (~1M docs), the event-state
   * pair (funnel, sessionization) at the same factor (~20M events), and
-  * records wall time + shuffle bytes in a `stress` block — the direct
-  * evidence that the most expensive shapes survive a 100x+ scale-up. Run the stress
+  * the production ANN shapes at `StressEmbRepl`x (~1M vectors: the
+  * fixed-batch cosine/learned-IVF forms plus the int8 cell-pruned path),
+  * and records wall time + shuffle bytes in a `stress` block — the direct
+  * evidence that the most expensive shapes survive a 100x+ scale-up.
+  * Drains between measurements use a shuffle-free sentinel job, so the
+  * recorded bytes carry no drain noise; a drain that times out marks its
+  * entry `drain_timed_out`. Run the stress
   * with SPARK_DRIVER_MEM=24g: the build's 8g default sits at the margin
   * for the 1M-doc substring dedup (observed to OOM about one run in
   * four); a stress failure is recorded in the block's own `failed` list
@@ -124,6 +129,18 @@ object ScaleProbe {
   /** Event-family stress: 200x = 20M events through the per-user state
     * shapes (funnel joins, sessionization windows). */
   private val StressEvQueries = Seq("q_event_funnel", "q_window_session")
+  /** Embeddings-family stress: 500x the 2k-vector sf0.1 base = 1M vectors
+    * through the PRODUCTION ANN shapes — the fixed-batch forms (constant
+    * 40-query batch, cost linear in corpus size) plus the int8 cell-pruned
+    * path, whose per-query candidates are label-cell-bounded so its natural
+    * growing batch is already the linear production form. */
+  private val StressEmbRepl = 500
+  /** Per-replica label stride: every replica's labels live in
+    * [r*LabelStride, (r+1)*LabelStride). scaledEmbeddings asserts the base
+    * label space fits under it, so replica disjointness is ENFORCED rather
+    * than assumed (a shared label would wire label-keyed blocks across
+    * replicas and invalidate their factors). */
+  private[graft] val LabelStride = 10000L
 
   /** Documents replicated `repl`x with disjoint id ranges and disjoint
     * per-replica vocabularies (see object scaladoc). */
@@ -147,6 +164,13 @@ object ScaleProbe {
     * verbatim). Element type stays float. */
   private[graft] def scaledEmbeddings(spark: SparkSession, sfDir: String, repl: Int): DataFrame = {
     val base = engine.Tables.t(spark, sfDir, "embeddings")
+    // enforce the per-replica label-space disjointness the factors depend
+    // on, instead of assuming the base table stays small-labeled forever
+    val maxLabel = base.agg(max(col("label")).cast("long")).head.getLong(0)
+    require(maxLabel < LabelStride,
+      s"embeddings label space reaches $maxLabel >= per-replica stride " +
+        s"$LabelStride; replica label ranges would overlap and wire " +
+        "label-keyed queries across replicas — raise LabelStride")
     (0 until repl).map { r =>
       val vec =
         if (r == 0) col("embedding")
@@ -154,7 +178,10 @@ object ScaleProbe {
       base.select(
         (col("vec_id") + lit(r * Stride)).as("vec_id"),
         vec.as("embedding"),
-        (col("label") + lit(r * 10000)).as("label"))
+        // cast back: the long offset literal must not widen the scaled
+        // table's label dtype away from the base schema
+        (col("label") + lit(r * LabelStride))
+          .cast(base.schema("label").dataType).as("label"))
     }.reduce(_ unionAll _)
   }
 
@@ -324,71 +351,83 @@ object ScaleProbe {
       spark.sparkContext.addSparkListener(tracker)
       // the listener bus is FIFO: once the sentinel job's stage-completed
       // event lands in the tracker, every event from the preceding job has
-      // been delivered too — deterministic, unlike a fixed sleep
-      def drain(): Unit = {
+      // been delivered too — deterministic, unlike a fixed sleep. The
+      // sentinel is SHUFFLE-FREE (one result stage over a 1-element RDD),
+      // so draining adds ZERO bytes to the tracker and the recorded
+      // shuffle counts are the measured query's alone. Returns false —
+      // and says so on stderr — if the bus stalls past the 30s deadline,
+      // so under-counted metrics are distinguishable from real ones.
+      def drain(): Boolean = {
         val before = tracker.stagesSeen
-        spark.range(1).count()
+        spark.sparkContext.parallelize(Seq(1), 1).foreach(_ => ())
         val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
         while (tracker.stagesSeen == before && System.nanoTime() < deadline)
           Thread.sleep(50)
+        val ok = tracker.stagesSeen > before
+        if (!ok) System.err.println("[stress] WARN: listener-bus drain hit " +
+          "the 30s deadline without observing the sentinel stage — the " +
+          "adjacent entry's shuffle bytes may be under-reported")
+        ok
       }
       // stress failures get their own list and NO queries entry (timeOnce's
       // shared `failed` set would retroactively disqualify the query's
       // 10x measurement above, which already completed fine)
       val stressFailed = scala.collection.mutable.LinkedHashSet.empty[String]
-      def run(q: String, dir: String): Double = {
-        val t0 = System.nanoTime()
-        queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val entries = StressQueries.flatMap { q =>
+      def noop(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      // one stress entry: warm codegen/JIT on the base SF, drain + reset,
+      // run the stressed form once, drain, read the tracker. A drain
+      // timeout is recorded IN the entry (`drain_timed_out`) rather than
+      // silently folded into the numbers.
+      def measure(name: String, thunk: String => Unit): Option[String] =
         try {
-          run(q, sfDir) // warm codegen/JIT on the base SF first
-          drain()
+          thunk(sfDir)
+          var timedOut = !drain()
           tracker.reset()
-          val wall = run(q, stressDir)
-          drain()
-          System.err.println(f"[stress] $q%-20s x$StressRepl wall=$wall%8.2fs " +
-            f"shufW=${tracker.writeBytes}%d maxStageW=${tracker.maxStageWriteBytes}%d")
-          Some(f""""$q":{"wall_s":$wall%.2f,"shuffle_write_bytes":${tracker.writeBytes},""" +
+          val t0 = System.nanoTime()
+          thunk(stressDir)
+          val wall = (System.nanoTime() - t0) / 1e9
+          timedOut |= !drain()
+          System.err.println(f"[stress] $name%-20s wall=$wall%8.2fs " +
+            f"shufW=${tracker.writeBytes}%d maxStageW=${tracker.maxStageWriteBytes}%d" +
+            (if (timedOut) " DRAIN-TIMEOUT" else ""))
+          Some(f""""$name":{"wall_s":$wall%.2f,"shuffle_write_bytes":${tracker.writeBytes},""" +
             f""""shuffle_read_bytes":${tracker.readBytes},""" +
-            f""""max_stage_shuffle_write_bytes":${tracker.maxStageWriteBytes}}""")
+            f""""max_stage_shuffle_write_bytes":${tracker.maxStageWriteBytes}""" +
+            (if (timedOut) ""","drain_timed_out":true""" else "") + "}")
         } catch {
           case t: Throwable =>
-            stressFailed.add(q)
-            System.err.println(s"[stress] $q FAILED at x$StressRepl: ${t.getMessage}")
+            stressFailed.add(name)
+            System.err.println(s"[stress] $name FAILED: ${t.getMessage}")
             None
         }
-      }
+      def runQ(q: String)(dir: String): Unit = noop(queries(q)(spark, dir))
+      val entries = StressQueries.flatMap(q => measure(q, runQ(q)))
       // events at the same 200x (20M rows): the per-user/per-window shapes
       // the 10x probe graded now measured at real volume too
       scaledEvents(spark, sfDir, StressRepl)
         .write.mode("overwrite").parquet(s"$stressDir/events.parquet")
       val nEvents = spark.read.parquet(s"$stressDir/events.parquet").count()
-      val evEntries = StressEvQueries.flatMap { q =>
-        try {
-          run(q, sfDir)
-          drain()
-          tracker.reset()
-          val wall = run(q, stressDir)
-          drain()
-          System.err.println(f"[stress] $q%-20s x$StressRepl wall=$wall%8.2fs " +
-            f"shufW=${tracker.writeBytes}%d maxStageW=${tracker.maxStageWriteBytes}%d")
-          Some(f""""$q":{"wall_s":$wall%.2f,"shuffle_write_bytes":${tracker.writeBytes},""" +
-            f""""shuffle_read_bytes":${tracker.readBytes},""" +
-            f""""max_stage_shuffle_write_bytes":${tracker.maxStageWriteBytes}}""")
-        } catch {
-          case t: Throwable =>
-            stressFailed.add(q)
-            System.err.println(s"[stress] $q FAILED at x$StressRepl: ${t.getMessage}")
-            None
-        }
-      }
-      entries.mkString(
-        s""","stress":{"replication":$StressRepl,"docs":$nDocs,"events":$nEvents,""" +
-          s""""failed":[${stressFailed.map("\"" + _ + "\"").mkString(",")}],"queries":{""",
-        ",", "}") +
-        evEntries.mkString(""","events_queries":{""", ",", "}}")
+      val evEntries = StressEvQueries.flatMap(q => measure(q, runQ(q)))
+      // embeddings at 500x (1M vectors): the production ANN shapes — the
+      // fixed-batch brute-force and learned-IVF forms (constant query
+      // batch, cost linear in corpus size) plus q_ann_int8, whose growing
+      // batch is already linear because candidates are label-cell-bounded
+      scaledEmbeddings(spark, sfDir, StressEmbRepl)
+        .write.mode("overwrite").parquet(s"$stressDir/embeddings.parquet")
+      val nVectors = spark.read.parquet(s"$stressDir/embeddings.parquet").count()
+      val embEntries = Seq[(String, String => Unit)](
+        ("cosine_bruteforce", dir => noop(fixedBatchCosine(spark, dir))),
+        ("ann_ivf_learned", dir => noop(fixedBatchIvf(spark, dir))),
+        ("q_ann_int8", runQ("q_ann_int8")))
+        .flatMap { case (n, thunk) => measure(n, thunk) }
+      s""","stress":{"replication":$StressRepl,"docs":$nDocs,""" +
+        s""""events":$nEvents,"embeddings_replication":$StressEmbRepl,""" +
+        s""""vectors":$nVectors,""" +
+        s""""failed":[${stressFailed.map("\"" + _ + "\"").mkString(",")}],""" +
+        entries.mkString(""""queries":{""", ",", "}") +
+        evEntries.mkString(""","events_queries":{""", ",", "}") +
+        embEntries.mkString(""","embeddings_queries":{""", ",", "}}")
     }
 
     val json = s"""{"replication":$Repl,"sf":"$sfDir","steady_iters":$SteadyIters,""" +

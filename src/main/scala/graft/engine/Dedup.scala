@@ -108,19 +108,25 @@ object Dedup {
       // materialized (all partitions — count, not a short-circuiting
       // limit) by the same action that reads the flag, and also bounds
       // lineage growth across rounds.
-      // the jump only joins from round 3 on: a shallow graph (the common
-      // near-dup case) converges in 1-2 rounds and never pays the extra
-      // shuffle pair; a deep one starts doubling two rounds late, which
+      // the jump only joins from round 2 on: a shallow graph (the common
+      // near-dup case) converges in round 1 and never pays the extra
+      // shuffle pair; a deep one starts doubling one round late, which
       // costs O(1) extra rounds against its O(log diameter) total
       val hopped = propagate(propagate(labels).drop("chg"))
-      val next = (if (i < 2) hopped else compress(hopped))
+      val next = (if (i < 1) hopped else compress(hopped))
         .localCheckpoint(eager = false)
       val changed = next.filter(col("chg")).count()
       labels = next.drop("chg")
       converged = changed == 0
       i += 1
     }
-    require(converged, s"components did not converge in $maxIter double-rounds")
+    require(converged,
+      s"components did not converge in $maxIter double-rounds. Pointer " +
+        "jumping makes the round count O(log graph-diameter) — ~20 rounds " +
+        "covers any graph that fits on disk — so hitting this cap means " +
+        "either a pathologically deep component chain (raising maxIter is " +
+        "SAFE and each extra round roughly doubles the reachable depth) or " +
+        "an upstream bug feeding unbounded fresh edges per round.")
     labels
   }
 

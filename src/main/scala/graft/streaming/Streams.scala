@@ -113,19 +113,16 @@ private[streaming] class FunnelProcessor(steps: Seq[String])
       timers: TimerValues): Iterator[FunnelTransition] = {
     var st = if (progress.exists()) progress.get() else FunnelState(0L, Long.MinValue)
     val out = Seq.newBuilder[FunnelTransition]
-    rows.toSeq.sortBy(e => (micros(e.ts), e.event_type)).foreach { e =>
+    rows.toSeq.sortBy(e => (Streams.micros(e.ts), e.event_type)).foreach { e =>
       if (st.stage < steps.length && e.event_type == steps(st.stage.toInt) &&
-          (st.stage == 0L || micros(e.ts) > st.anchorMicros)) {
-        st = FunnelState(st.stage + 1, micros(e.ts))
+          (st.stage == 0L || Streams.micros(e.ts) > st.anchorMicros)) {
+        st = FunnelState(st.stage + 1, Streams.micros(e.ts))
         out += FunnelTransition(user, st.stage, e.ts)
       }
     }
     progress.update(st)
     out.result().iterator
   }
-
-  private def micros(t: java.sql.Timestamp): Long =
-    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 }
 
 /** Running per-user aggregate carried across micro-batches. */
@@ -175,6 +172,13 @@ private[streaming] class SessionProcessor(gapMs: Long)
   * state scales out with shuffle partitions.
   */
 object Streams {
+
+  /** Microsecond-precision event time — the ONE ordering key every stateful
+    * processor in this file folds micro-batches by (funnel and session
+    * alike), so two events inside the same millisecond can never fold in
+    * different orders in different operators. */
+  private[streaming] def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
   /** Watermarked tumbling-window totals per event type: the streaming form
     * of q_window_tumbling. Append-mode emits each window once its watermark
@@ -287,10 +291,15 @@ object Streams {
     * StatefulProcessor forms cannot drift: applies a batch of events to the
     * (possibly null) open session, returning the new open session (null =
     * none) and the sessions closed along the way. A session closes when a
-    * later event arrives >= `gapMs` after the last one. */
+    * later event arrives >= `gapMs` after the last one. The fold sorts at
+    * MICROSECOND precision ([[micros]]) — the same key FunnelProcessor
+    * uses — so same-millisecond events order identically across every
+    * stateful operator; the session fields themselves stay millisecond
+    * (the gap comparison is ms and the aggregates are commutative, so the
+    * finer sort can only pin, never change, a result). */
   private[streaming] def foldSession(user: Long, gapMs: Long,
       prev: SessionState, batch: Iterator[StreamEvent]): (SessionState, Seq[UserSession]) = {
-    val sorted = batch.toSeq.sortBy(_.ts.getTime)
+    val sorted = batch.toSeq.sortBy(e => micros(e.ts))
     var cur = prev
     val closed = Seq.newBuilder[UserSession]
     sorted.foreach { e =>

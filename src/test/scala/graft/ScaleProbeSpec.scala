@@ -63,6 +63,32 @@ class ScaleProbeSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("embedding replicas: labels confined to their per-replica stride window") {
+    val base = Tables.t(spark, sf, "embeddings")
+    val maxLabel = base.agg(max(col("label")).cast("long")).head.getLong(0)
+    val lstride = ScaleProbe.LabelStride
+    // the invariant the stressed 500x replication relies on too: replica
+    // r's labels live exactly in [r*LabelStride, r*LabelStride + maxLabel]
+    val e = ScaleProbe.scaledEmbeddings(spark, sf, repl)
+      .select((col("vec_id") / lit(stride)).cast("long").as("r"), col("label"))
+    assert(e.filter(col("label") < col("r") * lstride ||
+      col("label") > col("r") * lstride + maxLabel).count() == 0)
+    // dtype must not widen: scaled label keeps the base schema's type
+    assert(ScaleProbe.scaledEmbeddings(spark, sf, repl).schema("label").dataType ==
+      base.schema("label").dataType)
+  }
+
+  test("scaledEmbeddings refuses a base label space that would overlap replicas") {
+    val tmp = java.nio.file.Files.createTempDirectory("scaleprobe-labels").toString
+    Tables.t(spark, sf, "embeddings")
+      .withColumn("label", (col("label") + lit(ScaleProbe.LabelStride)).cast("int"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      ScaleProbe.scaledEmbeddings(spark, tmp, 2)
+    }
+    assert(ex.getMessage.contains("label space"))
+  }
+
   test("event replicas: disjoint users/ids, identical time range") {
     val ev = ScaleProbe.scaledEvents(spark, sf, repl).cache()
     val base = spark.read.parquet(s"$sf/events.parquet")
