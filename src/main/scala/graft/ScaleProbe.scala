@@ -228,10 +228,19 @@ object ScaleProbe {
       "vec_id", "embedding", k = 3, nProbe = 2)
   }
 
+  /** The listener-bus drain sentinel: a SHUFFLE-FREE job (single result
+    * stage over a 1-element RDD) whose stage-completed event marks the
+    * point where every event from preceding jobs has been delivered (the
+    * bus is FIFO). Shuffle-free matters: the sentinel's own stage adds
+    * ZERO bytes to a [[ShuffleTracker]], so drained stress counts are the
+    * measured query's alone — pinned by ScaleProbeSpec. */
+  private[graft] def sentinelJob(spark: SparkSession): Unit =
+    spark.sparkContext.parallelize(Seq(1), 1).foreach(_ => ())
+
   /** Accumulates per-stage shuffle metrics for the stress block. Listener
     * delivery is async — callers drain the bus through a sentinel job
     * (see `drain` in main) before reading or resetting. */
-  private final class ShuffleTracker extends SparkListener {
+  private[graft] final class ShuffleTracker extends SparkListener {
     @volatile var writeBytes = 0L
     @volatile var readBytes = 0L
     @volatile var maxStageWriteBytes = 0L
@@ -359,7 +368,7 @@ object ScaleProbe {
       // so under-counted metrics are distinguishable from real ones.
       def drain(): Boolean = {
         val before = tracker.stagesSeen
-        spark.sparkContext.parallelize(Seq(1), 1).foreach(_ => ())
+        sentinelJob(spark)
         val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
         while (tracker.stagesSeen == before && System.nanoTime() < deadline)
           Thread.sleep(50)

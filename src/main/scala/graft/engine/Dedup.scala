@@ -37,6 +37,12 @@ object Dedup {
     *   callers holding a heavily duplicated edge set (e.g. raw banded LSH
     *   output, one row per shared band) should `.distinct()` it first, as
     *   [[graft.engine.Similarity.lshCandidatePairs]] already does.
+    * @param maxIter cap on double-rounds before failing loud. Pointer
+    *   jumping (from round 2 on) roughly doubles the propagated distance
+    *   per round, so the practical reachable diameter at the default 20 is
+    *   ~2^18 hops — beyond any graph that fits on disk; raising it for a
+    *   pathological graph is safe (each extra round is one more doubling,
+    *   cost stays keyed shuffles only).
     * @return (id, component) — component = min id reachable from `id`;
     *         includes every id appearing in `edges`
     */

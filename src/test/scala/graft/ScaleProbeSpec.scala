@@ -78,6 +78,39 @@ class ScaleProbeSpec extends SparkSpec {
       base.schema("label").dataType)
   }
 
+  test("drain sentinel is shuffle-free: zero bytes folded into drained counts") {
+    // the stress block's shuffle accounting is exact only because the
+    // drain sentinel's own stage writes nothing — guard the REAL sentinel
+    // (changing it back to e.g. range(1).count() adds a shuffle and
+    // silently re-introduces per-entry byte noise). Stages are filtered
+    // to the sentinel's callsite so concurrently-running suites on the
+    // shared session cannot pollute the assertion.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    val l = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) seen.add((sc.stageInfo.name,
+          m.shuffleWriteMetrics.bytesWritten, m.shuffleReadMetrics.totalBytesRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      ScaleProbe.sentinelJob(spark)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def sentinelStages() = {
+        import scala.jdk.CollectionConverters._
+        seen.iterator.asScala.filter(_._1.contains("ScaleProbe.scala")).toSeq
+      }
+      while (sentinelStages().isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      val stages = sentinelStages()
+      assert(stages.size == 1, s"expected the one sentinel stage, saw $stages")
+      assert(stages.head._2 == 0 && stages.head._3 == 0,
+        s"sentinel stage shuffled: $stages")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("scaledEmbeddings refuses a base label space that would overlap replicas") {
     val tmp = java.nio.file.Files.createTempDirectory("scaleprobe-labels").toString
     Tables.t(spark, sf, "embeddings")
