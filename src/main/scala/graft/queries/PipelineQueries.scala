@@ -21,6 +21,11 @@ import graft.engine.{Sir, SirParams, SirSeriesRow, Wrangle}
   * must remove. */
 object PipelineQueries {
 
+  /** The K12 WRANGLING PIPELINE end to end (null-count audit, group-max
+    * dedup, conditional zero-fill, leading-prefix drop, interpolation,
+    * invariant imputation, final subset drop — engine/Wrangle.scala) over
+    * a deterministic events-derived frame whose planted nulls fire every
+    * stage; the oracle replays the identical stage order in SQL. */
   val wrangle: Q = Q(
     "q_wrangle",
     """WITH ev AS (

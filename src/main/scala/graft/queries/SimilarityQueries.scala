@@ -34,6 +34,11 @@ object SimilarityQueries {
       |    / (sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y))
       |     * sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y)))""".stripMargin
 
+  /** Brute-force cosine TOP-K — the exact ground-truth yardstick the ANN
+    * paths approximate (and q_ann_recall grades against): broadcast query
+    * batch (vec_id % 50), projected norms, one rank window per query.
+    * Theta(N^2/50) BY DESIGN at self-search; the production form pins the
+    * query batch (ScaleProbe's fixed_batch block measures it linear). */
   val cosineTopK: Q = Q(
     "q_cosine_topk",
     s"""WITH q AS (
@@ -69,6 +74,11 @@ object SimilarityQueries {
       .orderBy("qid", "rk")
   }
 
+  /** IVF-style ANN with LABEL cells: candidates come from an equi-join on
+    * the query's cell key instead of a corpus scan — per-query work is
+    * bounded by cell occupancy, the inverted-file shape a 100-TB index
+    * runs (q_ann_ivf_learned replaces the labels with learned KMeans
+    * cells; q_ann_recall grades both against the brute-force truth). */
   val annIvf: Q = Q(
     "q_ann_ivf",
     s"""WITH q AS (

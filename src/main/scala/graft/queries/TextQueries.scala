@@ -127,6 +127,10 @@ object TextQueries {
     * (see SimilarityQueries). */
   private val JaccardMaxDf = 20
 
+  /** n-gram JACCARD near-dup detection: candidate pairs from a
+    * df-capped shared-token bucket join (fan-in bounded C(MaxDf, 2) per
+    * token — see [[JaccardMaxDf]]), then exact Jaccard over distinct
+    * token sets for the survivors; never an all-pairs compare. */
   val jaccardNearDup: Q = Q(
     "q_jaccard_neardup",
     s"""WITH docs2 AS (
