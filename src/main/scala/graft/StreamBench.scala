@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming-surface throughput bench: the batch families have measured
+  * scale posture (SCALING.json); this main measures the STREAMING twins at
+  * the same stress volume — the stateful processors (funnel and session on
+  * `transformWithState` over the RocksDB state store, the shapes whose
+  * per-key state must hold up at volume) plus the stateless curation gate
+  * and the per-bucket sequence packer — and writes one STREAMBENCH.json
+  * line with wall time and rows/s per query.
+  *
+  * Method: the scale probe's replicated events (200x = 20M rows) and
+  * documents (40x = 200k docs — the gate and packer are per-row CPU-bound,
+  * enough rows to dominate fixed cost without re-reading 1M docs twice)
+  * are materialized once as parquet, then each streaming query reads them
+  * through a file source with `maxFilesPerTrigger` forcing MULTIPLE
+  * micro-batches (state genuinely crosses batch boundaries — a single
+  * mega-batch would never touch the cross-batch state path), runs with
+  * `Trigger.AvailableNow` into a noop sink on a fresh checkpoint, and is
+  * timed to termination. Throughput = input rows / wall seconds. This is a
+  * single-node number for SHAPE comparison (streaming vs batch overhead,
+  * state-store cost per key), not a cluster projection — state scales out
+  * with shuffle partitions, and each partition's RocksDB instance holds
+  * only its keys' state.
+  */
+object StreamBench {
+
+  private val EvRepl = 200 // 20M events — matches SCALING.json's stress block
+  private val DocRepl = 40 // 200k docs through the per-row streaming ops
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val work = "target/streambench"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // materialize the stream inputs once, through the same replicators the
+    // scale probe uses (disjoint users/ids per replica) — events via
+    // Tables.t so ts is a real timestamp column the StreamEvent encoder
+    // accepts
+    ScaleProbe.scaledEvents(spark, sfDir, EvRepl)
+      .write.mode("overwrite").parquet(s"$work/raw/events.parquet")
+    val events = engine.Tables.t(spark, s"$work/raw", "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    events.write.mode("overwrite").parquet(s"$work/events")
+    val nEvents = spark.read.parquet(s"$work/events").count()
+    ScaleProbe.scaledDocuments(spark, sfDir, DocRepl)
+      .select(col("doc_id"), col("text"), col("source"))
+      .write.mode("overwrite").parquet(s"$work/docs")
+    val nDocs = spark.read.parquet(s"$work/docs").count()
+
+    def src(path: String): DataFrame = {
+      val schema = spark.read.parquet(path).schema
+      // ~4 micro-batches over the cpus-partition write: state must survive
+      // batch boundaries, or this measures nothing the specs don't
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", math.max(1, cpus.toInt / 4))
+        .parquet(path)
+    }
+
+    // fresh checkpoint root per invocation: reusing a completed
+    // AvailableNow checkpoint would see no new data and terminate in
+    // milliseconds, silently benchmarking nothing
+    val cpRoot = java.nio.file.Files
+      .createTempDirectory("graft-streambench-cp").toString
+
+    def run(name: String, rows: Long)(build: DataFrame => DataFrame): (String, String) = {
+      val in = if (name == "curation_gate" || name == "pack_shards") s"$work/docs"
+        else s"$work/events"
+      val t0 = System.nanoTime()
+      val q = build(src(in)).writeStream
+        .format("noop")
+        .option("checkpointLocation", s"$cpRoot/$name")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      val rps = rows / wall
+      System.err.println(
+        f"[stream] $name%-16s rows=$rows%d wall=$wall%7.2fs rows/s=$rps%11.0f batches>=$batches%d")
+      (name, f""""$name":{"rows":$rows,"wall_s":$wall%.2f,"rows_per_s":${rps.toLong}}""")
+    }
+
+    val results = Seq(
+      run("funnel", nEvents)(df =>
+        streaming.Streams.funnelStages(df.as[streaming.StreamEvent]).toDF()),
+      run("session_tws", nEvents)(df =>
+        streaming.Streams.sessionizeTws(df.as[streaming.StreamEvent],
+          gapMs = 30L * 60 * 1000).toDF()),
+      run("curation_gate", nDocs)(df => streaming.Streams.curationGate(df)),
+      run("pack_shards", nDocs)(df => streaming.Streams.packShards(df).toDF()))
+
+    val json = s"""{"sf":"$sfDir","events":$nEvents,"docs":$nDocs,""" +
+      s""""ev_replication":$EvRepl,"doc_replication":$DocRepl,""" +
+      results.map(_._2).mkString(""""queries":{""", ",", "}}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("STREAMBENCH.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}
