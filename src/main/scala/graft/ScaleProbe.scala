@@ -94,7 +94,8 @@ object ScaleProbe {
     "q_substring_dedup", "q_source_cap", "q_lm_score", "q_blocklist_scrub",
     "q_curation_report", "q_curriculum_order", "q_corpus_diff",
     "q_budget_mixture", "q_length_quantiles", "q_pipeline_e2e",
-    "q_shard_manifest", "q_dedup_normalized", "q_label_mismatch")
+    "q_shard_manifest", "q_dedup_normalized", "q_label_mismatch",
+    "q_chunk_docs")
 
   /** Queries that read ONLY the embeddings table (replicated input #2). */
   private val EmbQueries = Seq(

@@ -18,7 +18,9 @@ import org.apache.spark.sql.streaming.Trigger
   * are materialized once as parquet, then each streaming query reads them
   * through a file source with `maxFilesPerTrigger` forcing MULTIPLE
   * micro-batches (state genuinely crosses batch boundaries — a single
-  * mega-batch would never touch the cross-batch state path), runs with
+  * mega-batch would never touch the cross-batch state path; the per-source
+  * cap additionally measures the admit-and-count state machine whose whole
+  * point is surviving those boundaries), runs with
   * `Trigger.AvailableNow` into a noop sink on a fresh checkpoint, and is
   * timed to termination. Throughput = input rows / wall seconds. This is a
   * single-node number for SHAPE comparison (streaming vs batch overhead,
@@ -80,8 +82,8 @@ object StreamBench {
       .createTempDirectory("graft-streambench-cp").toString
 
     def run(name: String, rows: Long)(build: DataFrame => DataFrame): (String, String) = {
-      val in = if (name == "curation_gate" || name == "pack_shards") s"$work/docs"
-        else s"$work/events"
+      val in = if (name == "funnel" || name == "session_tws") s"$work/events"
+        else s"$work/docs"
       val t0 = System.nanoTime()
       val q = build(src(in)).writeStream
         .format("noop")
@@ -104,7 +106,10 @@ object StreamBench {
         streaming.Streams.sessionizeTws(df.as[streaming.StreamEvent],
           gapMs = 30L * 60 * 1000).toDF()),
       run("curation_gate", nDocs)(df => streaming.Streams.curationGate(df)),
-      run("pack_shards", nDocs)(df => streaming.Streams.packShards(df).toDF()))
+      run("pack_shards", nDocs)(df => streaming.Streams.packShards(df).toDF()),
+      run("source_cap", nDocs)(df =>
+        streaming.Streams.sourceCap(df, cap = 20).toDF()),
+      run("chunk_docs", nDocs)(df => streaming.Streams.chunkDocs(df)))
 
     val json = s"""{"sf":"$sfDir","events":$nEvents,"docs":$nDocs,""" +
       s""""ev_replication":$EvRepl,"doc_replication":$DocRepl,""" +

@@ -89,6 +89,41 @@ object Text {
   def packBucket(docId: Column): Column =
     md5Hash32(concat(lit("pack:"), docId.cast("string"))) % PackBuckets
 
+  /** Context-window chunking layout (q_chunk_docs): documents longer than
+    * [[ChunkTokens]] tokens are cut into windows advancing by
+    * [[ChunkStride]] tokens, so consecutive chunks share
+    * ChunkTokens - ChunkStride tokens of boundary context. The complement
+    * of the packing contract above — packing never splits a doc; chunking
+    * is the upstream cut for docs that exceed the training context. */
+  val ChunkTokens = 64
+  val ChunkStride = 56
+
+  /** Chunk-window starts for a projected token array: the stride grid
+    * 1, 1+ChunkStride, ... filtered in-row to the MINIMAL cover — a start
+    * survives iff it is the doc's first or the previous window stopped
+    * short of the last token. Single-sourced between q_chunk_docs and the
+    * streaming chunker ([[graft.streaming.Streams.chunkDocs]]). The
+    * lambda references size(tk) — fine here, size() reads the array
+    * header in O(1); the no-expensive-expressions-in-HOF-lambdas rule
+    * (Vectors.maxAbsScale) is about recomputed folds. Mirror:
+    * list_filter(generate_series(1, len(tk), 56),
+    * st -> st = 1 OR st - 56 + 63 < len(tk)). */
+  def chunkStarts(tk: Column): Column =
+    filter(sequence(lit(1), size(tk), lit(ChunkStride)),
+      st => st === 1 || st - ChunkStride + (ChunkTokens - 1) < size(tk))
+
+  /** The per-start chunk projection (chunk_id, start_tok, n_toks,
+    * chunk_text) — the other single-sourced half of the chunker. floor of
+    * the double divide is exact (starts < 2^31 << 2^53). */
+  def chunkColumns(tk: Column, st: Column): Seq[Column] = {
+    val chunk = slice(tk, st, lit(ChunkTokens))
+    Seq(
+      floor((st - 1) / ChunkStride).cast("long").as("chunk_id"),
+      st.cast("long").as("start_tok"),
+      size(chunk).cast("long").as("n_toks"),
+      concat_ws(" ", chunk).as("chunk_text"))
+  }
+
   /** Token n-grams of a projected token-array column as md5 keys,
     * deduplicated in-row — the unit of benchmark decontamination
     * (q_decontaminate) and its streaming form (Streams.contaminationHits),

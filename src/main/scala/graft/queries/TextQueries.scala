@@ -390,6 +390,49 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Context-window CHUNKING: cut each document's token stream into fixed
+    * 64-token windows advancing by a 56-token stride (Text.ChunkTokens /
+    * Text.ChunkStride), so consecutive chunks overlap by 8 tokens of
+    * boundary context — the
+    * complement of q_pack_shards' contract fine print: packing never
+    * splits a doc, chunking is the upstream cut for docs longer than the
+    * training context. A window start survives iff it is the doc's first
+    * or the previous window stopped short of the last token, making the
+    * chunk set the MINIMAL stride-aligned cover: every token lands in at
+    * least one chunk, interior overlaps are exactly ChunkTokens -
+    * ChunkStride, and a doc of <= ChunkTokens tokens yields exactly its
+    * one whole-doc chunk. 100-TB shape: pure in-row sequence/explode with
+    * fan-out ~ tokens/stride (linear in corpus tokens), zero shuffles
+    * before the presentation sort; chunk ids are per-doc positional, so
+    * no global coordination exists at any corpus size. */
+  val chunkDocs: Q = Q(
+    "q_chunk_docs",
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents WHERE text IS NOT NULL),
+      |s AS (
+      |  SELECT doc_id, n, tk, unnest(generate_series(1, n, 56)) AS st
+      |  FROM d)
+      |SELECT doc_id,
+      |       CAST((st - 1) // 56 AS BIGINT) AS chunk_id,
+      |       CAST(st AS BIGINT) AS start_tok,
+      |       CAST(len(list_slice(tk, st, st + 63)) AS BIGINT) AS n_toks,
+      |       array_to_string(list_slice(tk, st, st + 63), ' ') AS chunk_text
+      |FROM s
+      |WHERE st = 1 OR st - 56 + 63 < n
+      |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    // starts and projection single-sourced with the streaming chunker
+    // (Streams.chunkDocs); n >= 1 always (split of non-null text is never
+    // empty), so the stride grid is ascending
+    t(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .withColumn("st", explode(Text.chunkStarts(col("tk"))))
+      .select(col("doc_id") +: Text.chunkColumns(col("tk"), col("st")): _*)
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** NORMALIZED exact dedup: fingerprint the text after lowercasing,
     * stripping non-alphanumerics, and collapsing whitespace — the
     * "fuzzy-exact" pass that catches trivially-edited duplicates
@@ -461,5 +504,5 @@ object TextQueries {
   val all: Seq[Q] =
     Seq(dedupExact, textStats, langId, docProfile, jaccardNearDup, mediaMeta,
       tokenCounts, fingerprintRolling, trainSplit, shuffleOrder, packShards,
-      dedupNormalized, labelMismatch)
+      chunkDocs, dedupNormalized, labelMismatch)
 }

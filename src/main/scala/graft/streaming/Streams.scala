@@ -271,6 +271,23 @@ object Streams {
         col("n_tokens"), col("distinct_frac"), col("hit_frac")))
   }
 
+  /** Stateless streaming context-window chunker — the streaming twin of
+    * q_chunk_docs, single-sourced through
+    * [[graft.functions.Text.chunkStarts]] /
+    * [[graft.functions.Text.chunkColumns]] so stream and batch chunks
+    * agree bit-for-bit. Pure in-row sequence/explode — no watermark, no
+    * state store — a document chunks the moment it arrives, which is what
+    * makes chunking safe to run at ingest in a 100-TB pipeline (fan-out
+    * ~ tokens/stride per row, no cross-row coordination). */
+  def chunkDocs(docs: DataFrame): DataFrame = {
+    val tk = split(col("text"), " ")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), tk.as("tk"))
+      .withColumn("st", explode(graft.functions.Text.chunkStarts(col("tk"))))
+      .select(col("doc_id") +:
+        graft.functions.Text.chunkColumns(col("tk"), col("st")): _*)
+  }
+
   /** Cross-batch running totals per user via mapGroupsWithState: minimal
     * custom-state shape (the KeyValueGroupedDataset API the reference's
     * per-country accumulations would need incrementally). */

@@ -378,6 +378,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocs: streaming chunks match the batch chunker bit-for-bit") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // the batch truth: the declared query over the sf0.001 corpus
+    val batch = graft.queries.TextQueries.chunkDocs.build(spark, sf)
+      .select("doc_id", "chunk_id", "start_tok", "n_toks", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    // stream the same docs across two micro-batches — stateless, so the
+    // split proves nothing ABOUT state; it proves per-arrival chunking
+    // composes to the batch answer
+    val docs = graft.engine.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.chunkDocs(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunks").outputMode("append").start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("chunks")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert(streamed == batch,
+        s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("sourceCap: per-source admission counter survives micro-batch boundaries") {
     implicit val ctx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"

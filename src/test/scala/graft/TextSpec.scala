@@ -3,9 +3,54 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
-/** Pins the non-oracle text functions (the oracle queries cover the rest). */
+/** Pins the non-oracle text functions (the oracle queries cover the rest)
+  * plus the chunking cover properties the q_chunk_docs oracle can't state. */
 class TextSpec extends SparkSpec {
   import spark.implicits._
+
+  test("q_chunk_docs: minimal stride-aligned cover with fixed overlap") {
+    val dir = "/root/testdata/sf0.001"
+    val C = Text.ChunkTokens
+    val S = Text.ChunkStride
+    val chunks = graft.queries.TextQueries.chunkDocs.build(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val docs = graft.engine.Tables.t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet, "every non-null doc is chunked")
+    for ((id, unsorted) <- byDoc) {
+      val rows = unsorted.sortBy(_._2)
+      val toks = docs(id).split(" ", -1)
+      val n = toks.length
+      // kept starts are a PREFIX of the stride grid: chunk k starts at kS+1
+      rows.zipWithIndex.foreach { case ((_, cid, st, _, _), k) =>
+        assert(cid == k && st == k.toLong * S + 1, s"doc $id grid")
+      }
+      // every chunk's text is exactly its token window
+      rows.foreach { case (_, _, st, nt, txt) =>
+        assert(txt.split(" ", -1)
+          .sameElements(toks.slice(st.toInt - 1, st.toInt - 1 + nt.toInt)),
+          s"doc $id window at $st")
+      }
+      // all full-size but the tail, and the cover ends exactly at token n
+      assert(rows.init.forall(_._4 == C), s"doc $id interior chunks full")
+      val (_, _, lastSt, lastN, _) = rows.last
+      assert(lastSt + lastN - 1 == n, s"doc $id cover must end at $n")
+      // short docs yield exactly their one whole-doc chunk
+      if (n <= C) assert(rows.length == 1 && lastN == n, s"doc $id short")
+      // minimality: the second-to-last window stopped short of token n
+      if (rows.length > 1)
+        assert((lastSt - S) + C - 1 < n, s"doc $id tail not redundant")
+      // overlap reconstruction: drop C-S overlap tokens from every chunk
+      // after the first and the doc reassembles exactly
+      val rebuilt = rows.head._5.split(" ", -1) ++
+        rows.tail.flatMap(_._5.split(" ", -1).drop(C - S))
+      assert(rebuilt.sameElements(toks), s"doc $id reassembly")
+    }
+  }
 
   test("bpeish token count: runs and symbols") {
     val df = Seq("hello world", "gpt-4 is 100x better!", "").toDF("text")
