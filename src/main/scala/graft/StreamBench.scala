@@ -109,7 +109,8 @@ object StreamBench {
       run("pack_shards", nDocs)(df => streaming.Streams.packShards(df).toDF()),
       run("source_cap", nDocs)(df =>
         streaming.Streams.sourceCap(df, cap = 20).toDF()),
-      run("chunk_docs", nDocs)(df => streaming.Streams.chunkDocs(df)))
+      run("chunk_docs", nDocs)(df => streaming.Streams.chunkDocs(df)),
+      run("pii_scrub", nDocs)(df => streaming.Streams.piiScrub(df)))
 
     val json = s"""{"sf":"$sfDir","events":$nEvents,"docs":$nDocs,""" +
       s""""ev_replication":$EvRepl,"doc_replication":$DocRepl,""" +

@@ -178,6 +178,75 @@ object CurationQueries {
     * blocklists are thousands of terms: still broadcast-trivial). */
   val Blocklist = Seq("spark", "join", "query", "data")
 
+  /** PII patterns — alternation-free character-class regexes, so Java
+    * regex (Spark, leftmost-greedy) and RE2 (DuckDB, leftmost-longest)
+    * produce identical matches and the scrub is oracle-checkable. Real
+    * recipes add more patterns (IPs, SSNs, IBANs) to the same shape. */
+  val PiiEmail = "[a-z0-9.]+@[a-z0-9]+\\.[a-z]{2,}"
+  val PiiPhone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** The scrub projection (n_emails, n_phones, scrubbed_text, verdict)
+    * for a text column — single-sourced between q_pii_scrub and the
+    * streaming [[graft.streaming.Streams.piiScrub]] so the patterns and
+    * redaction layout cannot drift from the oracle-checked batch form. */
+  def piiColumns(text: Column): Seq[Column] = {
+    val ne = regexp_count(text, lit(PiiEmail))
+    val np = regexp_count(text, lit(PiiPhone))
+    Seq(ne.cast("long").as("n_emails"), np.cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(text, PiiEmail, "[EMAIL]"),
+        PiiPhone, "[PHONE]").as("scrubbed_text"),
+      when(ne + np > 0, "redacted").otherwise("clean").as("verdict"))
+  }
+
+  /** PII scrub: PATTERN-based detection + in-place redaction of emails and
+    * phone numbers — the C4/Dolma-style pre-release privacy pass that a
+    * token blocklist (q_blocklist_scrub) cannot express, because PII is an
+    * open vocabulary matched by shape, not membership. PII is PLANTED
+    * deterministically (the synthetic corpus contains none — asserted in
+    * CurationSpec): doc_id % 17 = 2 gains an email, doc_id % 23 = 5 a
+    * phone number, some docs both. Counts come from regexp_count /
+    * regexp_extract_all and redaction replaces every match ([EMAIL] /
+    * [PHONE]). Shape at 100 TB: pure per-row regex — zero shuffles before
+    * the presentation sort, embarrassingly parallel at any corpus size;
+    * regex cost is linear in text bytes (RE2-compatible patterns keep the
+    * option of a linear-time engine). */
+  val piiScrub: Q = Q(
+    "q_pii_scrub",
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |         text ||
+      |           CASE WHEN doc_id % 17 = 2
+      |                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+      |                ELSE '' END ||
+      |           CASE WHEN doc_id % 23 = 5
+      |                THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+      |                ELSE '' END AS text
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |         len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9]+\.[a-z]{2,}')) AS n_emails,
+      |         len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+      |         regexp_replace(regexp_replace(text,
+      |           '[a-z0-9.]+@[a-z0-9]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+      |           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS scrubbed_text
+      |  FROM planted)
+      |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+      |       CAST(n_phones AS BIGINT) AS n_phones, scrubbed_text,
+      |       CASE WHEN n_emails + n_phones > 0 THEN 'redacted' ELSE 'clean' END AS verdict
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 17 === 2,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(""),
+        when(col("doc_id") % 23 === 5,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-0199"))).otherwise("")).as("text"))
+    planted.select(col("doc_id") +: piiColumns(col("text")): _*)
+      .orderBy("doc_id")
+  }
+
   /** BLOCKLIST content scrub: redact blocklisted tokens in place, count
     * hits, and drop documents past a hit-fraction threshold — the
     * bad-word / unsafe-content filtering stage of every web-corpus recipe.
@@ -593,6 +662,7 @@ object CurationQueries {
   }
 
   val all: Seq[Q] =
-    Seq(substringDedup, sourceCap, lmScore, blocklistScrub, curationReport,
-      curriculumOrder, corpusDiff, budgetMixture, pipelineE2e, shardManifest)
+    Seq(substringDedup, sourceCap, lmScore, blocklistScrub, piiScrub,
+      curationReport, curriculumOrder, corpusDiff, budgetMixture,
+      pipelineE2e, shardManifest)
 }

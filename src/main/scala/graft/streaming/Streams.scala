@@ -288,6 +288,17 @@ object Streams {
         graft.functions.Text.chunkColumns(col("tk"), col("st")): _*)
   }
 
+  /** Stateless streaming PII scrub — the streaming twin of q_pii_scrub
+    * minus its deterministic plants (a live stream scrubs what actually
+    * arrives), single-sourced through
+    * [[graft.queries.CurationQueries.piiColumns]] so patterns and
+    * redaction layout cannot drift from the oracle-checked batch form.
+    * Pure per-row regex — no watermark, no state store — so PII never has
+    * to land unredacted downstream of ingest. */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +:
+      graft.queries.CurationQueries.piiColumns(col("text")): _*)
+
   /** Cross-batch running totals per user via mapGroupsWithState: minimal
     * custom-state shape (the KeyValueGroupedDataset API the reference's
     * per-country accumulations would need incrementally). */

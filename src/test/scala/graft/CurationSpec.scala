@@ -214,6 +214,34 @@ class CurationSpec extends SparkSpec {
       .subsetOf(got.map(_._2).toSet), "all four verdicts must occur")
   }
 
+  test("pii scrub: plants detected and redacted, corpus otherwise clean") {
+    // ids chosen against the plant rules: 2 -> email (2 % 17), 5 -> phone
+    // (5 % 23), 189 -> both (CRT: 189 = 2 mod 17 = 5 mod 23), 1 -> neither
+    val dir = corpusDir(Seq(
+      (1L, "plain text here", "s"),
+      (2L, "write to me", "s"),
+      (5L, "ring me", "s"),
+      (189L, "both kinds", "s")))
+    val got = CurationQueries.piiScrub.build(spark, dir)
+      .as[(Long, Long, Long, String, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 0L, 0L, "plain text here", "clean")))
+    assert(got(1) == ((2L, 1L, 0L, "write to me contact [EMAIL] now", "redacted")))
+    assert(got(2) == ((5L, 0L, 1L, "ring me call [PHONE]", "redacted")))
+    assert(got(3) == ((189L, 1L, 1L,
+      "both kinds contact [EMAIL] now call [PHONE]", "redacted")))
+    // the synthetic corpus carries NO natural PII, so every count must be
+    // exactly what the plant rule implies — over-matching patterns (or a
+    // corpus drift that introduces PII-shaped text) fail loudly here
+    val real = CurationQueries.piiScrub.build(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_emails", "n_phones")
+      .as[(Long, Long, Long)].collect()
+    assert(real.nonEmpty)
+    real.foreach { case (id, e, p) =>
+      assert(e == (if (id % 17 == 2) 1L else 0L), s"doc $id emails")
+      assert(p == (if (id % 23 == 5) 1L else 0L), s"doc $id phones")
+    }
+  }
+
   test("blocklist scrub: redaction in place, threshold verdict") {
     val dir = corpusDir(Seq(
       (1L, "spark is fast", "s"),

@@ -129,6 +129,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("piiScrub: stateless stream redaction through the shared patterns") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.piiScrub(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "mail me at bob@example.com"),
+        (2L, "call 555-123-4567 today"),
+        (3L, "nothing sensitive"))
+      q.processAllAvailable()
+      val got = spark.table("pii")
+        .as[(Long, Long, Long, String, String)].collect().sortBy(_._1)
+      assert(got(0) == ((1L, 1L, 0L, "mail me at [EMAIL]", "redacted")))
+      assert(got(1) == ((2L, 0L, 1L, "call [PHONE] today", "redacted")))
+      assert(got(2) == ((3L, 0L, 0L, "nothing sensitive", "clean")))
+    } finally q.stop()
+  }
+
   test("runningTotals: state accumulates across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[StreamEvent]
