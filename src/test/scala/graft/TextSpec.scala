@@ -52,6 +52,29 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("q_chunk_docs: deep grids — three windows, exact-fit, one-past-fit") {
+    // the sf corpora cap at 100 tokens (max 2 windows), so the deeper
+    // grid arithmetic needs crafted docs: 150 tokens -> starts 1/57/113
+    // with a 38-token tail; 64 -> exactly one window (57 is redundant);
+    // 65 -> a 9-token tail window
+    val dir = java.nio.file.Files.createTempDirectory("chunk-spec").toString
+    Seq(
+      (1L, (1 to 150).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 64).map(i => s"u$i").mkString(" ")),
+      (3L, (1 to 65).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("s").as("source"), length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.chunkDocs.build(spark, dir)
+      .select("doc_id", "chunk_id", "start_tok", "n_toks")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 1L, 64L), (1L, 1L, 57L, 64L), (1L, 2L, 113L, 38L),
+      (2L, 0L, 1L, 64L),
+      (3L, 0L, 1L, 64L), (3L, 1L, 57L, 9L)))
+  }
+
   test("bpeish token count: runs and symbols") {
     val df = Seq("hello world", "gpt-4 is 100x better!", "").toDF("text")
     val got = df.select(Text.bpeishTokenCount(col("text"))).as[Int].collect().toSeq
