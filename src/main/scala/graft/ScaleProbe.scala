@@ -101,7 +101,8 @@ object ScaleProbe {
   private val EmbQueries = Seq(
     "q_cosine_topk", "q_ann_ivf", "q_ann_lsh", "q_ann_int8",
     "q_ann_ivf_learned", "q_ann_recall", "q_embed_neardup",
-    "q_quantize_roundtrip", "q_knn_classify", "q_ncm_classify")
+    "q_quantize_roundtrip", "q_knn_classify", "q_ncm_classify",
+    "q_semantic_decontaminate")
 
   /** Queries that read ONLY the events table (replicated input #3). */
   private val EvQueries = Seq(

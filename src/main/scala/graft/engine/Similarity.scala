@@ -306,4 +306,23 @@ object Similarity {
       .withColumn("bucket", col("e.bucket"))
       .drop("e")
   }
+
+  /** Scored (corpus vector x benchmark vector) cosine rows for
+    * embedding-space decontamination: corpus (`vec_id`, `v` double[])
+    * against a BOUNDED benchmark set (`bid`, `qv` double[]). Single source
+    * for batch q_semantic_decontaminate and the streaming twin
+    * ([[graft.streaming.Streams.semanticHits]]), so stream and batch score
+    * every pair with bit-identical doubles. Norms are projected per VECTOR
+    * before the join (one evaluation each, not one per pair), and the
+    * division tree matches [[graft.functions.Vectors.cosineFromNorms]]'s
+    * SQL mirror. Cost is O(|bench| * N) over ONE corpus scan: the bench
+    * side is broadcast, so nothing about the corpus shuffles here. */
+  def benchCosineScores(corpus: DataFrame, bench: DataFrame): DataFrame = {
+    val c = corpus.withColumn("vn", Vectors.normNative(col("v")))
+    val b = bench.withColumn("qn", Vectors.normNative(col("qv")))
+    c.crossJoin(broadcast(b))
+      .select(col("vec_id"), col("bid"),
+        Vectors.cosineFromNorms(col("qv"), col("v"), col("qn"), col("vn"))
+          .as("cos"))
+  }
 }

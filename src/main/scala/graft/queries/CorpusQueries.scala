@@ -3,8 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.engine.Similarity
 import graft.engine.Tables.t
-import graft.functions.Text
+import graft.functions.{Text, Vectors}
 
 /** LLM-data-pipeline batch 3: corpus curation operators — benchmark
   * decontamination, deterministic mixture sampling, repetition-based quality
@@ -103,6 +104,77 @@ object CorpusQueries {
         contamination.as("contamination"),
         when(contamination >= 0.05, "contaminated").otherwise("clean").as("verdict"))
       .orderBy("doc_id")
+  }
+
+  /** SEMANTIC (embedding-space) DECONTAMINATION: flag corpus vectors whose
+    * max cosine against a held-out benchmark embedding set crosses a
+    * threshold — the complement of [[decontaminate]]'s n-gram overlap
+    * check, because paraphrased benchmark leakage shares no 8-gram with its
+    * source but still lands next to it in embedding space. The benchmark is
+    * BOUNDED BY CONSTRUCTION (`vec_id % 97 = 0 AND vec_id < 1000` — eval
+    * benchmarks are a fixed few thousand items, they do not grow with the
+    * corpus), and leakage is planted so the operator has signal to find:
+    * every benchmark vector re-enters the corpus verbatim (cos = 1) and
+    * again scaled by 2 (cosine is scale-invariant — the "paraphrase" whose
+    * surface form changed but whose direction did not). Measured natural
+    * bench-vs-corpus max cosine is ~0.50 at sf0.01 and sf0.1, so the 0.9
+    * threshold has wide margin on both sides.
+    *
+    * Shape at 100 TB: the bounded bench side is broadcast
+    * ([[Similarity.benchCosineScores]] — one corpus scan, cost
+    * O(|bench| * N), nothing pairwise in the corpus). The per-vector argmax
+    * is `max(struct(cos, -bid))` grouped on the (unique) vec_id: all
+    * |bench| scored rows of a vector are produced inside one partition, so
+    * partial aggregation collapses them map-side and the exchange carries
+    * ONE slim row per corpus vector — the same map-side-combined
+    * max(struct) shape as q_ncm_classify. Unlike the Theta(N^2/50)
+    * self-search yardsticks (q_cosine_topk), this query is linear in the
+    * corpus at any scale. */
+  val semanticDecontaminate: Q = Q(
+    "q_semantic_decontaminate",
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS bid, v AS qv FROM ev
+      |      WHERE vec_id % 97 = 0 AND vec_id < 1000),
+      |e AS (
+      |  SELECT vec_id, v FROM ev
+      |  WHERE NOT (vec_id % 97 = 0 AND vec_id < 1000)
+      |  UNION ALL SELECT bid + 5000000 AS vec_id, qv AS v FROM q
+      |  UNION ALL SELECT bid + 6000000 AS vec_id,
+      |    list_transform(qv, x -> x * 2.0) AS v FROM q),
+      |scored AS (
+      |  SELECT e.vec_id, q.bid,
+      |    ${SimilarityQueries.CosineSql} AS cos
+      |  FROM q, e),
+      |best AS (
+      |  SELECT vec_id, bid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, bid) AS rk
+      |  FROM scored)
+      |SELECT vec_id, bid AS nearest_bench, cos AS max_cos,
+      |       CASE WHEN cos >= 0.9 THEN 'leaked' ELSE 'clean' END AS verdict
+      |FROM best WHERE rk = 1
+      |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "embeddings")
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+    val isBench = col("vec_id") % 97 === 0 && col("vec_id") < 1000
+    val bench = ev.filter(isBench)
+      .select(col("vec_id").as("bid"), col("v").as("qv"))
+    // plants: verbatim copy (cos = 1) and a 2x-scaled copy — doubling each
+    // double component is EXACT (exponent bump), so both engines score the
+    // scaled plant with the same doubles as the verbatim one
+    val corpus = ev.filter(!isBench)
+      .unionAll(bench.select((col("bid") + 5000000).as("vec_id"),
+        col("qv").as("v")))
+      .unionAll(bench.select((col("bid") + 6000000).as("vec_id"),
+        transform(col("qv"), x => x * lit(2.0)).as("v")))
+    Similarity.benchCosineScores(corpus, bench)
+      .groupBy("vec_id")
+      // argmax with the oracle's tiebreak: max cos, then SMALLEST bid
+      .agg(max(struct(col("cos"), (-col("bid")).as("nb"))).as("m"))
+      .select(col("vec_id"),
+        (-col("m.nb")).as("nearest_bench"),
+        col("m.cos").as("max_cos"),
+        when(col("m.cos") >= 0.9, "leaked").otherwise("clean").as("verdict"))
+      .orderBy("vec_id")
   }
 
   /** Deterministic MIXTURE SAMPLING: hit per-language target sampling rates
@@ -325,6 +397,6 @@ object CorpusQueries {
   }
 
   val all: Seq[Q] =
-    Seq(decontaminate, mixSample, repetitionQuality, vocabTopk, tfidfKeywords,
-      lengthQuantiles)
+    Seq(decontaminate, semanticDecontaminate, mixSample, repetitionQuality,
+      vocabTopk, tfidfKeywords, lengthQuantiles)
 }

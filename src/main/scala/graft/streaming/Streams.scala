@@ -250,6 +250,23 @@ object Streams {
       .join(broadcast(benchKeys.select(col("k"))), Seq("k"))
       .select("doc_id", "k")
 
+  /** Incremental SEMANTIC (embedding-space) decontamination: each arriving
+    * vector (`vec_id`, `v` double[]) scored against the bounded benchmark
+    * embedding set (`bid`, `qv` double[], broadcast) through the SAME
+    * scoring columns as batch q_semantic_decontaminate
+    * ([[graft.engine.Similarity.benchCosineScores]] — single-sourced, so
+    * stream and batch produce bit-identical cosines); emits (vec_id, bid,
+    * cos) HIT rows for cos >= threshold. Stateless stream-static join — no
+    * watermark or state store — and the per-vector argmax/verdict is a
+    * downstream aggregation, exactly where [[contaminationHits]] leaves the
+    * per-doc ratio: a streaming group-by vec_id would hold unbounded state
+    * for a max that is final as soon as the vector's |bench| rows have
+    * passed. */
+  def semanticHits(vecs: DataFrame, bench: DataFrame,
+      threshold: Double = 0.9): DataFrame =
+    graft.engine.Similarity.benchCosineScores(vecs, bench)
+      .filter(col("cos") >= threshold)
+
   /** Streaming CURATION GATE: the in-row quality gates of the batch
     * report (length, repetition, blocklist — single-sourced via
     * [[graft.functions.Text.curationGate]], so stream and batch verdicts

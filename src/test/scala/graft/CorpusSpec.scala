@@ -57,6 +57,37 @@ class CorpusSpec extends SparkSpec {
     assert(spliced._2 > 0.0 && spliced._2 < 1.0 && spliced._3 == "contaminated")
   }
 
+  test("semantic decontaminate: plants leak, scaled copy scores bit-equal, rest clean") {
+    val benchIds = graft.engine.Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") % 97 === 0 && col("vec_id") < 1000)
+      .select("vec_id").as[Long].collect().toSet
+    assert(benchIds.nonEmpty, "sf corpus must yield a benchmark slice")
+    val out = CorpusQueries.semanticDecontaminate.build(spark, sf)
+      .select("vec_id", "nearest_bench", "max_cos", "verdict")
+      .as[(Long, Long, Double, String)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // every plant (verbatim + scaled) flags against ITS OWN source vector
+    for (b <- benchIds; off <- Seq(5000000L, 6000000L)) {
+      val (_, nb, cos, v) = byId(off + b)
+      assert(v == "leaked" && nb == b && cos >= 0.999,
+        s"plant ${off + b} must leak against bench $b, got ($nb, $cos, $v)")
+    }
+    // doubling every component is exact, so the scaled plant's max_cos is
+    // BIT-EQUAL to the verbatim plant's — the scale-invariance the operator
+    // exists to catch, pinned exactly
+    for (b <- benchIds)
+      assert(byId(5000000L + b)._3 == byId(6000000L + b)._3,
+        s"scaled plant of $b must score bit-equal to the verbatim plant")
+    // natural corpus: all clean, with real margin below the 0.9 threshold
+    val natural = out.filter(_._1 < 5000000L)
+    assert(natural.length == out.length - 2 * benchIds.size)
+    assert(natural.forall(_._4 == "clean"), "no natural vector may be flagged")
+    assert(natural.map(_._3).max < 0.75,
+      "natural max cosine must keep wide margin below the threshold")
+    assert(out.forall(r => benchIds.contains(r._2)),
+      "nearest_bench must always come from the benchmark slice")
+  }
+
   test("repetition quality: degenerate repetition drops, varied text keeps") {
     val dir = corpusDir(Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"),

@@ -110,6 +110,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticHits: streamed copies flag against their bench source, clean vector silent") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Vectors
+    val bench = graft.engine.Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") % 97 === 0 && col("vec_id") < 1000)
+      .select(col("vec_id").as("bid"), Vectors.asDouble(col("embedding")).as("qv"))
+    val (b0, b0v) = bench.as[(Long, Seq[Double])].orderBy("bid").head()
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.semanticHits(in.toDF().toDF("vec_id", "v"), bench)
+      .writeStream.format("memory").queryName("semhits").outputMode("append")
+      .start()
+    try {
+      in.addData(
+        (9001L, b0v),                 // verbatim copy of the first bench vector
+        (9002L, b0v.map(_ * 3.0)),    // scaled copy — cosine is scale-invariant
+        (9003L, b0v.indices.map(i => if (i % 2 == 0) 1.0 else -1.0)))  // unrelated
+      q.processAllAvailable()
+      val hits = spark.table("semhits").select("vec_id", "bid", "cos")
+        .as[(Long, Long, Double)].collect()
+      for (id <- Seq(9001L, 9002L)) {
+        val h = hits.filter(_._1 == id)
+        assert(h.length == 1 && h.head._2 == b0 && h.head._3 >= 0.999,
+          s"copy $id must hit exactly its bench source, got ${h.toSeq}")
+      }
+      assert(!hits.exists(_._1 == 9003L), "unrelated vector must emit no hits")
+    } finally q.stop()
+  }
+
   test("curationGate: stateless stream verdicts match the shared batch gates") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
