@@ -12,9 +12,11 @@ import org.apache.spark.sql.streaming.Trigger
   * and the per-bucket sequence packer — and writes one STREAMBENCH.json
   * line with wall time and rows/s per query.
   *
-  * Method: the scale probe's replicated events (200x = 20M rows) and
+  * Method: the scale probe's replicated events (200x = 20M rows),
   * documents (40x = 200k docs — the gate and packer are per-row CPU-bound,
   * enough rows to dominate fixed cost without re-reading 1M docs twice)
+  * and embeddings (500x = 1M vectors, the stress-block volume, streamed
+  * against the bounded benchmark side of q_semantic_decontaminate)
   * are materialized once as parquet, then each streaming query reads them
   * through a file source with `maxFilesPerTrigger` forcing MULTIPLE
   * micro-batches (state genuinely crosses batch boundaries — a single
@@ -32,6 +34,7 @@ object StreamBench {
 
   private val EvRepl = 200 // 20M events — matches SCALING.json's stress block
   private val DocRepl = 40 // 200k docs through the per-row streaming ops
+  private val EmbRepl = 500 // 1M vectors — matches the stress embeddings block
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,6 +68,16 @@ object StreamBench {
       .select(col("doc_id"), col("text"), col("source"))
       .write.mode("overwrite").parquet(s"$work/docs")
     val nDocs = spark.read.parquet(s"$work/docs").count()
+    ScaleProbe.scaledEmbeddings(spark, sfDir, EmbRepl)
+      .select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$work/vecs")
+    val nVecs = spark.read.parquet(s"$work/vecs").count()
+    // the bounded benchmark side comes from the BASE table, exactly as the
+    // batch query selects it — replication grows only the streamed corpus
+    val bench = engine.Tables.t(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 97 === 0 && col("vec_id") < 1000)
+      .select(col("vec_id").as("bid"),
+        functions.Vectors.asDouble(col("embedding")).as("qv"))
 
     def src(path: String): DataFrame = {
       val schema = spark.read.parquet(path).schema
@@ -83,6 +96,7 @@ object StreamBench {
 
     def run(name: String, rows: Long)(build: DataFrame => DataFrame): (String, String) = {
       val in = if (name == "funnel" || name == "session_tws") s"$work/events"
+        else if (name == "semantic_hits") s"$work/vecs"
         else s"$work/docs"
       val t0 = System.nanoTime()
       val q = build(src(in)).writeStream
@@ -110,10 +124,16 @@ object StreamBench {
       run("source_cap", nDocs)(df =>
         streaming.Streams.sourceCap(df, cap = 20).toDF()),
       run("chunk_docs", nDocs)(df => streaming.Streams.chunkDocs(df)),
-      run("pii_scrub", nDocs)(df => streaming.Streams.piiScrub(df)))
+      run("pii_scrub", nDocs)(df => streaming.Streams.piiScrub(df)),
+      run("semantic_hits", nVecs)(df =>
+        streaming.Streams.semanticHits(
+          df.select(col("vec_id"),
+            functions.Vectors.asDouble(col("embedding")).as("v")),
+          bench)))
 
     val json = s"""{"sf":"$sfDir","events":$nEvents,"docs":$nDocs,""" +
       s""""ev_replication":$EvRepl,"doc_replication":$DocRepl,""" +
+      s""""vectors":$nVecs,"emb_replication":$EmbRepl,""" +
       results.map(_._2).mkString(""""queries":{""", ",", "}}")
     java.nio.file.Files.write(java.nio.file.Paths.get("STREAMBENCH.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
