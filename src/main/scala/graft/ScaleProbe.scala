@@ -95,7 +95,8 @@ object ScaleProbe {
     "q_curation_report", "q_curriculum_order", "q_corpus_diff",
     "q_budget_mixture", "q_length_quantiles", "q_pipeline_e2e",
     "q_shard_manifest", "q_dedup_normalized", "q_label_mismatch",
-    "q_chunk_docs", "q_pii_scrub")
+    "q_chunk_docs", "q_pii_scrub", "q_winnow_fingerprint",
+    "q_neardup_verify", "q_bpe_pairs")
 
   /** Queries that read ONLY the embeddings table (replicated input #2). */
   private val EmbQueries = Seq(

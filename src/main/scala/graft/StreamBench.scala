@@ -125,6 +125,7 @@ object StreamBench {
         streaming.Streams.sourceCap(df, cap = 20).toDF()),
       run("chunk_docs", nDocs)(df => streaming.Streams.chunkDocs(df)),
       run("pii_scrub", nDocs)(df => streaming.Streams.piiScrub(df)),
+      run("winnow", nDocs)(df => streaming.Streams.winnowFingerprints(df)),
       run("semantic_hits", nVecs)(df =>
         streaming.Streams.semanticHits(
           df.select(col("vec_id"),

@@ -325,4 +325,57 @@ object Similarity {
         Vectors.cosineFromNorms(col("qv"), col("v"), col("qn"), col("vn"))
           .as("cos"))
   }
+
+  /** Winnowing window width (shingle positions per window). Guarantee
+    * (Schleimer et al. 2003, "Winnowing: local algorithms for document
+    * fingerprinting" — the MOSS scheme): every run of [[WinnowWindow]]
+    * consecutive shingles contributes at least one selected fingerprint,
+    * so any shared substring of >= shingleLen + WinnowWindow - 1 tokens
+    * between two documents is GUARANTEED to share a selected fingerprint
+    * — a recall property the global-min schemes (MinHash) only achieve in
+    * expectation. Expected density of selected positions is 2/(w+1). */
+  val WinnowWindow = 4
+
+  /** Winnowing fingerprint profile per document: slide a
+    * [[WinnowWindow]]-wide window over the md5-32 hashes of the doc's
+    * 3-token shingles; each window selects its minimum hash (ties broken
+    * to the RIGHTMOST position — the paper's robust-winnowing rule, which
+    * keeps selections position-stable under local edits); the distinct
+    * selected (position, hash) set is the fingerprint. Emitted profile:
+    * `(idCol, n_shingles, n_selected, fp_min, fp_sum)` — set-level
+    * digests that two engines can hash-compare without ordering a
+    * nested column.
+    *
+    * Shape at 100 TB: pure in-row HOFs over the projected shingle array —
+    * ZERO shuffles at any corpus size; per-row cost is O(shingles * w)
+    * with w = 4 constant. The hash column is materialized ONCE before the
+    * window fold (`__hp` — the fan-out-re-executes lesson: each of the
+    * ~m window folds references the array, so an inlined md5 would
+    * recompute every digest per window). Single source for batch
+    * q_winnow_fingerprint and the stateless streaming twin
+    * ([[graft.streaming.Streams.winnowFingerprints]]). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, window: Int = WinnowWindow): DataFrame = {
+    val hp = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), shinglesOfTokens(col("__toks"), shingleLen).as("__sh"))
+      .withColumn("__hp", transform(col("__sh"), (g, p) =>
+        struct(Text.md5Hash32(g).as("h"), p.cast("long").as("p"))))
+    // window starts 0..max(m-w, 0): ascending for every m >= 1 (a doc of
+    // fewer shingles than w gets ONE window holding all of them); the fold
+    // keeps x on h <= acc.h, so the LAST minimal element wins (rightmost)
+    val sel = hp.withColumn("__sel", array_distinct(
+      transform(sequence(lit(0), greatest(size(col("__hp")) - window, lit(0))),
+        j => aggregate(slice(col("__hp"), j + 1, lit(window)),
+          struct(lit(Long.MaxValue).as("h"), lit(-1L).as("p")),
+          (acc, x) =>
+            when(x.getField("h") <= acc.getField("h"), x).otherwise(acc)))))
+    sel.select(col(idCol),
+      size(col("__sh")).cast("long").as("n_shingles"),
+      size(col("__sel")).cast("long").as("n_selected"),
+      array_min(transform(col("__sel"), s => s.getField("h"))).as("fp_min"),
+      aggregate(transform(col("__sel"), s => s.getField("h")), lit(0L),
+        (a, x) => a + x).as("fp_sum"))
+  }
 }

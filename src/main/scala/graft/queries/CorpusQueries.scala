@@ -396,7 +396,73 @@ object CorpusQueries {
       .orderBy("lang")
   }
 
+  /** The full (un-limited) BPE pair table for a documents DataFrame —
+    * factored out so CorpusSpec can pin the conservation law
+    * `sum(pair_count) == sum over vocab of freq * (len(word) - 1)` that
+    * the top-50 query output can't express. Two stages: (1) the ONLY
+    * corpus-sized aggregation — word → occurrence count, map-side
+    * combined, keys drawn from the bounded vocabulary (Heaps' law:
+    * vocabulary grows ~O(corpus^0.5), not linearly); (2) adjacent
+    * character pairs enumerated over the VOCAB (freq-weighted), so the
+    * per-merge-iteration cost of BPE training is O(|vocab| * word_len)
+    * regardless of corpus size — the standard trick every real BPE
+    * trainer uses, expressed as two keyed aggregations. */
+  private[graft] def bpePairAgg(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .filter(col("text").isNotNull)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    // sequence(1, len-1) is ascending only under the len >= 2 filter
+    // (Spark's sequence DESCENDS for end < start — the ngramMd5Keys lesson)
+    vocab
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), col("freq"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair")
+      .agg(sum("freq").as("pair_count"), countDistinct("word").as("n_words"))
+  }
+
+  /** BPE TOKENIZER-TRAINING pair statistics: the first merge iteration of
+    * byte-pair encoding — count adjacent character pairs across the
+    * corpus, weighted by word occurrence frequency, and rank the merge
+    * candidates (top-50 by count, token tiebreak). This is the step that
+    * turns a curated corpus into a TOKENIZER, the one pipeline stage
+    * between q_vocab_topk (word-level vocabulary) and q_token_counts
+    * (applying a tokenizer) that nothing else covers. Overlapping pairs
+    * count per position ("aaa" contributes "aa" twice), matching standard
+    * BPE pair counting; n_words is the distinct-word support of each pair.
+    *
+    * Shape at 100 TB: see [[bpePairAgg]] — the corpus-sized work is ONE
+    * map-side-combined word count; pair enumeration and the pair
+    * aggregation run over the bounded vocabulary, and the top-50 is a
+    * TakeOrderedAndProject (no global sort materializes). Every further
+    * BPE merge iteration would rescan only the vocab table, never the
+    * corpus. */
+  val bpePairs: Q = Q(
+    "q_bpe_pairs",
+    """WITH w AS (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      |  WHERE text IS NOT NULL),
+      |vocab AS (
+      |  SELECT word, COUNT(*) AS freq FROM w WHERE word <> '' GROUP BY word),
+      |p AS (
+      |  SELECT word, freq,
+      |         unnest(list_transform(range(1, length(word)),
+      |                               i -> word[i:i+1])) AS pair
+      |  FROM vocab WHERE length(word) >= 2)
+      |SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count,
+      |       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+      |FROM p GROUP BY pair
+      |ORDER BY pair_count DESC, pair
+      |LIMIT 50""".stripMargin) { (s, dir) =>
+    bpePairAgg(t(s, dir, "documents"))
+      .orderBy(desc("pair_count"), asc("pair"))
+      .limit(50)
+  }
+
   val all: Seq[Q] =
     Seq(decontaminate, semanticDecontaminate, mixSample, repetitionQuality,
-      vocabTopk, tfidfKeywords, lengthQuantiles)
+      vocabTopk, tfidfKeywords, lengthQuantiles, bpePairs)
 }

@@ -389,6 +389,55 @@ object SimilarityQueries {
       .orderBy("doc_id")
   }
 
+  /** Near-dup VERIFICATION: the exact edit-distance check that turns the
+    * banded MinHash CANDIDATE pairs (exactly q_minhash_neardup's — shared
+    * CTEs) into verdicts — the candidate→verify contract of every LSH
+    * pipeline: banding trades recall for a bounded candidate set, and a
+    * precise (here exact Levenshtein) pass rescues precision. Planted
+    * twins differ by the 11-char " twinmarker" suffix, so every twin pair
+    * carries edit_dist exactly 11; twins over 110 chars clear the 0.9
+    * similarity bar while SHORT twins legitimately fall below it (a fixed
+    * edit weighs more on a short doc — the precision/recall dial the
+    * threshold exposes, pinned by SimilaritySpec), and accidental banding
+    * collisions (unrelated docs sharing a band key) land far below it —
+    * the verdict column separates signal from LSH noise at every scale.
+    *
+    * Shape at 100 TB: Levenshtein is O(len_a * len_b) PER PAIR, which is
+    * exactly why it must never run all-pairs — the cost is
+    * |candidates| * len², and |candidates| is the banding output (bounded
+    * by the hot-bucket skip, occ <= 200). Texts join onto the slim pair
+    * list by doc id (two keyed shuffles carrying only matched rows);
+    * both engines implement classic unit-cost Levenshtein, so the
+    * distances, similarities (one double divide), and threshold verdicts
+    * hash-match. */
+  val nearDupVerify: Q = Q(
+    "q_neardup_verify",
+    "WITH " + minhashPairCtes + """,
+      |scored AS (
+      |  SELECT p.d1, p.d2, levenshtein(a.text, b.text) AS ed,
+      |         GREATEST(length(a.text), length(b.text)) AS ml
+      |  FROM pairs p
+      |  JOIN planted a ON a.doc_id = p.d1
+      |  JOIN planted b ON b.doc_id = p.d2)
+      |SELECT d1, d2, CAST(ed AS BIGINT) AS edit_dist,
+      |       CAST(1 AS DOUBLE) - CAST(ed AS DOUBLE) / ml AS similarity,
+      |       CASE WHEN CAST(1 AS DOUBLE) - CAST(ed AS DOUBLE) / ml >= 0.9
+      |            THEN 'duplicate' ELSE 'candidate_only' END AS verdict
+      |FROM scored
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    val (planted, pairs) = minhashPlantedAndPairs(s, dir)
+    val ed = levenshtein(col("t1"), col("t2"))
+    val ml = greatest(length(col("t1")), length(col("t2")))
+    val sim = lit(1.0) - ed.cast("double") / ml.cast("double")
+    pairs
+      .join(planted.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+      .join(planted.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+      .select(col("d1"), col("d2"), ed.cast("long").as("edit_dist"),
+        sim.as("similarity"),
+        when(sim >= 0.9, "duplicate").otherwise("candidate_only").as("verdict"))
+      .orderBy("d1", "d2")
+  }
+
   /** int8 embedding quantization ROUND-TRIP, oracle-checked per vector:
     * stored scale (after the float32 truncation the storage format applies),
     * L1 mass of the quantized codes, worst-case absolute reconstruction
@@ -655,6 +704,6 @@ object SimilarityQueries {
 
   val all: Seq[Q] =
     Seq(cosineTopK, annIvf, annIvfLearned, annInt8, annLsh, minhashNearDup,
-      simhashNearDup, embedNearDup, dedupComponents, quantizeRoundtrip,
-      annRecall)
+      simhashNearDup, embedNearDup, dedupComponents, nearDupVerify,
+      quantizeRoundtrip, annRecall)
 }

@@ -263,6 +263,67 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** WINNOWING fingerprint profile ([[graft.engine.Similarity.winnowFingerprints]]
+    * — Schleimer et al. 2003, the MOSS scheme): each 4-wide window over a
+    * doc's 3-token-shingle hashes selects its minimum (ties → rightmost
+    * position), and the distinct selected set is the fingerprint. The third
+    * member of the fingerprint family with a guarantee the other two lack:
+    * the content md5 (q_dedup_exact) breaks under ANY edit, the rolling
+    * fold (q_fingerprint_rolling) under any PREFIX edit, while winnowing
+    * selections are LOCAL — an edit only disturbs fingerprints within w
+    * windows of it, and any shared run of >= 6 tokens between two docs is
+    * guaranteed a shared selected fingerprint (the plagiarism-detection /
+    * partial-overlap use case that global fingerprints cannot serve).
+    *
+    * Shape at 100 TB: pure in-row HOFs (zero shuffles before the
+    * presentation sort), per-row cost O(shingles * 4); the oracle mirrors
+    * the window fold relationally — per-window MIN(hash) then MAX(position)
+    * among the minima is exactly the fold's rightmost-min — so the
+    * selection set, not just its size, is hash-checked via the
+    * (min, sum) digests. */
+  val winnowFingerprint: Q = Q(
+    "q_winnow_fingerprint",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE text IS NOT NULL),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(0, len(toks) - 2),
+      |                i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]) END AS sl
+      |  FROM tok),
+      |hrow AS (
+      |  SELECT doc_id, len(sl) AS m, p,
+      |         CAST(('0x' || substr(md5(sl[p + 1]), 1, 8)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, sl, unnest(range(0, len(sl))) AS p FROM sh)),
+      |sz AS (SELECT DISTINCT doc_id, m FROM hrow),
+      |win AS (
+      |  SELECT doc_id, unnest(range(0, GREATEST(m - 3, 1))) AS j FROM sz),
+      |cand AS (
+      |  SELECT w.doc_id, w.j, h.p, h.h
+      |  FROM win w JOIN hrow h
+      |    ON h.doc_id = w.doc_id AND h.p BETWEEN w.j AND w.j + 3),
+      |selw AS (SELECT doc_id, j, MIN(h) AS mh FROM cand GROUP BY doc_id, j),
+      |selp AS (
+      |  SELECT c.doc_id, c.j, c.h, MAX(c.p) AS p
+      |  FROM cand c JOIN selw s
+      |    ON s.doc_id = c.doc_id AND s.j = c.j AND c.h = s.mh
+      |  GROUP BY c.doc_id, c.j, c.h),
+      |fp AS (SELECT DISTINCT doc_id, p, h FROM selp)
+      |SELECT s.doc_id, CAST(s.m AS BIGINT) AS n_shingles,
+      |       CAST(a.n_selected AS BIGINT) AS n_selected,
+      |       CAST(a.fp_min AS BIGINT) AS fp_min,
+      |       CAST(a.fp_sum AS BIGINT) AS fp_sum
+      |FROM sz s JOIN (
+      |  SELECT doc_id, COUNT(*) AS n_selected, MIN(h) AS fp_min,
+      |         SUM(h) AS fp_sum
+      |  FROM fp GROUP BY doc_id) a ON a.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    graft.engine.Similarity
+      .winnowFingerprints(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/val/test corpus split (90/5/5) by CONTENT-HASH
     * bucketing: md5("split:" || doc_id) mod 100 — the assignment every
     * training pipeline needs to be stable across runs, engines, partition
@@ -503,6 +564,6 @@ object TextQueries {
 
   val all: Seq[Q] =
     Seq(dedupExact, textStats, langId, docProfile, jaccardNearDup, mediaMeta,
-      tokenCounts, fingerprintRolling, trainSplit, shuffleOrder, packShards,
-      chunkDocs, dedupNormalized, labelMismatch)
+      tokenCounts, fingerprintRolling, winnowFingerprint, trainSplit,
+      shuffleOrder, packShards, chunkDocs, dedupNormalized, labelMismatch)
 }

@@ -316,6 +316,17 @@ object Streams {
     docs.select(col("doc_id") +:
       graft.queries.CurationQueries.piiColumns(col("text")): _*)
 
+  /** Stateless streaming winnowing fingerprinter — the streaming twin of
+    * q_winnow_fingerprint, single-sourced through
+    * [[graft.engine.Similarity.winnowFingerprints]] so stream and batch
+    * profiles agree bit-for-bit. Pure in-row HOFs — no watermark, no
+    * state store — so an ingest pipeline can fingerprint documents the
+    * moment they arrive and match them against an existing fingerprint
+    * index downstream (the plagiarism / partial-overlap screen at the
+    * door, like [[piiScrub]] is the privacy screen). */
+  def winnowFingerprints(docs: DataFrame): DataFrame =
+    graft.engine.Similarity.winnowFingerprints(docs, "doc_id", "text")
+
   /** Cross-batch running totals per user via mapGroupsWithState: minimal
     * custom-state shape (the KeyValueGroupedDataset API the reference's
     * per-country accumulations would need incrementally). */

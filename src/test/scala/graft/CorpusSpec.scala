@@ -134,4 +134,36 @@ class CorpusSpec extends SparkSpec {
     assert(k.groupBy(_._1).forall { case (_, rows) =>
       rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq })
   }
+
+  test("bpe pairs: crafted corpus counts exactly (overlaps, weights, support)") {
+    // vocab: ab:3, ba:1, aaa:2 -> pairs: ab = 3 (1 word), ba = 1 (1 word),
+    // aa = 2 occurrences x freq 2 = 4 (1 word) — "aaa" contributes its
+    // overlapping "aa" TWICE per occurrence, the standard BPE position count
+    val dir = corpusDir(Seq((1L, "ab ab ba aaa"), (2L, "ab aaa")))
+    val got = CorpusQueries.bpePairs.build(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("aa", 4L, 1L), ("ab", 3L, 1L), ("ba", 1L, 1L)), got.toString)
+  }
+
+  test("bpe pairs: conservation law over the real corpus") {
+    // sum over ALL pairs of pair_count must equal
+    // sum over vocab of freq * (len(word) - 1) for len >= 2 — every
+    // adjacent position of every word occurrence is counted exactly once
+    val docs = graft.engine.Tables.t(spark, sf, "documents")
+    val full = CorpusQueries.bpePairAgg(docs)
+    val gotTotal = full.agg(sum("pair_count")).as[Long].head()
+    val wantTotal = docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) >= 2)
+      .agg(sum(length(col("w")) - 1)).as[Long].head()
+    assert(gotTotal == wantTotal, s"$gotTotal != $wantTotal")
+    // the declared query is exactly the top-50 of the full table under
+    // (count desc, pair asc) — limit determinism depends on this order
+    // being total, which it is because pair is unique after the group-by
+    val top = CorpusQueries.bpePairs.build(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    val want = full.as[(String, Long, Long)].collect().toSeq
+      .sortBy { case (p, c, _) => (-c, p) }.take(50)
+    assert(top == want)
+  }
 }

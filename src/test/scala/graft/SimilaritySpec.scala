@@ -193,4 +193,121 @@ class SimilaritySpec extends SparkSpec {
       assert(got == want, s"divergence at maxOcc=$maxOcc")
     }
   }
+
+  /** JVM reference winnowing: shingles -> md5-32 hashes -> per-window
+    * rightmost-min -> distinct (pos, hash) digests. Mirrors the column
+    * pipeline independently (MessageDigest, plain loops) so the HOF
+    * implementation is checked against first-principles semantics, not
+    * itself. */
+  private def winnowRef(text: String, w: Int = 4): (Long, Long, Long, Long) = {
+    val toks = text.split(" ", -1).toSeq
+    val sh =
+      if (toks.length < 3) Seq(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = sh.map { g =>
+      val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val m = hs.length
+    val starts = 0 to math.max(m - w, 0)
+    val sel = starts.map { j =>
+      val win = hs.zipWithIndex.slice(j, j + w)
+      // rightmost minimum: later equal hash wins
+      win.foldLeft((Long.MaxValue, -1)) { case (acc, x) =>
+        if (x._1 <= acc._1) x else acc
+      }
+    }.distinct
+    (m.toLong, sel.size.toLong, sel.map(_._1).min, sel.map(_._1).sum)
+  }
+
+  test("winnowing: HOF pipeline matches the JVM reference on crafted and real docs") {
+    // crafted: short doc (< shingle len), exactly one window, one-past-one
+    // window, and a tie-heavy doc (repeated shingles force equal hashes,
+    // exercising the rightmost-tie rule)
+    val crafted = Seq(
+      (1L, "one two"),                        // 1 shingle, 1 window
+      (2L, "a b c d e f"),                    // m = 4 = w: exactly 1 window
+      (3L, "a b c d e f g"),                  // m = 5: 2 windows
+      (4L, "x x x x x x x x x x"),            // all shingles identical: ties
+      (5L, "p q p q p q p q p q p q"))        // alternating ties
+    val real = graft.engine.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+      .orderBy("doc_id").limit(50)
+      .as[(Long, String)].collect().toSeq
+    val docs = (crafted ++ real.map { case (id, t) => (id + 1000L, t) }).toDF("doc_id", "text")
+    val got = Similarity.winnowFingerprints(docs, "doc_id", "text")
+      .select("doc_id", "n_shingles", "n_selected", "fp_min", "fp_sum")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val want = (crafted ++ real.map { case (id, t) => (id + 1000L, t) })
+      .map { case (id, t) => id -> winnowRef(t) }.toMap
+    assert(got == want,
+      s"divergence: ${(got.toSet diff want.toSet).take(3)} vs ${(want.toSet diff got.toSet).take(3)}")
+    // the tie-heavy doc: every window's min is the same hash at a DIFFERENT
+    // rightmost position -> one selection per window start
+    val m4 = winnowRef("x x x x x x x x x x")._1
+    assert(got(4L)._2 == m4 - 4 + 1, "rightmost-tie rule must select one position per window")
+  }
+
+  test("winnowing guarantee: shared >= 6-token run implies a shared fingerprint") {
+    // two docs sharing a 6-token run (shingleLen + w - 1 = 3 + 4 - 1)
+    // MUST share a selected (hash) fingerprint — the locality guarantee
+    // that makes winnowing usable for partial-overlap detection. Distinct
+    // surrounding text on both sides; property checked over several seeds.
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = (0 until 8).map { i =>
+      (i.toLong, s"pre$i filler$i mid$i $shared post$i tail$i end$i")
+    }.toDF("doc_id", "text")
+    // recover the selected HASH SETS via the reference (the query exposes
+    // digests; the guarantee is about the underlying sets)
+    val texts = (0 until 8).map(i => s"pre$i filler$i mid$i $shared post$i tail$i end$i")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def selSet(text: String): Set[Long] = {
+      val toks = text.split(" ", -1).toSeq
+      val sh = if (toks.length < 3) Seq(toks.mkString(" "))
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      val hs = sh.map { g =>
+        val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(8), 16)
+      }
+      (0 to math.max(hs.length - 4, 0)).map { j =>
+        hs.zipWithIndex.slice(j, j + 4)
+          .foldLeft((Long.MaxValue, -1)) { case (acc, x) => if (x._1 <= acc._1) x else acc }
+      }.map(_._1).toSet
+    }
+    val sets = texts.map(selSet)
+    for (a <- sets.indices; b <- sets.indices if a < b)
+      assert((sets(a) intersect sets(b)).nonEmpty,
+        s"docs $a and $b share a 6-token run but no winnowing fingerprint")
+    // and the engine agrees with the reference on these docs (digest level)
+    val got = Similarity.winnowFingerprints(docs, "doc_id", "text")
+      .select("doc_id", "fp_sum").as[(Long, Long)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == winnowRef(t)._4)
+    }
+  }
+
+  test("neardup verify: twins confirmed duplicates, LSH noise rejected") {
+    val out = graft.queries.SimilarityQueries.nearDupVerify.build(spark, sf)
+      .select("d1", "d2", "edit_dist", "similarity", "verdict")
+      .as[(Long, Long, Long, Double, String)].collect()
+    assert(out.nonEmpty)
+    // every planted twin pair that surfaced as a candidate: edit distance
+    // is EXACTLY the 11-char " twinmarker" suffix and verdict 'duplicate'
+    val twins = out.filter { case (d1, d2, _, _, _) => d2 == d1 + 1000000L && d1 % 10 == 0 }
+    assert(twins.nonEmpty, "no twin candidate pairs at sf0.001 — plant broken?")
+    twins.foreach { case (d1, _, ed, _, _) =>
+      assert(ed == 11L, s"twin $d1: edit_dist $ed != 11")
+    }
+    // long twins clear the 0.9 bar (11/maxlen <= 0.1 for texts >= 110
+    // chars); SHORT twins legitimately fall below it — normalized edit
+    // distance punishes a fixed-size edit more on a short doc, which is
+    // exactly the precision/recall dial the threshold exposes
+    assert(twins.exists(_._5 == "duplicate"), "no long twin confirmed")
+    // verdicts partition exactly at the threshold — no row crosses sides
+    out.foreach { case (_, _, _, sim, v) =>
+      assert((sim >= 0.9) == (v == "duplicate"))
+    }
+  }
 }

@@ -455,6 +455,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("winnowFingerprints: streaming profiles match the batch query bit-for-bit") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val batch = graft.queries.TextQueries.winnowFingerprint.build(spark, sf)
+      .select("doc_id", "n_shingles", "n_selected", "fp_min", "fp_sum")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // stateless like chunkDocs: a two-batch split proves per-arrival
+    // fingerprinting composes to the batch answer
+    val docs = graft.engine.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.winnowFingerprints(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("winnow").outputMode("append").start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("winnow")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("sourceCap: per-source admission counter survives micro-batch boundaries") {
     implicit val ctx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
