@@ -20,11 +20,16 @@ object Tables {
   /** Lazy parquet scan for one table. Column pruning + predicate pushdown
     * reach the scan because this is a plain file-source relation.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects by default; read it as a nanosecond long (legacy conf) and
-    * convert with exact integer arithmetic (`div 1000` — a double division
-    * would lose precision above 2^53 ns). The driver data carries only
-    * microsecond precision, so the conversion is lossless.
+    * `events.ts` has shipped in TWO physical shapes across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * surfaces as a nanosecond long under the legacy conf — convert with
+    * exact integer arithmetic, `div 1000`; a double division would lose
+    * precision above 2^53 ns) and parquet timestamp[us] (which Spark reads
+    * natively as TIMESTAMP_NTZ). We branch on the footer schema rather than
+    * hard-coding either: the footer read costs one file-listing + metadata
+    * fetch, no data scan. Both branches land on session-zoned TimestampType
+    * (session tz is UTC everywhere in this engine), so downstream queries
+    * and `window()` see one type regardless of the file's vintage.
     */
   /** The one session conf the testdata needs. Our entry points (Verify,
     * Bench, test sessions) set it at session build; this fallback covers a
@@ -39,8 +44,16 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       ensureNanosConf(spark)
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => // TimestampType / TimestampNTZType: NTZ→TZ cast reads the
+          // wall-clock value in the session tz (UTC), matching the nanos
+          // path's micros-since-epoch-as-UTC-instant semantics exactly.
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every testdata table as a temp view (S3/S4 analogue). */
