@@ -81,7 +81,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = med.map(_._2).sum
     val coldTotal = cold.values.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"min":${jmap(mins)},"spread":${jmap(spread)},"iters":$SteadyIters,"errors":$errs,"cold_total":$coldTotal,"sf":"$sfDir"}"""
+    // declared/errored make partial runs self-describing (ADVICE r8): a
+    // consumer of BENCH.json can see 62-timed-of-90-declared instead of
+    // mistaking an error-truncated run for a complete, gate-passing bench
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"min":${jmap(mins)},"spread":${jmap(spread)},"iters":$SteadyIters,"errors":$errs,"declared":${queries.size},"timed":${okNames.size},"errored":${errors.size},"cold_total":$coldTotal,"sf":"$sfDir"}"""
     println(json)
     // the driver captures only a stdout tail (r5 truncated 8 of 60 entries
     // and the whole spread map) — the FULL object lands in the repo as the

@@ -38,11 +38,15 @@ object Dedup {
     *   output, one row per shared band) should `.distinct()` it first, as
     *   [[graft.engine.Similarity.lshCandidatePairs]] already does.
     * @param maxIter cap on double-rounds before failing loud. Pointer
-    *   jumping (from round 2 on) roughly doubles the propagated distance
-    *   per round, so the practical reachable diameter at the default 20 is
-    *   ~2^18 hops — beyond any graph that fits on disk; raising it for a
-    *   pathological graph is safe (each extra round is one more doubling,
-    *   cost stays keyed shuffles only).
+    *   jumping roughly doubles the propagated distance per round, but the
+    *   doubling only kicks in once compression starts (round 3 — the first
+    *   two rounds propagate direct labels), so the practical reachable
+    *   diameter at the default 20 is ~2^17 hops — still beyond any
+    *   realistic corpus graph (a duplicate-cluster chain 131k docs deep);
+    *   an adversarial deeper chain trips the require(converged) guard
+    *   rather than silently mislabeling, and raising maxIter for it is
+    *   safe (each extra round is one more doubling, cost stays keyed
+    *   shuffles only).
     * @return (id, component) — component = min id reachable from `id`;
     *         includes every id appearing in `edges`
     */

@@ -370,7 +370,32 @@ object Similarity {
     * for batch q_winnow_fingerprint and the stateless streaming twin
     * ([[graft.streaming.Streams.winnowFingerprints]]). */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 3, window: Int = WinnowWindow): DataFrame = {
+      shingleLen: Int = 3, window: Int = WinnowWindow): DataFrame =
+    winnowSel(df, idCol, textCol, shingleLen, window).select(col(idCol),
+      col("n_shingles"),
+      size(col("__sel")).cast("long").as("n_selected"),
+      shiftright(array_min(col("__sel")), 31).as("fp_min"),
+      aggregate(col("__sel"), lit(0L), (a, x) => a + shiftright(x, 31)).as("fp_sum"))
+
+  /** Distinct selected winnow fingerprint HASHES per document —
+    * `(idCol, fph)`, one row per (doc, selected hash). The candidate-pair
+    * feed of the MOSS plagiarism detector: two docs sharing a selected
+    * hash shared a >= shingleLen+w-1-token run (modulo md5-32 collision),
+    * so an equi-join on `fph` is the banded-LSH shape with the winnowing
+    * guarantee behind it. Positions are deliberately dropped: a window's
+    * packed min decodes to the window's min hash regardless of which tied
+    * position won, so the distinct-hash set needs no tie-break and the
+    * relational mirror is one `DISTINCT (doc, min-per-window)`. */
+  def winnowSelectedHashes(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, window: Int = WinnowWindow): DataFrame =
+    winnowSel(df, idCol, textCol, shingleLen, window)
+      .select(col(idCol), explode(array_distinct(
+        transform(col("__sel"), x => shiftright(x, 31)))).as("fph"))
+
+  /** Shared selection stage: `(idCol, n_shingles, __sel)` with `__sel` the
+    * distinct packed (hash, position) window minima. */
+  private def winnowSel(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, window: Int): DataFrame = {
     val P = 2147483648L // 2^31
     val pad = array(Seq.fill(window - 1)(lit(Long.MaxValue)): _*)
     val hp = df
@@ -382,14 +407,9 @@ object Similarity {
           Text.md5Hash32(g) * P + (lit(P - 1) - p.cast("long"))), pad).as("__hp"))
     // window starts 0..max(m-w, 0): ascending for every m >= 1 (a doc of
     // fewer shingles than w gets ONE window holding all of them + padding)
-    val sel = hp.withColumn("__sel", array_distinct(
+    hp.withColumn("__sel", array_distinct(
       transform(
         sequence(lit(0), greatest(size(col("__hp")) - lit(2 * window - 1), lit(0))),
         j => least((1 to window).map(k => element_at(col("__hp"), j + lit(k))): _*))))
-    sel.select(col(idCol),
-      col("n_shingles"),
-      size(col("__sel")).cast("long").as("n_selected"),
-      shiftright(array_min(col("__sel")), 31).as("fp_min"),
-      aggregate(col("__sel"), lit(0L), (a, x) => a + shiftright(x, 31)).as("fp_sum"))
   }
 }

@@ -20,5 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_dot expects exactly 2 arguments, got ${children.length}")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_levenshtein"),
+      new ExpressionInfo(classOf[BitLevenshtein].getCanonicalName, "graft_levenshtein"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"graft_levenshtein expects exactly 2 arguments, got ${children.length}")
+        BitLevenshtein(children.head, children(1))
+      }))
   }
 }

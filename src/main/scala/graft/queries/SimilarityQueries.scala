@@ -287,6 +287,69 @@ object SimilarityQueries {
     * kept as hex STRINGS (lexicographic min == numeric min for fixed-width
     * hex); MUST match Similarity.minhashSignaturesMd5. Mirrored Spark-side
     * by [[minhashPlantedAndPairs]]. */
+  /** The twin-planting CTE shared by every candidate-pair oracle: every
+    * 10th doc gets a near-identical twin (one appended token) at
+    * doc_id + 1000000, so candidate pairs exist at every scale. Mirrored
+    * Spark-side by [[plantedDocs]]. */
+  private val plantedCte: String =
+    """planted AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' twinmarker' AS text
+      |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Levenshtein verify pass over a bounded candidate-pair set
+    * (`d1`, `d2`, carry-through columns): joins the texts on, scores
+    * edit distance / similarity, and issues the shared verdict contract
+    * (`>= 0.9` similarity -> 'duplicate', else 'candidate_only').
+    *
+    * Three deliberate shapes, each one a measured pathology (the JVM
+    * Levenshtein kernel costs ~0.7 ms per ~300-char pair — 7.6 s
+    * single-core for a 10k-pair set — so every accidental serialization
+    * or re-execution of the scoring pass is seconds on the clock):
+    *  - the pair set is REPARTITIONED to the full shuffle width as the
+    *    LAST exchange before scoring. AQE rightly coalesces every tiny
+    *    pair-sized shuffle (a few hundred KB) to ONE partition by bytes —
+    *    including the text-join exchanges, which is why the repartition
+    *    must sit downstream of the joins: an upstream one is nullified by
+    *    the joins' own coalescible exchanges. An explicit width is exempt
+    *    from AQE coalescing (REPARTITION_BY_NUM): rows here are cheap to
+    *    move, expensive to score.
+    *  - NO presentation orderBy downstream: a range exchange's bounds
+    *    SAMPLING re-executes its child plan, which doubled the whole
+    *    Levenshtein pass (measured +4.5 s). The driver's compare (and
+    *    tools/parity.py) sorts rows itself, and at 100 TB nobody global-
+    *    sorts a verdict table — callers emit the scored rows unsorted
+    *    (the oracle SQL keeps its ORDER BY; row order never enters the
+    *    hash compare).
+    *  - edit_dist is projected ONCE and similarity/verdict derive from
+    *    the column, instead of repeating the levenshtein call in three
+    *    output expressions and hoping for codegen subexpression reuse. */
+  private def levenshteinVerdicts(s: SparkSession, planted: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+    pairs
+      .join(planted.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+      .join(planted.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+      .repartition(width, col("d1"), col("d2"))
+      .withColumn("edit_dist",
+        call_function("graft_levenshtein", col("t1"), col("t2")).cast("long"))
+      .withColumn("similarity",
+        lit(1.0) - col("edit_dist").cast("double") /
+          greatest(length(col("t1")), length(col("t2"))).cast("double"))
+      .withColumn("verdict",
+        when(col("similarity") >= 0.9, "duplicate").otherwise("candidate_only"))
+      .drop("t1", "t2")
+  }
+
+  /** Spark mirror of [[plantedCte]]. */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.unionAll(docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" twinmarker")).as("text")))
+  }
+
   private def minhashPairCtes: String = {
     val slotsSql = (0 until MinhashK).map { s =>
       val j = s / 8
@@ -298,11 +361,7 @@ object SimilarityQueries {
          |        mh_${2 * b} || ',' || mh_${2 * b + 1} AS bk
          |  FROM sig""".stripMargin
     }.mkString("\n  UNION ALL\n  ")
-    s"""planted AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 1000000 AS doc_id, text || ' twinmarker' AS text
-       |  FROM documents WHERE doc_id % 10 = 0),
+    s"""$plantedCte,
        |tokarr AS (
        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM planted),
        |sh AS (
@@ -331,11 +390,7 @@ object SimilarityQueries {
     * pairs). Per-row HOF signatures (shuffle-free; slot-equal to the
     * aggregation path by SimilaritySpec). */
   private def minhashPlantedAndPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val twins = docs.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"),
-        concat(col("text"), lit(" twinmarker")).as("text"))
-    val planted = docs.unionAll(twins)
+    val planted = plantedDocs(s, dir)
     val sig = Similarity.withMinhashSignature(planted, "text", k = MinhashK)
       .drop("text")
     val pairs = Similarity.lshCandidatePairs(sig, "doc_id", k = MinhashK,
@@ -426,16 +481,89 @@ object SimilarityQueries {
       |FROM scored
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
     val (planted, pairs) = minhashPlantedAndPairs(s, dir)
-    val ed = levenshtein(col("t1"), col("t2"))
-    val ml = greatest(length(col("t1")), length(col("t2")))
-    val sim = lit(1.0) - ed.cast("double") / ml.cast("double")
-    pairs
-      .join(planted.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
-      .join(planted.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
-      .select(col("d1"), col("d2"), ed.cast("long").as("edit_dist"),
-        sim.as("similarity"),
-        when(sim >= 0.9, "duplicate").otherwise("candidate_only").as("verdict"))
-      .orderBy("d1", "d2")
+    levenshteinVerdicts(s, planted, pairs)
+      .select(col("d1"), col("d2"), col("edit_dist"), col("similarity"),
+        col("verdict"))
+  }
+
+  /** Winnowing candidate pairs + verify — the MOSS plagiarism-detection
+    * loop closed end-to-end: winnow fingerprint selection
+    * ([[graft.engine.Similarity.winnowSelectedHashes]]) -> equi-join on
+    * shared selected hashes -> exact Levenshtein verdict on the bounded
+    * candidate set (the same verdict contract as q_neardup_verify). Where
+    * MinHash banding finds pairs with high WHOLE-DOC similarity in
+    * expectation, a shared winnow fingerprint certifies a shared run of
+    * >= 6 tokens (the winnowing guarantee) — partial overlap MinHash
+    * structurally misses. Planted twins (shared helpers with the minhash
+    * family) guarantee signal at every scale; all land at n_shared far
+    * above the >= 2 noise cut that drops single-shared-phrase accidents
+    * (sf0.1: 405k raw pairs -> 10.3k cut survivors, all 500 twins kept).
+    *
+    * Shape at 100 TB: candidate generation is an equi-join on the
+    * fingerprint hash with a doc-frequency cap (dropHotKeys, occ <= 200 —
+    * a stopword-grade fingerprint shared by everything generates at most
+    * occ^2/2 pairs, then none), never all-pairs; the per-pair Levenshtein
+    * runs only on cut survivors. The n_shared >= 2 cut runs AFTER the
+    * map-side-combined pair count, so the quadratic noise never reaches
+    * the verify join. */
+  val winnowPairs: Q = Q(
+    "q_winnow_pairs",
+    s"""WITH $plantedCte,
+      |tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM planted
+      |  WHERE text IS NOT NULL),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(0, len(toks) - 2),
+      |                i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]) END AS sl
+      |  FROM tok),
+      |hrow AS (
+      |  SELECT doc_id, len(sl) AS m, p,
+      |         CAST(('0x' || substr(md5(sl[p + 1]), 1, 8)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, sl, unnest(range(0, len(sl))) AS p FROM sh)),
+      |sz AS (SELECT DISTINCT doc_id, m FROM hrow),
+      |win AS (
+      |  SELECT doc_id, unnest(range(0, GREATEST(m - 3, 1))) AS j FROM sz),
+      |cand AS (
+      |  SELECT w.doc_id, w.j, h.h
+      |  FROM win w JOIN hrow h
+      |    ON h.doc_id = w.doc_id AND h.p BETWEEN w.j AND w.j + 3),
+      |selw AS (SELECT doc_id, j, MIN(h) AS mh FROM cand GROUP BY doc_id, j),
+      |fp AS (SELECT DISTINCT doc_id, mh AS h FROM selw),
+      |freq AS (SELECT h, COUNT(*) AS n FROM fp GROUP BY h),
+      |kept AS (
+      |  SELECT f.doc_id, f.h FROM fp f JOIN freq ON freq.h = f.h
+      |  WHERE freq.n <= 200),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+      |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |cut AS (SELECT * FROM pairs WHERE n_shared >= 2),
+      |scored AS (
+      |  SELECT p.d1, p.d2, p.n_shared, levenshtein(a.text, b.text) AS ed,
+      |         GREATEST(length(a.text), length(b.text)) AS ml
+      |  FROM cut p
+      |  JOIN planted a ON a.doc_id = p.d1
+      |  JOIN planted b ON b.doc_id = p.d2)
+      |SELECT d1, d2, CAST(n_shared AS BIGINT) AS n_shared,
+      |       CAST(ed AS BIGINT) AS edit_dist,
+      |       CAST(1 AS DOUBLE) - CAST(ed AS DOUBLE) / ml AS similarity,
+      |       CASE WHEN CAST(1 AS DOUBLE) - CAST(ed AS DOUBLE) / ml >= 0.9
+      |            THEN 'duplicate' ELSE 'candidate_only' END AS verdict
+      |FROM scored
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    val planted = plantedDocs(s, dir)
+    val fp = Similarity.winnowSelectedHashes(planted, "doc_id", "text")
+    val kept = Similarity.dropHotKeys(fp, Seq("fph"), 200)
+    val pairs = kept.select(col("doc_id").as("d1"), col("fph"))
+      .join(kept.select(col("doc_id").as("d2"), col("fph").as("fph2")),
+        col("fph") === col("fph2") && col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+    levenshteinVerdicts(s, planted, pairs)
+      .select(col("d1"), col("d2"), col("n_shared"), col("edit_dist"),
+        col("similarity"), col("verdict"))
   }
 
   /** int8 embedding quantization ROUND-TRIP, oracle-checked per vector:
@@ -705,5 +833,5 @@ object SimilarityQueries {
   val all: Seq[Q] =
     Seq(cosineTopK, annIvf, annIvfLearned, annInt8, annLsh, minhashNearDup,
       simhashNearDup, embedNearDup, dedupComponents, nearDupVerify,
-      quantizeRoundtrip, annRecall)
+      winnowPairs, quantizeRoundtrip, annRecall)
 }

@@ -250,6 +250,91 @@ class SimilaritySpec extends SparkSpec {
     assert(got(4L)._2 == m4 - 4 + 1, "rightmost-tie rule must select one position per window")
   }
 
+  test("graft_levenshtein: bit-parallel kernel equals the built-in on random unicode") {
+    import graft.expressions.MyersLev
+    import org.apache.spark.unsafe.types.UTF8String
+    val r = new scala.util.Random(42)
+    // alphabets chosen to force collisions (tiny), unicode incl.
+    // supplementary planes, and the >64-codepoint blocked path
+    val alphabets = Seq("ab", "abcde", "abcdefghijklmnop",
+      "aé中😀x") // é, 中, 😀 (surrogate pair)
+    def rand(alpha: String, maxLen: Int): String = {
+      val cps = alpha.codePoints.toArray
+      val sb = new java.lang.StringBuilder
+      (0 until r.nextInt(maxLen + 1)).foreach(_ =>
+        sb.appendCodePoint(cps(r.nextInt(cps.length))))
+      sb.toString
+    }
+    val cases = Seq(("", ""), ("", "abc"), ("abc", ""), ("same", "same"),
+      ("kitten", "sitting"), ("a" * 100, "a" * 100 + "b" * 7)) ++
+      (for (_ <- 1 to 400) yield {
+        val alpha = alphabets(r.nextInt(alphabets.length))
+        (rand(alpha, 150), rand(alpha, 150))
+      }) ++
+      // long pairs through the blocked (multi-word) path with edits sprinkled
+      (for (_ <- 1 to 40) yield {
+        val base = rand("abcdef", 300) + ("x" * 80)
+        val mutated = base.toCharArray
+        (0 until r.nextInt(6)).foreach(_ =>
+          if (mutated.nonEmpty) mutated(r.nextInt(mutated.length)) = 'z')
+        (base, new String(mutated) + rand("ab", 10))
+      })
+    cases.foreach { case (x, y) =>
+      val got = MyersLev.distance(UTF8String.fromString(x), UTF8String.fromString(y))
+      val want = UTF8String.fromString(x).levenshteinDistance(UTF8String.fromString(y))
+      assert(got == want, s"kernel mismatch on (${x.take(40)}, ${y.take(40)}): $got vs $want")
+    }
+    // and through SQL: the registered function equals the built-in
+    import spark.implicits._
+    val df = cases.take(50).toDF("x", "y")
+    val mism = df.filter(expr("graft_levenshtein(x, y) != levenshtein(x, y)")).count()
+    assert(mism == 0)
+  }
+
+  /** JVM-reference selected winnow HASH SET for one doc (positions
+    * dropped): per-window rightmost-min over md5-32 shingle hashes. */
+  private def selSet(text: String): Set[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = text.split(" ", -1).toSeq
+    val sh = if (toks.length < 3) Seq(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSeq
+    val hs = sh.map { g =>
+      val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    (0 to math.max(hs.length - 4, 0)).map { j =>
+      hs.zipWithIndex.slice(j, j + 4)
+        .foldLeft((Long.MaxValue, -1)) { case (acc, x) => if (x._1 <= acc._1) x else acc }
+    }.map(_._1).toSet
+  }
+
+  test("winnow pairs: selected-hash sets match the reference; twins always pair") {
+    import spark.implicits._
+    // selected-hash sets: engine vs JVM reference, incl. degenerate docs
+    val texts = Seq("one two", "a b c d e f",
+      "x x x x x x x x x x") ++
+      (0 until 4).map(i => s"lead$i a$i common run of many tokens here t$i")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Similarity.winnowSelectedHashes(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == selSet(t), s"selected-hash set mismatch, doc $i")
+    }
+    // end-to-end registry query: every planted twin pair is recovered (the
+    // winnowing recall guarantee surviving the df-cut and noise cut), each
+    // at exactly the 11-char " twinmarker" edit distance
+    val out = queries.Registry.queries("q_winnow_pairs")(spark, sf)
+      .select("d1", "d2", "edit_dist").as[(Long, Long, Long)].collect()
+    val nTwins = graft.engine.Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") % 10 === 0 && col("text").isNotNull).count()
+    val twinPairs = out.filter { case (d1, d2, _) => d2 == d1 + 1000000L }
+    assert(twinPairs.length == nTwins,
+      s"expected all $nTwins planted twins to pair, got ${twinPairs.length}")
+    assert(twinPairs.forall(_._3 == 11L), "twin edit distance must be 11")
+  }
+
   test("winnowing guarantee: shared >= 6-token run implies a shared fingerprint") {
     // two docs sharing a 6-token run (shingleLen + w - 1 = 3 + 4 - 1)
     // MUST share a selected (hash) fingerprint — the locality guarantee
@@ -262,20 +347,6 @@ class SimilaritySpec extends SparkSpec {
     // recover the selected HASH SETS via the reference (the query exposes
     // digests; the guarantee is about the underlying sets)
     val texts = (0 until 8).map(i => s"pre$i filler$i mid$i $shared post$i tail$i end$i")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def selSet(text: String): Set[Long] = {
-      val toks = text.split(" ", -1).toSeq
-      val sh = if (toks.length < 3) Seq(toks.mkString(" "))
-        else toks.sliding(3).map(_.mkString(" ")).toSeq
-      val hs = sh.map { g =>
-        val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        java.lang.Long.parseLong(hex.take(8), 16)
-      }
-      (0 to math.max(hs.length - 4, 0)).map { j =>
-        hs.zipWithIndex.slice(j, j + 4)
-          .foldLeft((Long.MaxValue, -1)) { case (acc, x) => if (x._1 <= acc._1) x else acc }
-      }.map(_._1).toSet
-    }
     val sets = texts.map(selSet)
     for (a <- sets.indices; b <- sets.indices if a < b)
       assert((sets(a) intersect sets(b)).nonEmpty,
