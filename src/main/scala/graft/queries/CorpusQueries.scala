@@ -462,7 +462,44 @@ object CorpusQueries {
       .limit(50)
   }
 
+  /** Out-of-vocabulary RATE per document against the corpus top-100
+    * vocabulary — the tokenizer-coverage audit run before committing to a
+    * vocab: a rising OOV rate on new data means the tokenizer fragments
+    * it. Same vocabulary construction as q_vocab_topk (count-desc, token
+    * tiebreak), so the two queries stay mutually consistent.
+    *
+    * Shape at 100 TB: the vocabulary is LIMIT-bounded (100 rows at any
+    * corpus size) — broadcast it; the membership probe is then a
+    * broadcast LEFT join on the exploded token stream (no shuffle of the
+    * tokens), and the per-doc rate is one keyed aggregation with
+    * map-side partials. */
+  val oovRate: Q = Q(
+    "q_oov_rate",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |v AS (SELECT tok, COUNT(*) AS cf FROM tok GROUP BY tok),
+      |top AS (SELECT tok FROM v ORDER BY cf DESC, tok LIMIT 100),
+      |j AS (SELECT t.doc_id, top.tok AS iv FROM tok t
+      |      LEFT JOIN top ON top.tok = t.tok)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(CASE WHEN iv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |       CAST(SUM(CASE WHEN iv IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate
+      |FROM j GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("tok")).limit(100)
+      .select(col("tok"), lit(1).as("iv"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(decontaminate, semanticDecontaminate, mixSample, repetitionQuality,
-      vocabTopk, tfidfKeywords, lengthQuantiles, bpePairs)
+      vocabTopk, tfidfKeywords, lengthQuantiles, bpePairs, oovRate)
 }

@@ -661,8 +661,67 @@ object CurationQueries {
       .orderBy("shard")
   }
 
+  /** Deterministic STRATIFIED sample — exactly k docs per language,
+    * selected by content-hash order (md5("samp:" || doc_id), ties by id):
+    * the reproducible per-stratum eval/audit sample every corpus release
+    * ships with, stable across runs, engines, and partition layouts.
+    *
+    * Shape at 100 TB — the two-phase exact top-k: a naive per-stratum
+    * rank window sorts ENTIRE strata (a billion-row language partition
+    * sorts a billion rows to keep 20). Because the sample key is a
+    * uniform hash, the k smallest keys are almost surely below a
+    * 4x-oversampled hash cutoff (4k/n of the 2^32 key space), and the
+    * hash-filter keeps a PREFIX of the per-stratum sort order — so
+    * ranking only the filtered survivors is EXACT whenever a stratum
+    * retains >= min(k, n) of them. Strata that miss the bound (vanishing
+    * probability; empty on this corpus, but the plan must stay correct,
+    * not probably-correct) fall back to ranking their full rows via an
+    * anti-join union. Stratum counts and the ok-stratum list are
+    * stratum-cardinality tables — broadcast both. */
+  val stratifiedSample: Q = Q(
+    "q_stratified_sample",
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |         CAST(('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      |  FROM documents),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+      |      FROM d)
+      |SELECT lang, doc_id, h, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 20
+      |ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+    stratifiedTopK(t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("h",
+        Text.md5Hash32(concat(lit("samp:"), col("doc_id").cast("string")))),
+      k = 20)
+      .orderBy("lang", "rk")
+  }
+
+  /** The two-phase exact per-stratum top-k over (`lang`, `doc_id`, `h`)
+    * rows — see [[stratifiedSample]] for the exactness argument (the hash
+    * filter keeps a PREFIX of each stratum's (h, doc_id) order, so ranking
+    * survivors is exact whenever >= min(k, n) survive; misses fall back to
+    * full-stratum rank). Factored so the spec can feed CRAFTED hash values
+    * that force the fallback branch, which uniform md5 hashes never do. */
+  private[graft] def stratifiedTopK(docs: DataFrame, k: Int): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val surv = docs.join(broadcast(counts), "lang")
+      .filter(col("h") < least(lit(1L << 32), lit(4L * k << 32) / col("n")))
+      .select("lang", "doc_id", "h")
+    val okLangs = surv.groupBy("lang").agg(count(lit(1)).as("sn"))
+      .join(broadcast(counts), "lang")
+      .filter(col("sn") >= least(lit(k.toLong), col("n")))
+      .select("lang")
+    val pool = surv.join(broadcast(okLangs), Seq("lang"), "left_semi")
+      .unionByName(docs.join(broadcast(okLangs), Seq("lang"), "left_anti"))
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    pool.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("doc_id"), col("h"), col("rk"))
+  }
+
   val all: Seq[Q] =
     Seq(substringDedup, sourceCap, lmScore, blocklistScrub, piiScrub,
       curationReport, curriculumOrder, corpusDiff, budgetMixture,
-      pipelineE2e, shardManifest)
+      pipelineE2e, shardManifest, stratifiedSample)
 }

@@ -194,7 +194,54 @@ object EventQueries {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Session TRAJECTORY assembly — the event-log-to-training-sequence
+    * constructor: each (user, 10-minute session) becomes one ordered
+    * event-type sequence string, the row shape a behavioral-sequence
+    * model trains on (and the companion of q_window_session, which keeps
+    * only the session AGGREGATES this query keeps the order of).
+    *
+    * Ordering inside a session is total and engine-independent:
+    * `(ts, event_id)` — the struct sort's leading fields — so the
+    * assembled string is deterministic even for same-microsecond events.
+    *
+    * Shape at 100 TB: one keyed shuffle (user sessionization via
+    * `session_window`, the same partial-merging session aggregation as
+    * q_window_session); `collect_list` is bounded by SESSION length — a
+    * session closes after a 10-minute gap, so no list grows with the
+    * corpus, unlike a per-user collect. The sort is per-row over that
+    * bounded array, not a window over the event stream. */
+  val sessionTrajectories: Q = Q(
+    "q_session_trajectories",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         CASE WHEN LAG(ts) OVER w IS NULL
+      |                OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       string_agg(event_type, ' ' ORDER BY ts, event_id) AS trajectory
+      |FROM sessions
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), " ").as("trajectory"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("trajectory"))
+      .orderBy("user_id", "session_start")
+  }
+
   val all: Seq[Q] =
     Seq(jsonExtract, windowTumbling, windowSliding, windowSession, eventFunnel,
-      retentionCohorts)
+      retentionCohorts, sessionTrajectories)
 }

@@ -444,6 +444,64 @@ object SimilarityQueries {
       .orderBy("doc_id")
   }
 
+  /** QUALITY-based canonical selection per duplicate cluster — the
+    * resolution POLICY step between clustering and the kept corpus: where
+    * q_dedup_components names clusters by min-id, a real pipeline keeps
+    * the best VARIANT (here: longest text, the keep-most-complete
+    * heuristic; ties to smallest id). Emits every doc with its cluster,
+    * quality, the cluster's canonical doc, and the keep verdict.
+    *
+    * Shape at 100 TB: the per-cluster argmax is
+    * `max(struct(quality, -doc_id))` — a map-side-combined aggregation
+    * carrying ONE slim row per cluster into the shuffle (the
+    * q_semantic_decontaminate shape), then a keyed join of the bounded
+    * canon table back onto the assignments; no window over cluster
+    * partitions, no skew exposure on a mega-cluster. The DuckDB mirror
+    * resolves the same fixpoint with a recursive CTE and picks the same
+    * canonical via a rank window, so policy AND clustering hash-match. */
+  val dedupCanonical: Q = Q(
+    "q_dedup_canonical",
+    "WITH RECURSIVE " + minhashPairCtes + """,
+      |sym AS (
+      |  SELECT d1 AS a, d2 AS b FROM pairs
+      |  UNION
+      |  SELECT d2 AS a, d1 AS b FROM pairs),
+      |reach AS (
+      |  SELECT a AS id, b AS r FROM sym
+      |  UNION
+      |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+      |comp AS (SELECT id, LEAST(id, MIN(r)) AS cluster FROM reach GROUP BY id),
+      |asg AS (
+      |  SELECT p.doc_id, COALESCE(c.cluster, p.doc_id) AS cluster,
+      |         COALESCE(length(p.text), -1) AS quality
+      |  FROM planted p LEFT JOIN comp c ON c.id = p.doc_id),
+      |canon AS (
+      |  SELECT cluster, doc_id AS canonical_id FROM (
+      |    SELECT cluster, doc_id,
+      |           ROW_NUMBER() OVER (PARTITION BY cluster
+      |                              ORDER BY quality DESC, doc_id) AS rk
+      |    FROM asg) WHERE rk = 1)
+      |SELECT a.doc_id, a.cluster, CAST(a.quality AS BIGINT) AS quality,
+      |       c.canonical_id, a.doc_id = c.canonical_id AS is_kept
+      |FROM asg a JOIN canon c USING (cluster)
+      |ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
+    val (planted, pairs) = minhashPlantedAndPairs(s, dir)
+    val comp = Dedup.components(pairs)
+      .withColumnRenamed("id", "doc_id").withColumnRenamed("comp", "cluster")
+    val asg = planted
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        coalesce(length(col("text")), lit(-1)).cast("long").as("quality"))
+    val canon = asg.groupBy("cluster")
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("cluster"), (-col("m.nid")).as("canonical_id"))
+    asg.join(canon, "cluster")
+      .select(col("doc_id"), col("cluster"), col("quality"),
+        col("canonical_id"), (col("doc_id") === col("canonical_id")).as("is_kept"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup VERIFICATION: the exact edit-distance check that turns the
     * banded MinHash CANDIDATE pairs (exactly q_minhash_neardup's — shared
     * CTEs) into verdicts — the candidate→verify contract of every LSH
@@ -832,6 +890,6 @@ object SimilarityQueries {
 
   val all: Seq[Q] =
     Seq(cosineTopK, annIvf, annIvfLearned, annInt8, annLsh, minhashNearDup,
-      simhashNearDup, embedNearDup, dedupComponents, nearDupVerify,
-      winnowPairs, quantizeRoundtrip, annRecall)
+      simhashNearDup, embedNearDup, dedupComponents, dedupCanonical,
+      nearDupVerify, winnowPairs, quantizeRoundtrip, annRecall)
 }

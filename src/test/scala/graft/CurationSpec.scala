@@ -254,4 +254,30 @@ class CurationSpec extends SparkSpec {
     assert(got(1) == ((2L, 0L, 0.0, "the cat sat on the mat", "keep")))
     assert(got(2) == ((3L, 5L, 1.0, "[X] [X] [X] [X] [X]", "drop")))
   }
+
+  test("stratified top-k: fallback branch is exact when the hash filter starves") {
+    // reference: plain per-stratum rank by (h, doc_id)
+    def ref(rows: Seq[(String, Long, Long)], k: Int): Set[(String, Long, Long)] =
+      rows.groupBy(_._1).toSeq.flatMap { case (lang, rs) =>
+        rs.sortBy(r => (r._3, r._2)).take(k).zipWithIndex
+          .map { case ((l, id, _), i) => (l, id, (i + 1).toLong) }
+      }.toSet
+    // three strata: 'ok' passes the oversample filter; 'starved' has ALL
+    // hashes above the 4k/n cutoff (impossible for uniform md5 — exactly
+    // the adversarial case the fallback union exists for); 'tiny' has
+    // n < k so the cutoff opens to the full key space
+    val n = 200
+    val k = 5
+    val cutoff = (4L * k << 32) / n
+    val rows =
+      (0 until n).map(i => ("ok", i.toLong, i.toLong)) ++
+        (0 until n).map(i => ("starved", i.toLong, cutoff + i)) ++
+        (0 until 3).map(i => ("tiny", i.toLong, (1L << 33) + i))
+    val got = CurationQueries.stratifiedTopK(
+        rows.toDF("lang", "doc_id", "h"), k)
+      .select("lang", "doc_id", "rk").as[(String, Long, Long)].collect().toSet
+    assert(got == ref(rows, k))
+    assert(got.count(_._1 == "starved") == k, "starved stratum must still yield k rows")
+    assert(got.count(_._1 == "tiny") == 3, "undersized stratum yields all its rows")
+  }
 }
