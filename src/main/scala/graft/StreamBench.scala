@@ -61,7 +61,8 @@ object StreamBench {
     ScaleProbe.scaledEvents(spark, sfDir, EvRepl)
       .write.mode("overwrite").parquet(s"$work/raw/events.parquet")
     val events = engine.Tables.t(spark, s"$work/raw", "events")
-      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
     events.write.mode("overwrite").parquet(s"$work/events")
     val nEvents = spark.read.parquet(s"$work/events").count()
     ScaleProbe.scaledDocuments(spark, sfDir, DocRepl)
@@ -95,7 +96,8 @@ object StreamBench {
       .createTempDirectory("graft-streambench-cp").toString
 
     def run(name: String, rows: Long)(build: DataFrame => DataFrame): (String, String) = {
-      val in = if (name == "funnel" || name == "session_tws") s"$work/events"
+      val in = if (name == "funnel" || name == "session_tws" ||
+          name == "session_traj") s"$work/events"
         else if (name == "semantic_hits") s"$work/vecs"
         else s"$work/docs"
       val t0 = System.nanoTime()
@@ -118,6 +120,11 @@ object StreamBench {
         streaming.Streams.funnelStages(df.as[streaming.StreamEvent]).toDF()),
       run("session_tws", nEvents)(df =>
         streaming.Streams.sessionizeTws(df.as[streaming.StreamEvent],
+          gapMs = 30L * 60 * 1000).toDF()),
+      run("session_traj", nEvents)(df =>
+        streaming.Streams.sessionTrajectories(
+          df.select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")).as[streaming.TrajEvent],
           gapMs = 30L * 60 * 1000).toDF()),
       run("curation_gate", nDocs)(df => streaming.Streams.curationGate(df)),
       run("pack_shards", nDocs)(df => streaming.Streams.packShards(df).toDF()),

@@ -135,6 +135,21 @@ final case class UserSession(user_id: Long, start_ms: Long, end_ms: Long,
 private final case class SessionState(start_ms: Long, last_ms: Long,
     n: Long, total: Double)
 
+/** An event arriving at the streaming trajectory assembler: carries the
+  * event_id so in-session order is total, exactly as the batch query's
+  * (ts, event_id) struct sort. */
+final case class TrajEvent(user_id: Long, ts: java.sql.Timestamp,
+    event_id: Long, event_type: String)
+
+/** Closed session trajectory emitted by the streaming assembler —
+  * matches q_session_trajectories rows (start_us = unix_micros of the
+  * batch query's session_start). */
+final case class UserTrajectory(user_id: Long, start_us: Long,
+    n_events: Long, trajectory: String)
+
+private final case class TrajState(start_us: Long, last_us: Long,
+    items: Seq[(Long, Long, String)])
+
 /** Spark 4 `transformWithState` form of the session machine ([[Streams
   * .sessionizeTws]]): same semantics as [[Streams.sessionize]], written
   * against the CURRENT arbitrary-state API — state lives in a NAMED,
@@ -371,6 +386,58 @@ object Streams {
       }
     }
     (cur, closed.result())
+  }
+
+  /** Trajectory fold: the session machine of [[foldSession]], but carrying
+    * the ordered (us, event_id, event_type) items so a CLOSED session emits
+    * its full event-type sequence — the streaming twin of
+    * q_session_trajectories. Gap compare and session_start are both at
+    * MICROSECOND precision (the batch query's session_window sees raw
+    * micros), so closed trajectories bit-match the batch rows. State per
+    * user is one open session's items — bounded by session length (a
+    * 10-minute gap closes it), never by stream length. */
+  private[streaming] def foldTrajectory(user: Long, gapMs: Long,
+      prev: TrajState, batch: Iterator[TrajEvent]): (TrajState, Seq[UserTrajectory]) = {
+    val gapUs = gapMs * 1000L
+    val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+    var cur = prev
+    val closed = Seq.newBuilder[UserTrajectory]
+    def emit(s: TrajState): UserTrajectory =
+      UserTrajectory(user, s.start_us, s.items.size.toLong,
+        s.items.sortBy(i => (i._1, i._2)).map(_._3).mkString(" "))
+    sorted.foreach { e =>
+      val t = micros(e.ts)
+      val item = (t, e.event_id, e.event_type)
+      cur match {
+        case null =>
+          cur = TrajState(t, t, Vector(item))
+        case s if t - s.last_us >= gapUs =>
+          closed += emit(s)
+          cur = TrajState(t, t, Vector(item))
+        case s =>
+          cur = TrajState(s.start_us, math.max(s.last_us, t), s.items :+ item)
+      }
+    }
+    (cur, closed.result())
+  }
+
+  /** Streaming session-trajectory assembly ([[foldTrajectory]] in
+    * GroupState): closed sessions stream out as one ordered event-type
+    * sequence each, the still-open session's items stay in state — the
+    * stateful twin of q_session_trajectories, for the pipeline that
+    * constructs behavioral training sequences as the log arrives. */
+  def sessionTrajectories(events: Dataset[TrajEvent],
+      gapMs: Long): Dataset[UserTrajectory] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TrajState, UserTrajectory](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[TrajEvent], state: GroupState[TrajState]) =>
+          val (cur, closed) = foldTrajectory(user, gapMs, state.getOption.orNull, batch)
+          if (cur != null) state.update(cur) else state.remove()
+          closed.iterator
+      }
   }
 
   /** Custom sessionization via flatMapGroupsWithState: [[foldSession]] with

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.{StreamEvent, Streams}
+import graft.streaming.{StreamEvent, Streams, TrajEvent}
 
 /** MemoryStream-driven checks for the Structured Streaming surface:
   * watermarked window emission, cross-batch custom state, and session
@@ -211,6 +211,39 @@ class StreamingSpec extends SparkSpec {
       val start = Timestamp.valueOf("2024-01-01 10:00:00").getTime
       val lastT = Timestamp.valueOf("2024-01-01 10:05:00").getTime
       assert(rows == Seq((7L, start, lastT + gapMs, 2L, 3.0)), s"$rows")
+    } finally q.stop()
+  }
+
+  test("sessionTrajectories: streamed closed sessions bit-match the batch query") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    // batch truth: every session's trajectory from the declared query
+    val batch = graft.queries.EventQueries.sessionTrajectories.build(spark, sf)
+      .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+        col("n_events"), col("trajectory"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // the stream can only emit CLOSED sessions: batch rows minus each
+    // user's LAST session (still open when the stream drains)
+    val wantClosed = batch.groupBy(_._1).values
+      .flatMap(rs => rs.sortBy(_._2).dropRight(1)).toSet
+    val events = graft.engine.Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .orderBy("ts", "event_id")
+      .as[TrajEvent].collect()
+    val (b1, b2) = events.splitAt(events.length / 2)
+    val in = MemoryStream[TrajEvent]
+    val q = Streams.sessionTrajectories(in.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("traj").outputMode("append").start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("traj")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(streamed == wantClosed,
+        s"diff: ${(streamed diff wantClosed).take(3)} vs ${(wantClosed diff streamed).take(3)}")
+      assert(streamed.nonEmpty, "no closed sessions streamed — test data degenerate")
     } finally q.stop()
   }
 
