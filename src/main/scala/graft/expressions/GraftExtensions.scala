@@ -21,6 +21,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_norm_fp"),
+      new ExpressionInfo(classOf[NormFingerprint].getCanonicalName, "graft_norm_fp"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"graft_norm_fp expects exactly 1 argument, got ${children.length}")
+        NormFingerprint(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpeish_count"),
+      new ExpressionInfo(classOf[BpeishCount].getCanonicalName, "graft_bpeish_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"graft_bpeish_count expects exactly 1 argument, got ${children.length}")
+        BpeishCount(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_levenshtein"),
       new ExpressionInfo(classOf[BitLevenshtein].getCanonicalName, "graft_levenshtein"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -50,9 +50,12 @@ object Text {
     * non-space symbols each count as one token — the pre-merge granularity
     * a byte-pair tokenizer starts from, and a far better length proxy for
     * LLM budgeting than whitespace words. Plain character classes only, so
-    * Java regex (Spark) and RE2 (DuckDB regexp_extract_all) agree. */
+    * the native single-scan kernel (graft.expressions.BpeishCount — one
+    * code-point sweep, no regex NFA; property-equal to
+    * `regexp_count('[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')` by TextSpec) and
+    * DuckDB's RE2 regexp mirror agree. */
   def bpeishTokenCount(text: Column): Column =
-    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+    call_function("graft_bpeish_count", text)
 
   /** Order-sensitive rolling fingerprint: left fold of token hashes,
     * acc * 31 + xxhash64(token). Unlike the md5 content fingerprint this is

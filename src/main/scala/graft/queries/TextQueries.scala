@@ -524,8 +524,11 @@ object TextQueries {
       docs.filter(col("doc_id") % 23 === 1)
         .select((col("doc_id") + 4000000).as("doc_id"),
           concat(upper(col("text")), lit(" !!")).as("text")))
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    // one native sweep (graft.expressions.NormFingerprint) instead of the
+    // builtin lower -> strip -> collapse -> trim chain: three regex NFA
+    // passes and two intermediate strings per row, the scale probe's
+    // CPU-saturation outlier; property-equal by TextSpec
+    val norm = call_function("graft_norm_fp", col("text"))
     planted
       .select(col("doc_id"), md5(norm.cast("binary")).as("nfp"))
       .groupBy("nfp")

@@ -97,4 +97,28 @@ class TextSpec extends SparkSpec {
       .as[Long].collect()
     assert(md5Fps.forall(v => v >= 0 && v < 1000000007L))
   }
+
+  test("native text kernels equal their builtin regex chains on random unicode") {
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    val alphabet = "abcXYZ019 !,.é中😀\t" // é 中 😀 tab
+    def rand(maxLen: Int): String = {
+      val cps = alphabet.codePoints.toArray
+      val sb = new java.lang.StringBuilder
+      (0 until r.nextInt(maxLen + 1)).foreach(_ =>
+        sb.appendCodePoint(cps(r.nextInt(cps.length))))
+      sb.toString
+    }
+    val cases = Seq("", " ", "   ", "a", "A!B", "  a  b  ", "ab12cd",
+      "Kelvin", // Kelvin sign lowercases to ASCII k
+      "😀!😀") ++ (1 to 300).map(_ => rand(80))
+    val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val normMism = df.filter(expr(
+      """graft_norm_fp(s) !=
+        |trim(regexp_replace(regexp_replace(lower(s), '[^a-z0-9 ]', ''), ' +', ' '))""".stripMargin))
+    assert(normMism.count() == 0, normMism.collect().take(3).mkString(","))
+    val cntMism = df.filter(expr(
+      "graft_bpeish_count(s) != regexp_count(s, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')"))
+    assert(cntMism.count() == 0, cntMism.collect().take(3).mkString(","))
+  }
 }
