@@ -96,7 +96,8 @@ object ScaleProbe {
     "q_budget_mixture", "q_length_quantiles", "q_pipeline_e2e",
     "q_shard_manifest", "q_dedup_normalized", "q_label_mismatch",
     "q_chunk_docs", "q_pii_scrub", "q_winnow_fingerprint",
-    "q_neardup_verify", "q_bpe_pairs")
+    "q_neardup_verify", "q_bpe_pairs", "q_winnow_pairs",
+    "q_dedup_canonical", "q_oov_rate", "q_stratified_sample")
 
   /** Queries that read ONLY the embeddings table (replicated input #2). */
   private val EmbQueries = Seq(
@@ -108,7 +109,8 @@ object ScaleProbe {
   /** Queries that read ONLY the events table (replicated input #3). */
   private val EvQueries = Seq(
     "q_json_extract", "q_window_tumbling", "q_window_sliding",
-    "q_window_session", "q_event_funnel", "q_retention_cohorts")
+    "q_window_session", "q_event_funnel", "q_retention_cohorts",
+    "q_session_trajectories")
 
   private val Repl = 10
   // larger than any planted-twin id offset (max is 4_000_000 + base ids,
