@@ -241,7 +241,115 @@ object EventQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** HyperLogLog distinct-count SKETCH, fully oracle-checked — the
+    * cardinality estimator every 100-TB pipeline runs where exact
+    * count-distinct is too expensive, here with its whole numeric tower
+    * made ENGINE-DETERMINISTIC so even the approximation hash-matches
+    * DuckDB:
+    *  - the hash is the engine's cross-engine md5-32
+    *    ([[graft.functions.Text.md5Hash32]]);
+    *  - the register index is `h % 256` (p = 8) and the rank is the
+    *    leading-zero count of the remaining 24 bits via a pure
+    *    integer CASE ladder — no floating log anywhere (the tfidf
+    *    lesson: libm calls are not cross-engine reproducible);
+    *  - the harmonic sum over 256 registers is EXACT double arithmetic:
+    *    every 2^-M_j term is a dyadic rational in [2^-25, 1], so all
+    *    partial sums stay below 53 mantissa bits — no rounding, hence
+    *    no float-addition order sensitivity across engines or partition
+    *    layouts;
+    *  - the output is the RAW alpha_256 * m^2 / S estimate alongside the
+    *    exact distinct count and relative error. The small-range
+    *    linear-counting correction needs ln(), so it is deliberately
+    *    omitted (libm again) — and the testdata's user cardinality
+    *    (15/150/1500 at the three SFs) sits squarely IN that small-range
+    *    regime, so the raw estimate reads high there BY CONSTRUCTION;
+    *    zero_buckets > 0 is the emitted tell, and rel_err grades exactly
+    *    how much the omitted branch would have mattered. The p = 8
+    *    register bank targets the billions-of-keys cardinalities the
+    *    operator exists for at 100 TB, where zero_buckets hits 0 and the
+    *    raw estimate's error concentrates to ~1.04/sqrt(256) = 6.5%.
+    *
+    * Shape at 100 TB: two keyed aggregations — (bucket) max-rank with
+    * map-side partials (the shuffle carries at most 256 rows per map
+    * task), then one 256-row global fold. The exact count_distinct
+    * column exists to GRADE the sketch and is the expensive operator the
+    * sketch replaces in production. */
+  val hllDistinct: Q = {
+    // rank of the 24 remaining hash bits: leading zeros + 1, as a pure
+    // integer CASE ladder (identical text in both engines)
+    val caseSql = (23 to 0 by -1)
+      .map(b => s"WHEN w >= ${1L << b} THEN ${24 - b}")
+      .mkString("CASE ", " ", " ELSE 25 END")
+    // 2^-m via a literal lookup table of EXACT finite-decimal dyadics —
+    // power(2.0, -m) is a libm call with no cross-engine bit guarantee
+    val inv = (1 to 25).map(i => java.math.BigDecimal.ONE
+      .divide(new java.math.BigDecimal(2).pow(i)).toPlainString)
+    // each element ::DOUBLE — a bare decimal list literal types as
+    // DECIMAL in DuckDB and rounds the deep dyadic terms
+    val invSql = inv.map(_ + "::DOUBLE").mkString("[", ", ", "]")
+    // alpha_256 * m^2 pre-multiplied in Scala so BOTH engines see ONE
+    // identical double literal (DuckDB parses bare decimal literals as
+    // DECIMAL and overflows multiplying them; an explicit DOUBLE cast of
+    // the single constant sidesteps decimal arithmetic entirely)
+    val AlphaM2 = 0.7182725932495458 * 65536.0 // alpha_256 = 0.7213/(1+1.079/256)
+    Q(
+      "q_hll_distinct",
+      s"""WITH h AS (
+        |  SELECT user_id,
+        |         CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+        |  FROM events),
+        |rho AS (
+        |  SELECT hv % 256 AS bucket, hv // 256 AS w FROM h),
+        |ranked AS (
+        |  SELECT bucket, $caseSql AS r FROM rho),
+        |regs AS (SELECT bucket, MAX(r) AS m FROM ranked GROUP BY bucket),
+        |folded AS (
+        |  SELECT COUNT(*) AS n_buckets,
+        |         SUM(($invSql)[m]) AS s,
+        |         SUM(CASE WHEN m >= 25 THEN 1 ELSE 0 END) AS saturated
+        |  FROM regs),
+        |exact AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events)
+        |SELECT CAST(f.n_buckets AS BIGINT) AS n_buckets,
+        |       CAST(256 - f.n_buckets AS BIGINT) AS zero_buckets,
+        |       CAST(f.saturated AS BIGINT) AS saturated_buckets,
+        |       f.s + (256 - f.n_buckets) AS harmonic_sum,
+        |       CAST($AlphaM2 AS DOUBLE) / (f.s + (256 - f.n_buckets)) AS hll_estimate,
+        |       CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+        |       abs(CAST($AlphaM2 AS DOUBLE) / (f.s + (256 - f.n_buckets)) - e.exact_distinct)
+        |         / e.exact_distinct AS rel_err
+        |FROM folded f, exact e""".stripMargin) { (s, dir) =>
+      import graft.functions.Text
+      val ev = t(s, dir, "events")
+      val hv = Text.md5Hash32(concat(lit("hll:"), col("user_id").cast("string")))
+      val rho = ev.select(hv.as("hv"))
+        .select((col("hv") % 256).as("bucket"), expr("hv div 256").as("w"))
+        .withColumn("r",
+          // fold ASCENDING so the largest threshold ends up OUTERMOST —
+          // matching the SQL CASE's top-down largest-first evaluation
+          (0 to 23).foldLeft[org.apache.spark.sql.Column](lit(25)) {
+            (els, b) => when(col("w") >= (1L << b), lit(24 - b)).otherwise(els)
+          })
+      val regs = rho.groupBy("bucket").agg(max(col("r")).as("m"))
+      val invArr = array(inv.map(d => lit(d.toDouble)): _*)
+      val folded = regs.agg(
+        count(lit(1)).as("n_buckets"),
+        sum(element_at(invArr, col("m").cast("int"))).as("s"),
+        sum(when(col("m") >= 25, 1).otherwise(0)).as("saturated"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("exact_distinct"))
+      val hs = col("s") + (lit(256) - col("n_buckets"))
+      val est = lit(AlphaM2) / hs
+      folded.crossJoin(exact)
+        .select(col("n_buckets").cast("long").as("n_buckets"),
+          (lit(256) - col("n_buckets")).cast("long").as("zero_buckets"),
+          col("saturated").cast("long").as("saturated_buckets"),
+          hs.as("harmonic_sum"),
+          est.as("hll_estimate"),
+          col("exact_distinct").cast("long").as("exact_distinct"),
+          (abs(est - col("exact_distinct")) / col("exact_distinct")).as("rel_err"))
+    }
+  }
+
   val all: Seq[Q] =
     Seq(jsonExtract, windowTumbling, windowSliding, windowSession, eventFunnel,
-      retentionCohorts, sessionTrajectories)
+      retentionCohorts, sessionTrajectories, hllDistinct)
 }
