@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-deterministic sketch primitives — single source for the
+  * batch q_hll_distinct oracle query and the streaming register maintainer
+  * ([[graft.streaming.Streams.hllRegisters]]), so the two forms cannot
+  * drift. See the query scaladoc for the determinism argument (md5-32
+  * hash, integer CASE ladder for ranks, exact-dyadic 2^-m table, <53-bit
+  * harmonic sums). */
+object Sketch {
+
+  /** Register count m = 2^p with p = 8. */
+  val HllBuckets = 256
+
+  /** Rank ceiling: 24 payload bits -> ranks 1..25. */
+  val HllRankMax = 25
+
+  /** alpha_256 * m^2, pre-multiplied so both engines share ONE double
+    * literal (alpha_256 = 0.7213 / (1 + 1.079/256)). */
+  val HllAlphaM2: Double = 0.7182725932495458 * 65536.0
+
+  /** Exact finite-decimal strings of 2^-1 .. 2^-25 (dyadics have finite
+    * decimal expansions; parsing them yields the exact double in any
+    * engine). */
+  val HllInvStrings: Seq[String] = (1 to HllRankMax).map(i =>
+    java.math.BigDecimal.ONE.divide(new java.math.BigDecimal(2).pow(i))
+      .toPlainString)
+
+  /** The cross-engine 32-bit key hash for a string-able key column. */
+  def hllHash(key: Column): Column =
+    Text.md5Hash32(concat(lit("hll:"), key.cast("string")))
+
+  def hllBucket(hv: Column): Column = hv % HllBuckets
+
+  /** Rank = leading zeros of the 24 payload bits + 1, as a nested-when
+    * ladder folded ASCENDING so the largest threshold is OUTERMOST —
+    * matching a SQL CASE's top-down largest-first evaluation. */
+  def hllRank(hv: Column): Column = {
+    val w = hv.divide(lit(HllBuckets)).cast("long") // exact: hv >= 0
+    (0 to 23).foldLeft[Column](lit(HllRankMax)) {
+      (els, b) => when(w >= (1L << b), lit(24 - b)).otherwise(els)
+    }
+  }
+
+  /** 2^-m lookup (m in 1..25) against the exact-dyadic literal table. */
+  def hllInv(m: Column): Column =
+    element_at(array(HllInvStrings.map(d => lit(d.toDouble)): _*),
+      m.cast("int"))
+
+  /** Raw HLL estimate from (sum of 2^-m over occupied registers, occupied
+    * register count): empty registers contribute 2^0 = 1 each. */
+  def hllEstimate(s: Column, nBuckets: Column): Column =
+    lit(HllAlphaM2) / (s + (lit(HllBuckets) - nBuckets))
+}

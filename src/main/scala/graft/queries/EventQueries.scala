@@ -275,23 +275,22 @@ object EventQueries {
     * column exists to GRADE the sketch and is the expensive operator the
     * sketch replaces in production. */
   val hllDistinct: Q = {
+    import graft.functions.Sketch
     // rank of the 24 remaining hash bits: leading zeros + 1, as a pure
     // integer CASE ladder (identical text in both engines)
     val caseSql = (23 to 0 by -1)
       .map(b => s"WHEN w >= ${1L << b} THEN ${24 - b}")
       .mkString("CASE ", " ", " ELSE 25 END")
     // 2^-m via a literal lookup table of EXACT finite-decimal dyadics —
-    // power(2.0, -m) is a libm call with no cross-engine bit guarantee
-    val inv = (1 to 25).map(i => java.math.BigDecimal.ONE
-      .divide(new java.math.BigDecimal(2).pow(i)).toPlainString)
-    // each element ::DOUBLE — a bare decimal list literal types as
+    // power(2.0, -m) is a libm call with no cross-engine bit guarantee;
+    // each element ::DOUBLE because a bare decimal list literal types as
     // DECIMAL in DuckDB and rounds the deep dyadic terms
-    val invSql = inv.map(_ + "::DOUBLE").mkString("[", ", ", "]")
+    val invSql = Sketch.HllInvStrings.map(_ + "::DOUBLE").mkString("[", ", ", "]")
     // alpha_256 * m^2 pre-multiplied in Scala so BOTH engines see ONE
     // identical double literal (DuckDB parses bare decimal literals as
     // DECIMAL and overflows multiplying them; an explicit DOUBLE cast of
     // the single constant sidesteps decimal arithmetic entirely)
-    val AlphaM2 = 0.7182725932495458 * 65536.0 // alpha_256 = 0.7213/(1+1.079/256)
+    val AlphaM2 = Sketch.HllAlphaM2
     Q(
       "q_hll_distinct",
       s"""WITH h AS (
@@ -318,29 +317,22 @@ object EventQueries {
         |       abs(CAST($AlphaM2 AS DOUBLE) / (f.s + (256 - f.n_buckets)) - e.exact_distinct)
         |         / e.exact_distinct AS rel_err
         |FROM folded f, exact e""".stripMargin) { (s, dir) =>
-      import graft.functions.Text
       val ev = t(s, dir, "events")
-      val hv = Text.md5Hash32(concat(lit("hll:"), col("user_id").cast("string")))
+      val hv = Sketch.hllHash(col("user_id"))
       val rho = ev.select(hv.as("hv"))
-        .select((col("hv") % 256).as("bucket"), expr("hv div 256").as("w"))
-        .withColumn("r",
-          // fold ASCENDING so the largest threshold ends up OUTERMOST —
-          // matching the SQL CASE's top-down largest-first evaluation
-          (0 to 23).foldLeft[org.apache.spark.sql.Column](lit(25)) {
-            (els, b) => when(col("w") >= (1L << b), lit(24 - b)).otherwise(els)
-          })
+        .select(Sketch.hllBucket(col("hv")).as("bucket"),
+          Sketch.hllRank(col("hv")).as("r"))
       val regs = rho.groupBy("bucket").agg(max(col("r")).as("m"))
-      val invArr = array(inv.map(d => lit(d.toDouble)): _*)
       val folded = regs.agg(
         count(lit(1)).as("n_buckets"),
-        sum(element_at(invArr, col("m").cast("int"))).as("s"),
-        sum(when(col("m") >= 25, 1).otherwise(0)).as("saturated"))
+        sum(Sketch.hllInv(col("m"))).as("s"),
+        sum(when(col("m") >= Sketch.HllRankMax, 1).otherwise(0)).as("saturated"))
       val exact = ev.agg(countDistinct(col("user_id")).as("exact_distinct"))
-      val hs = col("s") + (lit(256) - col("n_buckets"))
-      val est = lit(AlphaM2) / hs
+      val hs = col("s") + (lit(Sketch.HllBuckets) - col("n_buckets"))
+      val est = Sketch.hllEstimate(col("s"), col("n_buckets"))
       folded.crossJoin(exact)
         .select(col("n_buckets").cast("long").as("n_buckets"),
-          (lit(256) - col("n_buckets")).cast("long").as("zero_buckets"),
+          (lit(Sketch.HllBuckets) - col("n_buckets")).cast("long").as("zero_buckets"),
           col("saturated").cast("long").as("saturated_buckets"),
           hs.as("harmonic_sum"),
           est.as("hll_estimate"),

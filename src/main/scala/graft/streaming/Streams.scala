@@ -207,6 +207,37 @@ object Streams {
       .select(col("w.start").as("wstart"), col("event_type"),
         col("n_events"), col("total"))
 
+  /** Streaming HLL register maintenance — the incremental form of
+    * q_hll_distinct's register bank for a continuously-arriving key
+    * stream: `groupBy(bucket).max(rank)` under Update/Complete output
+    * keeps EXACTLY [[graft.functions.Sketch.HllBuckets]] rows of state
+    * regardless of stream length (max is monotone, so late data can only
+    * raise a register — no watermark needed, state is bounded BY THE
+    * SKETCH, the whole point of sketching an unbounded stream). The
+    * estimate is read off the register table at any instant with
+    * [[Streams.hllEstimateOf]]; single-sourced column logic
+    * (functions.Sketch) keeps stream registers bit-equal to the batch
+    * query's. */
+  def hllRegisters(keyed: DataFrame, keyCol: String): DataFrame = {
+    import graft.functions.Sketch
+    keyed
+      .select(Sketch.hllHash(col(keyCol)).as("hv"))
+      .select(Sketch.hllBucket(col("hv")).as("bucket"),
+        Sketch.hllRank(col("hv")).as("r"))
+      .groupBy("bucket").agg(max(col("r")).as("m"))
+  }
+
+  /** Fold a (bucket, m) register table — streamed or batch — into the raw
+    * HLL estimate, with the same exact-dyadic arithmetic as the batch
+    * oracle query. */
+  def hllEstimateOf(regs: DataFrame): DataFrame = {
+    import graft.functions.Sketch
+    regs.agg(count(lit(1)).as("n_buckets"),
+        sum(Sketch.hllInv(col("m"))).as("s"))
+      .select(Sketch.hllEstimate(col("s"), col("n_buckets"))
+        .as("hll_estimate"))
+  }
+
   /** Streaming exact dedup on a content fingerprint — the incremental form
     * of q_dedup_exact for a continuously-arriving corpus. State holds one
     * entry per fingerprint seen; `dropDuplicatesWithinWatermark` bounds it

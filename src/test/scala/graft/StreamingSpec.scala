@@ -247,6 +247,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hllRegisters: streamed registers and estimate bit-match the batch query") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val batchRow = graft.queries.EventQueries.hllDistinct.build(spark, sf)
+      .select("n_buckets", "harmonic_sum", "hll_estimate")
+      .as[(Long, Double, Double)].head()
+    val users = graft.engine.Tables.t(spark, sf, "events")
+      .select(col("user_id")).as[Long].collect()
+    val (b1, b2) = users.splitAt(users.length / 2)
+    val in = MemoryStream[Long]
+    val q = Streams.hllRegisters(in.toDF().withColumnRenamed("value", "user_id"), "user_id")
+      .writeStream.format("memory").queryName("hllregs")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      val mid = Streams.hllEstimateOf(spark.table("hllregs"))
+        .as[Double].head()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      val regs = spark.table("hllregs")
+      val (n, est) = (regs.count(),
+        Streams.hllEstimateOf(regs).as[Double].head())
+      assert(n == batchRow._1, "occupied register count must match batch")
+      assert(est == batchRow._3, s"streamed estimate $est != batch ${batchRow._3}")
+      // monotone registers: the mid-stream estimate cannot exceed the final
+      assert(mid <= est, "register max is monotone, estimate must not regress")
+    } finally q.stop()
+  }
+
   test("file source -> parquet sink: checkpointed dedup across restarts") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
