@@ -110,7 +110,7 @@ object ScaleProbe {
   private val EvQueries = Seq(
     "q_json_extract", "q_window_tumbling", "q_window_sliding",
     "q_window_session", "q_event_funnel", "q_retention_cohorts",
-    "q_session_trajectories", "q_hll_distinct")
+    "q_session_trajectories", "q_hll_distinct", "q_bloom_prune")
 
   private val Repl = 10
   // larger than any planted-twin id offset (max is 4_000_000 + base ids,

@@ -341,7 +341,93 @@ object EventQueries {
     }
   }
 
+  /** BLOOM-FILTER membership pruning, fully oracle-checked — the other
+    * sketch a 100-TB join planner lives on: build a 2048-bit / 3-hash
+    * Bloom filter over the purchase-user set, probe EVERY user through
+    * it, and grade the verdicts against exact membership. In production
+    * the filter prunes a huge probe side before an expensive join (rows
+    * whose keys definitely-miss never shuffle); here the probe emits
+    * per-user (bloom_maybe, actual, false_positive) so the oracle checks
+    * the FILTER ITSELF bit-for-bit, not just the pruned result.
+    *
+    * Determinism: bit positions are md5-32 hashes ("b0:"/"b1:"/"b2:"
+    * namespaces) mod 2048; the filter words build via BIT_OR of
+    * `1 << (bit % 64)` masks (two's-complement longs — identical in both
+    * engines; DuckDB refuses to shift INTO the sign bit, so position 63
+    * is spelled as the Long.MinValue literal in the mirror); the probe is
+    * a 3-way all-bits-set check. No floats anywhere.
+    *
+    * Shape at 100 TB: the filter is 32 (word_idx, word) rows REGARDLESS
+    * of build-side size — a keyed BIT_OR aggregation with map-side
+    * partials, then broadcast; the probe explodes each key to its 3
+    * (word_idx, mask) probes, joins the broadcast words, and folds back
+    * with a count-of-hits == 3 check: one narrow aggregation per probe
+    * key, no shuffle of the probe side against the build side. */
+  val bloomPrune: Q = {
+    val M = 2048L // bits
+    val K = 3 // hashes
+    def bitSql(i: Int) =
+      s"CAST(('0x' || substr(md5('b$i:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % $M"
+    val probeUnion = (0 until K).map(i =>
+      s"SELECT user_id, $i AS ki, ${bitSql(i)} AS bit FROM u").mkString("\n  UNION ALL\n  ")
+    Q(
+      "q_bloom_prune",
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+        |members AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |mbits AS (
+        |  ${probeUnion.replace("FROM u", "FROM members")}),
+        |words AS (
+        |  SELECT bit // 64 AS word_idx, BIT_OR(CASE WHEN bit % 64 = 63
+        |           THEN CAST(-9223372036854775808 AS BIGINT)
+        |           ELSE 1::BIGINT << CAST(bit % 64 AS INTEGER) END) AS w
+        |  FROM mbits GROUP BY bit // 64),
+        |pbits AS (
+        |  $probeUnion),
+        |hits AS (
+        |  SELECT p.user_id,
+        |         SUM(CASE WHEN (w.w & (CASE WHEN p.bit % 64 = 63
+        |                    THEN CAST(-9223372036854775808 AS BIGINT)
+        |                    ELSE 1::BIGINT << CAST(p.bit % 64 AS INTEGER) END)) != 0
+        |                  THEN 1 ELSE 0 END) AS n_hit
+        |  FROM pbits p LEFT JOIN words w ON w.word_idx = p.bit // 64
+        |  GROUP BY p.user_id)
+        |SELECT h.user_id,
+        |       h.n_hit = $K AS bloom_maybe,
+        |       m.user_id IS NOT NULL AS actual_member,
+        |       h.n_hit = $K AND m.user_id IS NULL AS false_positive
+        |FROM hits h LEFT JOIN members m ON m.user_id = h.user_id
+        |ORDER BY h.user_id""".stripMargin) { (s, dir) =>
+      import graft.functions.Text
+      val ev = t(s, dir, "events")
+      val users = ev.select(col("user_id")).distinct()
+      val members = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      def bits(df: org.apache.spark.sql.DataFrame) = df.select(col("user_id"),
+        explode(array((0 until K).map(i =>
+          (Text.md5Hash32(concat(lit(s"b$i:"), col("user_id").cast("string")))
+            % M).as(s"b$i")): _*)).as("bit"))
+      val mask = expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))")
+      val filterWords = bits(members)
+        .select((col("bit") / 64).cast("long").as("word_idx"), mask.as("m"))
+        .groupBy("word_idx").agg(bit_or(col("m")).as("w"))
+      val hits = bits(users)
+        .select(col("user_id"), (col("bit") / 64).cast("long").as("word_idx"),
+          mask.as("m"))
+        .join(broadcast(filterWords), Seq("word_idx"), "left")
+        .groupBy("user_id")
+        .agg(sum(when(col("w").bitwiseAND(col("m")) =!= 0, 1).otherwise(0)).as("n_hit"))
+      hits
+        .join(members.withColumn("is_m", lit(true)), Seq("user_id"), "left")
+        .select(col("user_id"),
+          (col("n_hit") === K).as("bloom_maybe"),
+          col("is_m").isNotNull.as("actual_member"),
+          (col("n_hit") === K && col("is_m").isNull).as("false_positive"))
+        .orderBy("user_id")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(jsonExtract, windowTumbling, windowSliding, windowSession, eventFunnel,
-      retentionCohorts, sessionTrajectories, hllDistinct)
+      retentionCohorts, sessionTrajectories, hllDistinct, bloomPrune)
 }
