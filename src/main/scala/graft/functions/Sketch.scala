@@ -53,4 +53,26 @@ object Sketch {
     * register count): empty registers contribute 2^0 = 1 each. */
   def hllEstimate(s: Column, nBuckets: Column): Column =
     lit(HllAlphaM2) / (s + (lit(HllBuckets) - nBuckets))
+
+  /** Bloom filter geometry shared by q_bloom_prune and the streaming word
+    * maintainer: 2048 bits / 3 hashes -> 32 64-bit words. */
+  val BloomBits = 2048L
+  val BloomHashes = 3
+
+  /** The k exploded (bit) positions for a key — md5-32 in per-hash
+    * namespaces, mod [[BloomBits]]. */
+  def bloomBits(key: Column): Column =
+    explode(array((0 until BloomHashes).map(i =>
+      Text.md5Hash32(concat(lit(s"b$i:"), key.cast("string"))) % BloomBits): _*))
+
+  /** Word index of a bit position. Exact: positions < 2048 divide exactly
+    * in double space before the truncating cast. */
+  def bloomWordIdx(bit: Column): Column = (bit / 64).cast("long")
+
+  /** Single-bit mask within a word: a 64-entry literal lookup (1L << i,
+    * two's-complement — entry 64 is Long.MinValue), robust for any bit
+    * Column without string-round-tripping an expr. */
+  def bloomMask(bit: Column): Column =
+    element_at(array((0 to 63).map(i => lit(1L << i)): _*),
+      (bit % 64).cast("int") + 1)
 }

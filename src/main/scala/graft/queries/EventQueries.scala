@@ -398,22 +398,20 @@ object EventQueries {
         |       h.n_hit = $K AND m.user_id IS NULL AS false_positive
         |FROM hits h LEFT JOIN members m ON m.user_id = h.user_id
         |ORDER BY h.user_id""".stripMargin) { (s, dir) =>
-      import graft.functions.Text
+      import graft.functions.Sketch
       val ev = t(s, dir, "events")
       val users = ev.select(col("user_id")).distinct()
       val members = ev.filter(col("event_type") === "purchase")
         .select(col("user_id")).distinct()
-      def bits(df: org.apache.spark.sql.DataFrame) = df.select(col("user_id"),
-        explode(array((0 until K).map(i =>
-          (Text.md5Hash32(concat(lit(s"b$i:"), col("user_id").cast("string")))
-            % M).as(s"b$i")): _*)).as("bit"))
-      val mask = expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))")
+      def bits(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("user_id"), Sketch.bloomBits(col("user_id")).as("bit"))
       val filterWords = bits(members)
-        .select((col("bit") / 64).cast("long").as("word_idx"), mask.as("m"))
+        .select(Sketch.bloomWordIdx(col("bit")).as("word_idx"),
+          Sketch.bloomMask(col("bit")).as("m"))
         .groupBy("word_idx").agg(bit_or(col("m")).as("w"))
       val hits = bits(users)
-        .select(col("user_id"), (col("bit") / 64).cast("long").as("word_idx"),
-          mask.as("m"))
+        .select(col("user_id"), Sketch.bloomWordIdx(col("bit")).as("word_idx"),
+          Sketch.bloomMask(col("bit")).as("m"))
         .join(broadcast(filterWords), Seq("word_idx"), "left")
         .groupBy("user_id")
         .agg(sum(when(col("w").bitwiseAND(col("m")) =!= 0, 1).otherwise(0)).as("n_hit"))

@@ -238,6 +238,21 @@ object Streams {
         .as("hll_estimate"))
   }
 
+  /** Streaming Bloom-filter word maintenance — the incremental build side
+    * of q_bloom_prune: `groupBy(word_idx).bit_or(mask)` under Complete
+    * output keeps at most 32 rows of state regardless of how many keys
+    * stream in (bit_or is monotone, like the HLL register max — state
+    * bounded BY THE SKETCH, no watermark). The word table broadcast
+    * against a probe side is the pruning join the batch query grades. */
+  def bloomWords(keyed: DataFrame, keyCol: String): DataFrame = {
+    import graft.functions.Sketch
+    keyed
+      .select(Sketch.bloomBits(col(keyCol)).as("bit"))
+      .select(Sketch.bloomWordIdx(col("bit")).as("word_idx"),
+        Sketch.bloomMask(col("bit")).as("m"))
+      .groupBy("word_idx").agg(bit_or(col("m")).as("w"))
+  }
+
   /** Streaming exact dedup on a content fingerprint — the incremental form
     * of q_dedup_exact for a continuously-arriving corpus. State holds one
     * entry per fingerprint seen; `dropDuplicatesWithinWatermark` bounds it

@@ -277,6 +277,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloomWords: streamed filter words bit-match the batch build side") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{bit_or, col}
+    import graft.functions.Sketch
+    val members = graft.engine.Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    val batchWords = members
+      .select(Sketch.bloomBits(col("user_id")).as("bit"))
+      .select(Sketch.bloomWordIdx(col("bit")).as("word_idx"),
+        Sketch.bloomMask(col("bit")).as("m"))
+      .groupBy("word_idx").agg(bit_or(col("m")).as("w"))
+      .as[(Long, Long)].collect().toMap
+    val keys = members.as[Long].collect()
+    val (b1, b2) = keys.splitAt(keys.length / 2)
+    val in = MemoryStream[Long]
+    val q = Streams.bloomWords(
+        in.toDF().withColumnRenamed("value", "user_id"), "user_id")
+      .writeStream.format("memory").queryName("bloomw")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("bloomw").as[(Long, Long)].collect().toMap
+      assert(streamed == batchWords,
+        s"word diff: ${(streamed.toSet diff batchWords.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("file source -> parquet sink: checkpointed dedup across restarts") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
