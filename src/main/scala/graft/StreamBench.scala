@@ -95,14 +95,17 @@ object StreamBench {
     val cpRoot = java.nio.file.Files
       .createTempDirectory("graft-streambench-cp").toString
 
-    def run(name: String, rows: Long)(build: DataFrame => DataFrame): (String, String) = {
+    def run(name: String, rows: Long, mode: String = "append")(
+        build: DataFrame => DataFrame): (String, String) = {
       val in = if (name == "funnel" || name == "session_tws" ||
-          name == "session_traj") s"$work/events"
+          name == "session_traj" || name == "hll_registers" ||
+          name == "bloom_words") s"$work/events"
         else if (name == "semantic_hits") s"$work/vecs"
         else s"$work/docs"
       val t0 = System.nanoTime()
       val q = build(src(in)).writeStream
         .format("noop")
+        .outputMode(mode)
         .option("checkpointLocation", s"$cpRoot/$name")
         .trigger(Trigger.AvailableNow())
         .start()
@@ -126,6 +129,10 @@ object StreamBench {
           df.select(col("user_id"), col("ts"), col("event_id"),
             col("event_type")).as[streaming.TrajEvent],
           gapMs = 30L * 60 * 1000).toDF()),
+      run("hll_registers", nEvents, mode = "complete")(df =>
+        streaming.Streams.hllRegisters(df, "user_id")),
+      run("bloom_words", nEvents, mode = "complete")(df =>
+        streaming.Streams.bloomWords(df, "user_id")),
       run("curation_gate", nDocs)(df => streaming.Streams.curationGate(df)),
       run("pack_shards", nDocs)(df => streaming.Streams.packShards(df).toDF()),
       run("source_cap", nDocs)(df =>
