@@ -277,6 +277,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom guarantee: every built key passes its own filter (no false negatives)") {
+    // the Bloom contract the pruning join leans on: a key whose bits were
+    // OR'd into the words can NEVER read definitely-not. Crafted key sets
+    // (negative ids, 0, sparse and dense ranges) through the shared
+    // Sketch geometry — the composition bloomBits -> wordIdx/mask ->
+    // bit_or -> probe must be lossless for members by construction.
+    import org.apache.spark.sql.functions.{bit_or, broadcast, col, count, lit, sum, when}
+    import graft.functions.Sketch
+    import spark.implicits._
+    val keys = (Seq(0L, -1L, Long.MaxValue, Long.MinValue + 1) ++
+      (1L to 500L) ++ (1000000L to 1000100L)).toDF("k")
+    val bits = keys.select(col("k"), Sketch.bloomBits(col("k")).as("bit"))
+      .select(col("k"), Sketch.bloomWordIdx(col("bit")).as("word_idx"),
+        Sketch.bloomMask(col("bit")).as("m"))
+    val words = bits.groupBy("word_idx").agg(bit_or(col("m")).as("w"))
+    val misses = bits
+      .join(broadcast(words), Seq("word_idx"), "left")
+      .groupBy("k")
+      .agg(sum(when(col("w").bitwiseAND(col("m")) =!= 0, 1).otherwise(0)).as("n_hit"),
+        count(lit(1)).as("n_bits"))
+      .filter(col("n_hit") =!= col("n_bits"))
+    assert(misses.count() == 0, misses.collect().take(3).mkString(","))
+  }
+
   test("bloomWords: streamed filter words bit-match the batch build side") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions.{bit_or, col}
