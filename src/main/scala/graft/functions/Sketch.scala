@@ -54,6 +54,39 @@ object Sketch {
   def hllEstimate(s: Column, nBuckets: Column): Column =
     lit(HllAlphaM2) / (s + (lit(HllBuckets) - nBuckets))
 
+  /** Small-range threshold 5/2 * m (Flajolet et al. 2007): below it, with
+    * empty registers present, linear counting beats the raw estimator.
+    * 640.0 is exactly representable, so the <= comparison is deterministic
+    * given the bit-identical raw estimate. */
+  val HllSmallRangeMax: Double = 2.5 * HllBuckets
+
+  /** m * ln(m/V) for V = 1..m, each double rendered as its EXACT finite
+    * decimal (every double is a dyadic rational, so the expansion is
+    * finite; parsing it back yields the bit-identical double in any
+    * engine). ln() itself is libm-dependent — not cross-engine
+    * reproducible — but V = zero_buckets is FINITE (1..256), so the whole
+    * correction domain is enumerable into a literal table computed once
+    * here: the same determinism trick as [[HllInvStrings]]. Entry 256
+    * (all registers empty) is exactly 0. */
+  val HllLinearStrings: Seq[String] = (1 to HllBuckets).map { v =>
+    new java.math.BigDecimal(
+      HllBuckets * math.log(HllBuckets.toDouble / v)).toPlainString
+  }
+
+  /** Linear-counting estimate m * ln(m/V) via the literal table
+    * (V = zero-register count, 1-indexed like the SQL list mirror). */
+  def hllLinear(zeroBuckets: Column): Column =
+    element_at(array(HllLinearStrings.map(d => lit(d.toDouble)): _*),
+      zeroBuckets.cast("int"))
+
+  /** Small-range-corrected estimate: linear counting when empty registers
+    * exist AND the raw estimate is <= 5/2*m; the raw estimate otherwise
+    * (at 100-TB cardinalities zero_buckets hits 0 and this is the
+    * identity). */
+  def hllCorrected(raw: Column, zeroBuckets: Column): Column =
+    when(zeroBuckets > 0 && raw <= lit(HllSmallRangeMax),
+      hllLinear(zeroBuckets)).otherwise(raw)
+
   /** Bloom filter geometry shared by q_bloom_prune and the streaming word
     * maintainer: 2048 bits / 3 hashes -> 32 64-bit words. */
   val BloomBits = 2048L

@@ -257,17 +257,21 @@ object EventQueries {
     *    partial sums stay below 53 mantissa bits — no rounding, hence
     *    no float-addition order sensitivity across engines or partition
     *    layouts;
-    *  - the output is the RAW alpha_256 * m^2 / S estimate alongside the
-    *    exact distinct count and relative error. The small-range
-    *    linear-counting correction needs ln(), so it is deliberately
-    *    omitted (libm again) — and the testdata's user cardinality
-    *    (15/150/1500 at the three SFs) sits squarely IN that small-range
-    *    regime, so the raw estimate reads high there BY CONSTRUCTION;
-    *    zero_buckets > 0 is the emitted tell, and rel_err grades exactly
-    *    how much the omitted branch would have mattered. The p = 8
-    *    register bank targets the billions-of-keys cardinalities the
-    *    operator exists for at 100 TB, where zero_buckets hits 0 and the
-    *    raw estimate's error concentrates to ~1.04/sqrt(256) = 6.5%.
+    *  - the output is the RAW alpha_256 * m^2 / S estimate AND the
+    *    small-range-corrected one, alongside the exact distinct count and
+    *    both relative errors. Linear counting needs ln() — libm again,
+    *    not cross-engine reproducible — but its argument V = zero_buckets
+    *    is FINITE (1..256), so the correction ships as a 256-entry literal
+    *    table of exact-decimal m*ln(m/V) doubles
+    *    ([[graft.functions.Sketch.HllLinearStrings]]), applied when the
+    *    raw estimate is <= 5/2*m and V > 0 — deterministic in both engines
+    *    by the same trick as the dyadic 2^-m table. The testdata's user
+    *    cardinality (15/150/1500 at the three SFs) sits squarely in that
+    *    small-range regime, so the corrected column is the one that reads
+    *    right on the gate data; at the billions-of-keys cardinalities the
+    *    p = 8 bank targets at 100 TB, zero_buckets hits 0, the correction
+    *    is the identity, and the raw estimate's error concentrates to
+    *    ~1.04/sqrt(256) = 6.5%.
     *
     * Shape at 100 TB: two keyed aggregations — (bucket) max-rank with
     * map-side partials (the shuffle carries at most 256 rows per map
@@ -286,6 +290,9 @@ object EventQueries {
     // each element ::DOUBLE because a bare decimal list literal types as
     // DECIMAL in DuckDB and rounds the deep dyadic terms
     val invSql = Sketch.HllInvStrings.map(_ + "::DOUBLE").mkString("[", ", ", "]")
+    // m*ln(m/V) small-range table, same exact-decimal treatment (ln is
+    // libm-dependent; the finite V domain makes it enumerable instead)
+    val linSql = Sketch.HllLinearStrings.map(_ + "::DOUBLE").mkString("[", ", ", "]")
     // alpha_256 * m^2 pre-multiplied in Scala so BOTH engines see ONE
     // identical double literal (DuckDB parses bare decimal literals as
     // DECIMAL and overflows multiplying them; an explicit DOUBLE cast of
@@ -307,16 +314,27 @@ object EventQueries {
         |         SUM(($invSql)[m]) AS s,
         |         SUM(CASE WHEN m >= 25 THEN 1 ELSE 0 END) AS saturated
         |  FROM regs),
-        |exact AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events)
-        |SELECT CAST(f.n_buckets AS BIGINT) AS n_buckets,
-        |       CAST(256 - f.n_buckets AS BIGINT) AS zero_buckets,
-        |       CAST(f.saturated AS BIGINT) AS saturated_buckets,
-        |       f.s + (256 - f.n_buckets) AS harmonic_sum,
-        |       CAST($AlphaM2 AS DOUBLE) / (f.s + (256 - f.n_buckets)) AS hll_estimate,
+        |exact AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events),
+        |raw AS (
+        |  SELECT f.n_buckets, 256 - f.n_buckets AS zb, f.saturated,
+        |         f.s + (256 - f.n_buckets) AS hs,
+        |         CAST($AlphaM2 AS DOUBLE) / (f.s + (256 - f.n_buckets)) AS est
+        |  FROM folded f),
+        |corrected AS (
+        |  SELECT r.*, CASE WHEN r.zb > 0 AND r.est <= CAST(640.0 AS DOUBLE)
+        |                   THEN ($linSql)[CAST(r.zb AS INTEGER)]
+        |                   ELSE r.est END AS cest
+        |  FROM raw r)
+        |SELECT CAST(c.n_buckets AS BIGINT) AS n_buckets,
+        |       CAST(c.zb AS BIGINT) AS zero_buckets,
+        |       CAST(c.saturated AS BIGINT) AS saturated_buckets,
+        |       c.hs AS harmonic_sum,
+        |       c.est AS hll_estimate,
+        |       c.cest AS hll_corrected,
         |       CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
-        |       abs(CAST($AlphaM2 AS DOUBLE) / (f.s + (256 - f.n_buckets)) - e.exact_distinct)
-        |         / e.exact_distinct AS rel_err
-        |FROM folded f, exact e""".stripMargin) { (s, dir) =>
+        |       abs(c.est - e.exact_distinct) / e.exact_distinct AS rel_err,
+        |       abs(c.cest - e.exact_distinct) / e.exact_distinct AS rel_err_corrected
+        |FROM corrected c, exact e""".stripMargin) { (s, dir) =>
       val ev = t(s, dir, "events")
       val hv = Sketch.hllHash(col("user_id"))
       val rho = ev.select(hv.as("hv"))
@@ -330,14 +348,18 @@ object EventQueries {
       val exact = ev.agg(countDistinct(col("user_id")).as("exact_distinct"))
       val hs = col("s") + (lit(Sketch.HllBuckets) - col("n_buckets"))
       val est = Sketch.hllEstimate(col("s"), col("n_buckets"))
+      val zb = lit(Sketch.HllBuckets) - col("n_buckets")
+      val cest = Sketch.hllCorrected(est, zb)
       folded.crossJoin(exact)
         .select(col("n_buckets").cast("long").as("n_buckets"),
-          (lit(Sketch.HllBuckets) - col("n_buckets")).cast("long").as("zero_buckets"),
+          zb.cast("long").as("zero_buckets"),
           col("saturated").cast("long").as("saturated_buckets"),
           hs.as("harmonic_sum"),
           est.as("hll_estimate"),
+          cest.as("hll_corrected"),
           col("exact_distinct").cast("long").as("exact_distinct"),
-          (abs(est - col("exact_distinct")) / col("exact_distinct")).as("rel_err"))
+          (abs(est - col("exact_distinct")) / col("exact_distinct")).as("rel_err"),
+          (abs(cest - col("exact_distinct")) / col("exact_distinct")).as("rel_err_corrected"))
     }
   }
 

@@ -228,14 +228,17 @@ object Streams {
   }
 
   /** Fold a (bucket, m) register table — streamed or batch — into the raw
-    * HLL estimate, with the same exact-dyadic arithmetic as the batch
-    * oracle query. */
+    * AND small-range-corrected HLL estimates, with the same exact-dyadic
+    * and ln-table arithmetic as the batch oracle query. */
   def hllEstimateOf(regs: DataFrame): DataFrame = {
     import graft.functions.Sketch
     regs.agg(count(lit(1)).as("n_buckets"),
         sum(Sketch.hllInv(col("m"))).as("s"))
-      .select(Sketch.hllEstimate(col("s"), col("n_buckets"))
-        .as("hll_estimate"))
+      .select(
+        Sketch.hllEstimate(col("s"), col("n_buckets")).as("hll_estimate"),
+        Sketch.hllCorrected(
+          Sketch.hllEstimate(col("s"), col("n_buckets")),
+          lit(Sketch.HllBuckets) - col("n_buckets")).as("hll_corrected"))
   }
 
   /** Streaming Bloom-filter word maintenance — the incremental build side

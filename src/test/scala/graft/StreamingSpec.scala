@@ -251,8 +251,8 @@ class StreamingSpec extends SparkSpec {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions.col
     val batchRow = graft.queries.EventQueries.hllDistinct.build(spark, sf)
-      .select("n_buckets", "harmonic_sum", "hll_estimate")
-      .as[(Long, Double, Double)].head()
+      .select("n_buckets", "harmonic_sum", "hll_estimate", "hll_corrected")
+      .as[(Long, Double, Double, Double)].head()
     val users = graft.engine.Tables.t(spark, sf, "events")
       .select(col("user_id")).as[Long].collect()
     val (b1, b2) = users.splitAt(users.length / 2)
@@ -264,14 +264,16 @@ class StreamingSpec extends SparkSpec {
       in.addData(b1.toIndexedSeq)
       q.processAllAvailable()
       val mid = Streams.hllEstimateOf(spark.table("hllregs"))
-        .as[Double].head()
+        .as[(Double, Double)].head()._1
       in.addData(b2.toIndexedSeq)
       q.processAllAvailable()
       val regs = spark.table("hllregs")
-      val (n, est) = (regs.count(),
-        Streams.hllEstimateOf(regs).as[Double].head())
+      val n = regs.count()
+      val (est, cest) = Streams.hllEstimateOf(regs).as[(Double, Double)].head()
       assert(n == batchRow._1, "occupied register count must match batch")
       assert(est == batchRow._3, s"streamed estimate $est != batch ${batchRow._3}")
+      assert(cest == batchRow._4,
+        s"streamed corrected estimate $cest != batch ${batchRow._4}")
       // monotone registers: the mid-stream estimate cannot exceed the final
       assert(mid <= est, "register max is monotone, estimate must not regress")
     } finally q.stop()
