@@ -97,7 +97,8 @@ object ScaleProbe {
     "q_shard_manifest", "q_dedup_normalized", "q_label_mismatch",
     "q_chunk_docs", "q_pii_scrub", "q_winnow_fingerprint",
     "q_neardup_verify", "q_bpe_pairs", "q_winnow_pairs",
-    "q_dedup_canonical", "q_oov_rate", "q_stratified_sample")
+    "q_dedup_canonical", "q_oov_rate", "q_stratified_sample",
+    "q_quantile_sketch")
 
   /** Queries that read ONLY the embeddings table (replicated input #2). */
   private val EmbQueries = Seq(

@@ -133,6 +133,11 @@ object StreamBench {
         streaming.Streams.hllRegisters(df, "user_id")),
       run("bloom_words", nEvents, mode = "complete")(df =>
         streaming.Streams.bloomWords(df, "user_id")),
+      run("hist_registers", nDocs, mode = "complete")(df =>
+        streaming.Streams.histRegisters(
+          df.select(col("source"),
+            functions.Text.tokenCount(col("text")).as("nt")),
+          "source", "nt")),
       run("curation_gate", nDocs)(df => streaming.Streams.curationGate(df)),
       run("pack_shards", nDocs)(df => streaming.Streams.packShards(df).toDF()),
       run("source_cap", nDocs)(df =>

@@ -87,6 +87,69 @@ object Sketch {
     when(zeroBuckets > 0 && raw <= lit(HllSmallRangeMax),
       hllLinear(zeroBuckets)).otherwise(raw)
 
+  /** Histogram quantile-sketch geometry (HDR-histogram-lite) — the third
+    * oracle-checked sketch after HLL and Bloom: values below
+    * [[HistExactMax]] get exact identity buckets; above, each power-of-two
+    * octave splits into 16 log-spaced sub-buckets, so a bucket's inclusive
+    * upper bound is within 2^-4 = 6.25% of any member value. State is
+    * bounded BY THE SKETCH: at most 256 + 45*16 = 976 buckets per group
+    * over the whole double-exact long domain [0, 2^53), however the data
+    * grows — the unbounded-domain scale path next to q_length_quantiles'
+    * exact (bounded-domain) percentile.
+    *
+    * Cross-engine determinism, same discipline as the HLL tower: integer
+    * compares (the log2 CASE ladder), integer add/multiply, and
+    * multiplication by exact powers of two — which only shifts the double
+    * exponent and NEVER rounds — so both engines compute identical bucket
+    * ids and bounds with no libm anywhere. */
+  val HistExactMax = 256L
+  val HistSubBuckets = 16L
+  val HistMaxExp = 52 // v < 2^53: every long in the domain is double-exact
+
+  /** Octave bases 2^e for e in 8..52. */
+  val HistPows: Seq[Long] = (8 to HistMaxExp).map(1L << _)
+
+  /** Exact dyadic strings of the sub-bucket scales 2^-(e-4), e in 8..52. */
+  val HistInvStrings: Seq[String] = (8 to HistMaxExp).map(e =>
+    java.math.BigDecimal.ONE.divide(new java.math.BigDecimal(2).pow(e - 4))
+      .toPlainString)
+
+  /** Sub-bucket widths 2^(e-4) for e in 8..52. */
+  val HistWidths: Seq[Long] = (8 to HistMaxExp).map(e => 1L << (e - 4))
+
+  /** floor(log2(v)) for v >= 256, as the same ascending-fold integer
+    * ladder as [[hllRank]] (largest threshold outermost = a SQL CASE's
+    * top-down largest-first order). */
+  def histExp(v: Column): Column =
+    (8 to HistMaxExp).foldLeft[Column](lit(8)) { (els, b) =>
+      when(v >= (1L << b), lit(b)).otherwise(els)
+    }
+
+  /** Bucket id: identity below 256; else 256 + (e-8)*16 + sub with
+    * sub = floor((v - 2^e) * 2^-(e-4)) — the power-of-two multiply is
+    * exact, so the floor is exact integer arithmetic in both engines. */
+  def histBucket(v: Column): Column = {
+    val e = histExp(v)
+    val base = element_at(array(HistPows.map(lit): _*), e - 7)
+    val inv = element_at(array(HistInvStrings.map(s => lit(s.toDouble)): _*),
+      e - 7)
+    val sub = floor((v - base) * inv).cast("long")
+    when(v < HistExactMax, v)
+      .otherwise(lit(HistExactMax) + (e.cast("long") - 8L) * 16L + sub)
+  }
+
+  /** Inclusive upper bound of a bucket — the sketch's quantile
+    * representative (at most 6.25% above any member value). */
+  def histHi(bucket: Column): Column = {
+    val idx = bucket - HistExactMax
+    val e = floor(idx * lit(0.0625)).cast("int") // exact: 1/16 is dyadic
+    val sub = idx - e.cast("long") * 16L
+    val base = element_at(array(HistPows.map(lit): _*), e + 1)
+    val width = element_at(array(HistWidths.map(lit): _*), e + 1)
+    when(bucket < HistExactMax, bucket)
+      .otherwise(base + (sub + 1L) * width - 1L)
+  }
+
   /** Bloom filter geometry shared by q_bloom_prune and the streaming word
     * maintainer: 2048 bits / 3 hashes -> 32 64-bit words. */
   val BloomBits = 2048L

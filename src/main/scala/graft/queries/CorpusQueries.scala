@@ -396,6 +396,107 @@ object CorpusQueries {
       .orderBy("lang")
   }
 
+  /** APPROXIMATE-QUANTILE SKETCH, fully oracle-checked — the third
+    * engine-deterministic sketch (after HLL and Bloom), completing the
+    * profile q_length_quantiles computes exactly: per-language approx
+    * p50/p90/p99 of document token counts off a BOUNDED histogram
+    * ([[graft.functions.Sketch.histBucket]]: exact buckets below 256, 16
+    * log-spaced sub-buckets per power-of-two octave above — at most 976
+    * buckets per language over the whole [0, 2^53) domain, however the
+    * corpus grows), GRADED in-row against the exact percentiles the way
+    * q_bloom_prune grades its filter and q_hll_distinct its estimate.
+    *
+    * Determinism: bucket ids are integer CASE-ladder + exact
+    * power-of-two-scaled floors (no libm — a power-of-two multiply only
+    * shifts the exponent); quantile extraction is an INTEGER rank
+    * threshold, ceil(n*p/100) by integer division, against the running
+    * bucket-count sum; the reported value is the bucket's integer upper
+    * bound. Every compared number is integer or an identical
+    * IEEE-division result in both engines.
+    *
+    * Shape at 100 TB: ONE keyed aggregation (lang, bucket) with map-side
+    * partials — the shuffle carries at most 976 rows per language per map
+    * task; the cumulative window runs over <= 976 rows per language,
+    * bounded BY THE SKETCH (never by data). The exact-percentile columns
+    * exist to GRADE the sketch and are the expensive bounded-domain
+    * operator the sketch replaces on unbounded domains. Streaming twin:
+    * [[graft.streaming.Streams.histRegisters]]. */
+  val quantileSketch: Q = {
+    import graft.functions.Sketch
+    val expSql = (Sketch.HistMaxExp to 8 by -1)
+      .map(b => s"WHEN nt >= ${1L << b} THEN $b").mkString("CASE ", " ", " ELSE 8 END")
+    val powsSql = Sketch.HistPows.mkString("[", ", ", "]")
+    val invsSql = Sketch.HistInvStrings.map(_ + "::DOUBLE").mkString("[", ", ", "]")
+    val widthsSql = Sketch.HistWidths.mkString("[", ", ", "]")
+    Q(
+      "q_quantile_sketch",
+      s"""WITH d AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+        |b1 AS (SELECT lang, nt, $expSql AS e FROM d),
+        |b2 AS (SELECT lang, nt,
+        |         CASE WHEN nt < 256 THEN nt
+        |              ELSE 256 + (e - 8) * 16 +
+        |                   CAST(FLOOR((nt - ($powsSql)[e - 7]) * ($invsSql)[e - 7]) AS BIGINT)
+        |         END AS bucket
+        |       FROM b1),
+        |h AS (SELECT lang, bucket, COUNT(*) AS cnt FROM b2 GROUP BY lang, bucket),
+        |h2a AS (SELECT lang, bucket, cnt,
+        |          CAST(FLOOR((bucket - 256) * 0.0625) AS INTEGER) AS eh FROM h),
+        |h2 AS (SELECT lang, bucket, cnt,
+        |         CASE WHEN bucket < 256 THEN bucket
+        |              ELSE ($powsSql)[eh + 1]
+        |                   + (bucket - 256 - eh * 16 + 1) * ($widthsSql)[eh + 1] - 1
+        |         END AS hi
+        |       FROM h2a),
+        |c AS (SELECT lang, bucket, hi, cnt,
+        |        SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum FROM h2),
+        |n AS (SELECT lang, COUNT(*) AS n_docs FROM d GROUP BY lang),
+        |x AS (SELECT lang, quantile_cont(nt, 0.5) AS p50_exact,
+        |             quantile_cont(nt, 0.9) AS p90_exact,
+        |             quantile_cont(nt, 0.99) AS p99_exact FROM d GROUP BY lang),
+        |a AS (SELECT c.lang,
+        |        CAST(MIN(CASE WHEN c.cum >= (n.n_docs * 50 + 99) // 100 THEN c.hi END) AS BIGINT) AS p50_approx,
+        |        CAST(MIN(CASE WHEN c.cum >= (n.n_docs * 90 + 99) // 100 THEN c.hi END) AS BIGINT) AS p90_approx,
+        |        CAST(MIN(CASE WHEN c.cum >= (n.n_docs * 99 + 99) // 100 THEN c.hi END) AS BIGINT) AS p99_approx,
+        |        CAST(COUNT(*) AS BIGINT) AS sketch_buckets
+        |      FROM c JOIN n USING (lang) GROUP BY c.lang)
+        |SELECT a.lang, n.n_docs, a.sketch_buckets,
+        |       a.p50_approx, a.p90_approx, a.p99_approx,
+        |       x.p50_exact, x.p90_exact, x.p99_exact,
+        |       abs(a.p50_approx - x.p50_exact) / x.p50_exact AS p50_err,
+        |       abs(a.p90_approx - x.p90_exact) / x.p90_exact AS p90_err,
+        |       abs(a.p99_approx - x.p99_exact) / x.p99_exact AS p99_err
+        |FROM a JOIN n USING (lang) JOIN x USING (lang)
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("lang"), Text.tokenCount(col("text")).cast("long").as("nt"))
+      val h = d.select(col("lang"), Sketch.histBucket(col("nt")).as("bucket"))
+        .groupBy("lang", "bucket").agg(count(lit(1)).as("cnt"))
+        .withColumn("hi", Sketch.histHi(col("bucket")))
+      val w = Window.partitionBy("lang").orderBy("bucket")
+      val c = h.withColumn("cum", sum(col("cnt")).over(w))
+      val n = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val x = d.groupBy("lang").agg(
+        percentile(col("nt"), lit(0.5)).as("p50_exact"),
+        percentile(col("nt"), lit(0.9)).as("p90_exact"),
+        percentile(col("nt"), lit(0.99)).as("p99_exact"))
+      def tgt(p: Int) = expr(s"(n_docs * $p + 99) DIV 100")
+      val a = c.join(broadcast(n), Seq("lang"))
+        .groupBy("lang")
+        .agg(min(when(col("cum") >= tgt(50), col("hi"))).as("p50_approx"),
+          min(when(col("cum") >= tgt(90), col("hi"))).as("p90_approx"),
+          min(when(col("cum") >= tgt(99), col("hi"))).as("p99_approx"),
+          count(lit(1)).as("sketch_buckets"))
+      a.join(n, Seq("lang")).join(x, Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("sketch_buckets"),
+          col("p50_approx"), col("p90_approx"), col("p99_approx"),
+          col("p50_exact"), col("p90_exact"), col("p99_exact"),
+          (abs(col("p50_approx") - col("p50_exact")) / col("p50_exact")).as("p50_err"),
+          (abs(col("p90_approx") - col("p90_exact")) / col("p90_exact")).as("p90_err"),
+          (abs(col("p99_approx") - col("p99_exact")) / col("p99_exact")).as("p99_err"))
+        .orderBy("lang")
+    }
+  }
+
   /** The full (un-limited) BPE pair table for a documents DataFrame —
     * factored out so CorpusSpec can pin the conservation law
     * `sum(pair_count) == sum over vocab of freq * (len(word) - 1)` that
@@ -501,5 +602,6 @@ object CorpusQueries {
 
   val all: Seq[Q] =
     Seq(decontaminate, semanticDecontaminate, mixSample, repetitionQuality,
-      vocabTopk, tfidfKeywords, lengthQuantiles, bpePairs, oovRate)
+      vocabTopk, tfidfKeywords, lengthQuantiles, quantileSketch, bpePairs,
+      oovRate)
 }

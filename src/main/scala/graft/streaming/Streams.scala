@@ -241,6 +241,47 @@ object Streams {
           lit(Sketch.HllBuckets) - col("n_buckets")).as("hll_corrected"))
   }
 
+  /** Streaming histogram-sketch register maintenance — the incremental
+    * form of q_quantile_sketch's bucket table for a continuously-arriving
+    * (group, value) stream: `groupBy(g, bucket).count()` under Complete
+    * output keeps at most 976 rows of state PER GROUP regardless of
+    * stream length (the bucket domain is fixed by the sketch geometry —
+    * state bounded BY THE SKETCH, like the HLL registers and Bloom
+    * words). Quantiles are read off at any instant with
+    * [[Streams.histQuantilesOf]]; single-sourced column logic
+    * (functions.Sketch) keeps stream registers bit-equal to the batch
+    * query's. */
+  def histRegisters(keyed: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import graft.functions.Sketch
+    keyed
+      .select(col(groupCol).as("g"),
+        Sketch.histBucket(col(valueCol).cast("long")).as("bucket"))
+      .groupBy("g", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fold a (g, bucket, cnt) register table — streamed or batch — into
+    * approx p50/p90/p99, with the same integer-rank arithmetic as the
+    * batch oracle query (ceil(n*p/100) by integer division against the
+    * running bucket-count sum; bucket upper bound as the estimate). The
+    * window runs over <= 976 rows per group, bounded by the sketch. */
+  def histQuantilesOf(regs: DataFrame): DataFrame = {
+    import graft.functions.Sketch
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy("bucket")
+    // group total via an unordered window over the same <= 976 rows — a
+    // groupBy + self-join here trips conflicting-reference resolution on
+    // a streaming memory-sink view, and the window is strictly cheaper
+    val wAll = Window.partitionBy("g")
+    def tgt(p: Int) = expr(s"(n * $p + 99) DIV 100")
+    regs.withColumn("hi", Sketch.histHi(col("bucket")))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy("g")
+      .agg(min(when(col("cum") >= tgt(50), col("hi"))).as("p50_approx"),
+        min(when(col("cum") >= tgt(90), col("hi"))).as("p90_approx"),
+        min(when(col("cum") >= tgt(99), col("hi"))).as("p99_approx"))
+  }
+
   /** Streaming Bloom-filter word maintenance — the incremental build side
     * of q_bloom_prune: `groupBy(word_idx).bit_or(mask)` under Complete
     * output keeps at most 32 rows of state regardless of how many keys
@@ -431,7 +472,9 @@ object Streams {
           closed += UserSession(user, s.start_ms, s.last_ms + gapMs, s.n, s.total)
           cur = SessionState(t, t, 1L, e.value)
         case s =>
-          cur = s.copy(last_ms = t, n = s.n + 1, total = s.total + e.value)
+          cur = s.copy(start_ms = math.min(s.start_ms, t),
+            last_ms = math.max(s.last_ms, t), n = s.n + 1,
+            total = s.total + e.value)
       }
     }
     (cur, closed.result())
@@ -442,9 +485,15 @@ object Streams {
     * its full event-type sequence — the streaming twin of
     * q_session_trajectories. Gap compare and session_start are both at
     * MICROSECOND precision (the batch query's session_window sees raw
-    * micros), so closed trajectories bit-match the batch rows. State per
-    * user is one open session's items — bounded by session length (a
-    * 10-minute gap closes it), never by stream length. */
+    * micros), so closed trajectories bit-match the batch rows — PROVIDED
+    * no event arrives in a later micro-batch predating a gap the fold has
+    * already split on (the merge takes min/max of the open session's
+    * bounds, so a late event inside the open span is absorbed correctly,
+    * but a session already CLOSED on a gap is never reopened — the
+    * standard streaming-sessionization tradeoff; batch reassembles any
+    * order). State per user is one open session's items — bounded by
+    * session length (a 10-minute gap closes it), never by stream
+    * length. */
   private[streaming] def foldTrajectory(user: Long, gapMs: Long,
       prev: TrajState, batch: Iterator[TrajEvent]): (TrajState, Seq[UserTrajectory]) = {
     val gapUs = gapMs * 1000L
@@ -464,7 +513,8 @@ object Streams {
           closed += emit(s)
           cur = TrajState(t, t, Vector(item))
         case s =>
-          cur = TrajState(s.start_us, math.max(s.last_us, t), s.items :+ item)
+          cur = TrajState(math.min(s.start_us, t), math.max(s.last_us, t),
+            s.items :+ item)
       }
     }
     (cur, closed.result())

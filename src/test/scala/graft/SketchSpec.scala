@@ -69,6 +69,44 @@ class SketchSpec extends SparkSpec {
     assert(err < 0.20, s"raw estimate out of band at n=$n: $err")
   }
 
+  test("histogram sketch: bucket/hi invariants over a domain sweep") {
+    // values spanning the exact region, octave boundaries, and large
+    // magnitudes up to the 2^53 domain edge
+    val vs = ((0L to 300L) ++
+      (8 to 52).flatMap(e => Seq((1L << e) - 1, 1L << e, (1L << e) + 1)) ++
+      Seq((1L << 53) - 1, 999999937L, 1234567890123L)).distinct
+    val rows = vs.toDF("v")
+      .select(col("v"), Sketch.histBucket(col("v")).as("bucket"))
+      .select(col("v"), col("bucket"), Sketch.histHi(col("bucket")).as("hi"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    rows.foreach { case (v, bucket, hi) =>
+      assert(v <= hi, s"v=$v above its bucket $bucket upper bound $hi")
+      if (v < 256) assert(bucket == v && hi == v, s"exact region broken at $v")
+      else assert((hi - v).toDouble / v <= 0.0625,
+        s"v=$v err ${(hi - v).toDouble / v} exceeds 6.25% (bucket $bucket hi $hi)")
+    }
+    // bucket id is monotone in v (quantile extraction depends on it)
+    assert(rows.zip(rows.tail).forall { case ((v1, b1, _), (v2, b2, _)) =>
+      v1 > v2 || b1 <= b2 }, "bucket must be monotone in value")
+    // bounded state: the whole domain maps into <= 976 distinct buckets
+    assert(rows.map(_._2).distinct.length <= 976)
+  }
+
+  test("histogram sketch: approx quantiles track exact within the 6.25% bound") {
+    val rows = graft.queries.CorpusQueries.quantileSketch.build(spark, sf)
+      .select("lang", "sketch_buckets", "p50_err", "p90_err", "p99_err")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, buckets, e50, e90, e99) =>
+      assert(buckets <= 976, s"$lang: unbounded sketch state?")
+      // hi-side representative + integer-rank vs interpolated exact: the
+      // bucket bound (6.25%) plus one inter-value interpolation step
+      Seq("p50" -> e50, "p90" -> e90, "p99" -> e99).foreach { case (p, e) =>
+        assert(e <= 0.0725, s"$lang $p err $e exceeds the sketch bound")
+      }
+    }
+  }
+
   test("gate regime: sf0.001 events (15 users) — corrected column reads right") {
     val row = graft.queries.EventQueries.hllDistinct.build(spark, sf)
       .select("zero_buckets", "hll_corrected", "exact_distinct",

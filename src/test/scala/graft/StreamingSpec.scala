@@ -279,6 +279,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionTrajectories: late in-span event lowers the open session's start") {
+    // an out-of-order event arriving in a LATER micro-batch that predates
+    // the open session's first-seen event must be absorbed with the
+    // earlier start (ADVICE r9: merge takes min of start, max of last)
+    implicit val ctx = spark.sqlContext
+    def te(minute: Int, id: Long, tpe: String) =
+      TrajEvent(42L, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), id, tpe)
+    val in = MemoryStream[TrajEvent]
+    val q = Streams.sessionTrajectories(in.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("trajoo").outputMode("append").start()
+    try {
+      in.addData(te(5, 2L, "click"))
+      q.processAllAvailable()
+      in.addData(te(3, 1L, "view")) // late, predates the open start, in-span
+      q.processAllAvailable()
+      in.addData(te(30, 3L, "purchase")) // 25-min gap closes the session
+      q.processAllAvailable()
+      val rows = spark.table("trajoo").as[(Long, Long, Long, String)].collect().toSeq
+      val startUs = Timestamp.valueOf("2024-01-01 10:03:00").getTime * 1000L
+      assert(rows == Seq((42L, startUs, 2L, "view click")), s"$rows")
+    } finally q.stop()
+  }
+
+  test("histRegisters: streamed histogram fold bit-matches the batch quantile sketch") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val batch = graft.queries.CorpusQueries.quantileSketch.build(spark, sf)
+      .select("lang", "p50_approx", "p90_approx", "p99_approx")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val docs = graft.engine.Tables.t(spark, sf, "documents")
+      .select(col("lang"),
+        graft.functions.Text.tokenCount(col("text")).cast("long").as("nt"))
+      .as[(String, Long)].collect()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[(String, Long)]
+    val q = Streams.histRegisters(
+        in.toDF().withColumnRenamed("_1", "lang").withColumnRenamed("_2", "nt"),
+        "lang", "nt")
+      .writeStream.format("memory").queryName("histregs")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      val regs = spark.table("histregs")
+      // bounded state: the sketch admits at most 976 buckets per group
+      val maxPerGroup = regs.groupBy("g").count()
+        .agg(org.apache.spark.sql.functions.max("count")).as[Long].head()
+      assert(maxPerGroup <= 976, s"sketch state exceeded its bound: $maxPerGroup")
+      val folded = Streams.histQuantilesOf(regs)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(folded == batch,
+        s"diff: ${(folded diff batch).take(3)} vs ${(batch diff folded).take(3)}")
+    } finally q.stop()
+  }
+
   test("bloom guarantee: every built key passes its own filter (no false negatives)") {
     // the Bloom contract the pruning join leans on: a key whose bits were
     // OR'd into the words can NEVER read definitely-not. Crafted key sets

@@ -101,7 +101,9 @@ class TextSpec extends SparkSpec {
   test("native text kernels equal their builtin regex chains on random unicode") {
     import spark.implicits._
     val r = new scala.util.Random(11)
-    val alphabet = "abcXYZ019 !,.é中😀\t" // é 中 😀 tab
+    // K Kelvin sign (lowercases to ASCII 'k' — the slow-path special
+    // mapping the scaladoc claims) and İ/ı Turkish-I forms
+    val alphabet = "abcXYZ019 !,.é中😀\tKİı"
     def rand(maxLen: Int): String = {
       val cps = alphabet.codePoints.toArray
       val sb = new java.lang.StringBuilder
@@ -110,7 +112,11 @@ class TextSpec extends SparkSpec {
       sb.toString
     }
     val cases = Seq("", " ", "   ", "a", "A!B", "  a  b  ", "ab12cd",
-      "Kelvin", // Kelvin sign lowercases to ASCII k
+      "Kelvin", // plain ASCII control next to the special-mapping cases
+      "Kelvin", // ACTUAL Kelvin sign: U+212A lowercases to ASCII 'k'
+      "İstanbul", // Turkish capital dotted I -> "i" + combining dot
+      "ıssız", // dotless i: stays non-ASCII through lowercase
+      "STRAẞE", // capital sharp s U+1E9E lowercases to ß
       "😀!😀") ++ (1 to 300).map(_ => rand(80))
     val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
     val normMism = df.filter(expr(
