@@ -98,7 +98,8 @@ object ScaleProbe {
     "q_chunk_docs", "q_pii_scrub", "q_winnow_fingerprint",
     "q_neardup_verify", "q_bpe_pairs", "q_winnow_pairs",
     "q_dedup_canonical", "q_oov_rate", "q_stratified_sample",
-    "q_quantile_sketch")
+    "q_quantile_sketch", "q_incremental_dedup", "q_keyword_search",
+    "q_split_leakage")
 
   /** Queries that read ONLY the embeddings table (replicated input #2). */
   private val EmbQueries = Seq(
@@ -111,13 +112,15 @@ object ScaleProbe {
   private val EvQueries = Seq(
     "q_json_extract", "q_window_tumbling", "q_window_sliding",
     "q_window_session", "q_event_funnel", "q_retention_cohorts",
-    "q_session_trajectories", "q_hll_distinct", "q_bloom_prune")
+    "q_session_trajectories", "q_hll_distinct", "q_bloom_prune",
+    "q_cms_heavy", "q_kmv_distinct", "q_cdc_merge", "q_window_timerange")
 
   private val Repl = 10
-  // larger than any planted-twin id offset (max is 4_000_000 + base ids,
-  // from q_dedup_normalized's planted variants; q_embed_neardup uses
-  // +100_000, others <= 1_000_000), so replica id ranges never overlap
-  // their planted twins; divisible by the plant/query-batch moduli 10, 25
+  // larger than any planted-twin id offset (max is 9_000_000 + base ids,
+  // from q_incremental_dedup's in-batch plants; q_dedup_normalized uses
+  // +4_000_000, q_embed_neardup +100_000, others <= 1_000_000), so replica
+  // id ranges never overlap
+  // their planted twins; divisible by the plant/query-batch moduli 5, 10, 25
   // and 50, so those patterns repeat identically per replica. The other
   // moduli in use (97, 31, 11, 13, 17 — decontamination splits, corpus-diff
   // snapshots) do NOT divide it: replica r's subset shifts to a coset of

@@ -99,7 +99,7 @@ object StreamBench {
         build: DataFrame => DataFrame): (String, String) = {
       val in = if (name == "funnel" || name == "session_tws" ||
           name == "session_traj" || name == "hll_registers" ||
-          name == "bloom_words") s"$work/events"
+          name == "bloom_words" || name == "cms_registers") s"$work/events"
         else if (name == "semantic_hits") s"$work/vecs"
         else s"$work/docs"
       val t0 = System.nanoTime()
@@ -133,6 +133,8 @@ object StreamBench {
         streaming.Streams.hllRegisters(df, "user_id")),
       run("bloom_words", nEvents, mode = "complete")(df =>
         streaming.Streams.bloomWords(df, "user_id")),
+      run("cms_registers", nEvents, mode = "complete")(df =>
+        streaming.Streams.cmsRegisters(df, "user_id")),
       run("hist_registers", nDocs, mode = "complete")(df =>
         streaming.Streams.histRegisters(
           df.select(col("source"),

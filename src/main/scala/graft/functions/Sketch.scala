@@ -150,6 +150,27 @@ object Sketch {
       .otherwise(base + (sub + 1L) * width - 1L)
   }
 
+  /** Count-min sketch geometry shared by q_cms_heavy and the streaming
+    * register maintainer ([[graft.streaming.Streams.cmsRegisters]]):
+    * 4 hash rows x 512 cells -> 2048 counters REGARDLESS of key
+    * cardinality. Pure integer arithmetic end to end (md5-32 cell hashes,
+    * long counter sums, long MIN at probe time), so the sketch is
+    * bit-reproducible in any engine — the frequency-estimation member of
+    * the oracle-checked sketch tower (HLL = distinct, Bloom = membership,
+    * histogram = quantiles, CMS = frequency). The classic one-sided
+    * guarantee estimate >= true_count holds by construction: every cell a
+    * key hashes to contains at least all of that key's own increments. */
+  val CmsRows = 4
+  val CmsWidth = 512L
+
+  /** The d exploded (row, cell) probe positions for a key — md5-32 in
+    * per-row namespaces ("cm0:".."cm3:"), mod [[CmsWidth]]. */
+  def cmsCells(key: Column): Column =
+    explode(array((0 until CmsRows).map(i =>
+      struct(lit(i).as("r"),
+        (Text.md5Hash32(concat(lit(s"cm$i:"), key.cast("string")))
+          % CmsWidth).as("cell"))): _*))
+
   /** Bloom filter geometry shared by q_bloom_prune and the streaming word
     * maintainer: 2048 bits / 3 hashes -> 32 64-bit words. */
   val BloomBits = 2048L

@@ -41,6 +41,16 @@ object Text {
   def md5Hash32(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
+  /** The deterministic train/val/test split rule (90/5/5 by content-hash
+    * bucket of the doc id) — single-sourced for q_train_split and the
+    * split-leakage audit, so the assignment audited IS the assignment
+    * shipped. DuckDB mirror: the md5Hash32 expression % 100 against the
+    * same thresholds. */
+  def splitAssign(docId: Column): Column = {
+    val b = md5Hash32(concat(lit("split:"), docId.cast("string"))) % 100
+    when(b < 90, "train").when(b < 95, "val").otherwise("test")
+  }
+
   /** Mean token length, derived without a second pass:
     * (chars - (n_tokens - 1) separators) / n_tokens. */
   def avgTokenLen(text: Column): Column =

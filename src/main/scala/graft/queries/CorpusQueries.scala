@@ -600,8 +600,60 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** KEYWORD SEARCH — inverted-index retrieval with tf-idf ranking, the
+    * lookup side of the corpus tooling (q_tfidf_keywords extracts
+    * keywords FROM docs; this finds docs FOR keywords — the query a
+    * curation analyst actually types). Posting lists are the per-(term,
+    * doc) tf table — built here for just the query terms, but identical in
+    * shape to the standing inverted index a production corpus keeps — and
+    * each posting is weighted by an INTEGER idf, 2^20 DIV df: exact in
+    * both engines (no ln, no float sums — a sum of doubles would be
+    * addend-order-dependent and unhashable cross-engine), monotone in the
+    * true rarity ordering. Top-20 by (score DESC, doc_id) with the tie
+    * explicit.
+    *
+    * Shape at 100 TB: tokenize-and-filter is one scan (the filter on the
+    * 4-term set prunes the explode immediately); tf is a keyed
+    * aggregation; df is 4 rows, broadcast back; the final top-k is
+    * TakeOrdered — per-partition heaps, no global sort. */
+  val keywordSearch: Q = {
+    val terms = Seq("spark", "query", "join", "window")
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    Q(
+      "q_keyword_search",
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |  WHERE tok IN $termList GROUP BY doc_id, tok),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |         CAST(SUM(t.tf * (1048576 // d.df)) AS BIGINT) AS score,
+        |         COUNT(*) AS n_terms
+        |  FROM tf t JOIN df d ON d.tok = t.tok
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, score, n_terms
+        |FROM scored
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfT), Seq("tok"))
+        .withColumn("idf", expr("1048576 DIV df"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * col("idf")).as("score"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }
+  }
+
   val all: Seq[Q] =
     Seq(decontaminate, semanticDecontaminate, mixSample, repetitionQuality,
       vocabTopk, tfidfKeywords, lengthQuantiles, quantileSketch, bpePairs,
-      oovRate)
+      oovRate, keywordSearch)
 }

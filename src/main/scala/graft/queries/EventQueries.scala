@@ -447,7 +447,243 @@ object EventQueries {
     }
   }
 
+  /** COUNT-MIN SKETCH frequency estimation + heavy-hitter grading, fully
+    * oracle-checked — the frequency member of the sketch tower (HLL =
+    * distinct, Bloom = membership, histogram = quantiles). Build a
+    * 4-row x 512-cell counter bank over per-user event counts, probe every
+    * user back through it (estimate = MIN over its 4 cells), and grade the
+    * heavy-hitter verdicts against exact counts. The one-sided guarantee
+    * estimate >= exact (a key's own increments land in every cell it
+    * probes) means a CMS-driven heavy-hitter pass has NO false negatives —
+    * pinned per-row here (`overestimate >= 0`) and on crafted collision
+    * sets in SketchSpec.
+    *
+    * Determinism: cells are md5-32 hashes ("cm0:".."cm3:" namespaces) mod
+    * 512; counters are long SUMs, the probe a long MIN — no floats
+    * anywhere. The heavy threshold (9/8 of the mean events-per-user — the
+    * synthetic log assigns users near-uniformly, so the tail sits within
+    * ~1.5x of the mean and a 9/8 cut selects the ~p90 tail at every SF) is
+    * exact integer division via the remainder trick
+    * `(9n - (9n % 8u)) / 8u`: the numerator is exactly divisible, so the
+    * IEEE division is exact in both engines.
+    *
+    * Shape at 100 TB: the counter bank is at most 2048 (r, cell, sum) rows
+    * REGARDLESS of input — a keyed SUM aggregation with map-side partials,
+    * then broadcast; the probe joins each key's 4 cells against the
+    * broadcast bank and folds back with one narrow MIN aggregation. No
+    * shuffle scales with the sketch, only with the key set. */
+  val cmsHeavy: Q = {
+    import graft.functions.Sketch
+    val W = Sketch.CmsWidth
+    def cellSql(i: Int) =
+      s"CAST(('0x' || substr(md5('cm$i:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % $W"
+    val probeUnion = (0 until Sketch.CmsRows).map(i =>
+      s"SELECT user_id, cnt, $i AS r, ${cellSql(i)} AS cell FROM k")
+      .mkString("\n  UNION ALL\n  ")
+    Q(
+      "q_cms_heavy",
+      s"""WITH k AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+        |pr AS (
+        |  $probeUnion),
+        |cells AS (SELECT r, cell, SUM(cnt) AS cs FROM pr GROUP BY r, cell),
+        |est AS (
+        |  SELECT p.user_id, MIN(p.cnt) AS exact_count, CAST(MIN(c.cs) AS BIGINT) AS cms_estimate
+        |  FROM pr p JOIN cells c ON c.r = p.r AND c.cell = p.cell
+        |  GROUP BY p.user_id),
+        |tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS nu FROM events),
+        |thr AS (SELECT (9 * n - (9 * n % (8 * nu))) // (8 * nu) AS t FROM tot)
+        |SELECT e.user_id, e.cms_estimate, e.exact_count,
+        |       e.cms_estimate - e.exact_count AS overestimate,
+        |       CAST(t.t AS BIGINT) AS heavy_threshold,
+        |       e.cms_estimate >= t.t AS cms_heavy,
+        |       e.exact_count >= t.t AS actual_heavy
+        |FROM est e, thr t
+        |WHERE e.cms_estimate >= t.t OR e.exact_count >= t.t
+        |ORDER BY e.user_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val keyed = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val probes = keyed
+        .select(col("user_id"), col("cnt"), Sketch.cmsCells(col("user_id")).as("p"))
+        .select(col("user_id"), col("cnt"),
+          col("p.r").as("r"), col("p.cell").as("cell"))
+      val cells = probes.groupBy("r", "cell").agg(sum("cnt").as("cs"))
+      val est = probes.join(broadcast(cells), Seq("r", "cell"))
+        .groupBy("user_id")
+        .agg(min("cnt").as("exact_count"), min("cs").as("cms_estimate"))
+      val tot = ev.agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("nu"))
+      val num = col("n") * 9
+      val den = col("nu") * 8
+      val thr = ((num - pmod(num, den)) / den).cast("long")
+      est.crossJoin(tot)
+        .select(col("user_id"), col("cms_estimate"), col("exact_count"),
+          (col("cms_estimate") - col("exact_count")).as("overestimate"),
+          thr.as("heavy_threshold"),
+          (col("cms_estimate") >= thr).as("cms_heavy"),
+          (col("exact_count") >= thr).as("actual_heavy"))
+        .filter(col("cms_heavy") || col("actual_heavy"))
+        .orderBy("user_id")
+    }
+  }
+
+  /** KMV (bottom-k minimum values) distinct sketch, fully oracle-checked —
+    * a SECOND, independently-derived distinct estimator next to HLL, the
+    * one a system reaches for when it also wants a uniform SAMPLE of the
+    * key space for free (the k retained hashes are one). Keep the k = 64
+    * smallest md5-32 key hashes; the k-th smallest R estimates the
+    * hash-space density, so distinct ~= (k-1) * 2^32 / R (Bar-Yossef et
+    * al. 2002). Below k distinct hashes the sketch IS the exact count.
+    *
+    * Determinism: hashes are integers; the only float op is the single
+    * IEEE division (k-1)*2^32 / kth, with the numerator pre-multiplied in
+    * Scala so both engines parse ONE exact literal (63 * 2^32 =
+    * 270582939648, exactly representable).
+    *
+    * Shape at 100 TB: bottom-k of a hash column is TakeOrdered — each
+    * partition keeps its own 64 smallest, the driver merges 64 * partitions
+    * candidates; nothing global sorts, state is 64 longs BY THE SKETCH. */
+  val kmvDistinct: Q = {
+    val K = 64
+    val Num: Double = (K - 1).toDouble * 4294967296.0 // exact: 63 * 2^32
+    Q(
+      "q_kmv_distinct",
+      s"""WITH h AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+        |  FROM events),
+        |bk AS (SELECT hv FROM h ORDER BY hv LIMIT $K),
+        |f AS (SELECT COUNT(*) AS n_seen, MAX(hv) AS kth FROM bk),
+        |e AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events),
+        |est AS (
+        |  SELECT CAST(f.n_seen AS BIGINT) AS n_seen, f.kth AS kth_hash,
+        |         CASE WHEN f.n_seen < $K THEN CAST(f.n_seen AS DOUBLE)
+        |              ELSE CAST($Num AS DOUBLE) / f.kth END AS kmv_estimate,
+        |         CAST(e.exact_distinct AS BIGINT) AS exact_distinct
+        |  FROM f, e)
+        |SELECT CAST($K AS BIGINT) AS k, n_seen, kth_hash, kmv_estimate,
+        |       exact_distinct,
+        |       abs(kmv_estimate - exact_distinct) / exact_distinct AS rel_err
+        |FROM est""".stripMargin) { (s, dir) =>
+      import graft.functions.Text
+      val ev = t(s, dir, "events")
+      val h = ev.select(Text.md5Hash32(
+          concat(lit("kmv:"), col("user_id").cast("string"))).as("hv"))
+        .distinct()
+      val f = h.orderBy("hv").limit(K)
+        .agg(count(lit(1)).as("n_seen"), max(col("hv")).as("kth"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("exact_distinct"))
+      val est = when(col("n_seen") < K, col("n_seen").cast("double"))
+        .otherwise(lit(Num) / col("kth"))
+      f.crossJoin(exact)
+        .select(lit(K.toLong).as("k"), col("n_seen").as("n_seen"),
+          col("kth").as("kth_hash"), est.as("kmv_estimate"),
+          col("exact_distinct").cast("long").as("exact_distinct"),
+          (abs(est - col("exact_distinct")) / col("exact_distinct"))
+            .as("rel_err"))
+    }
+  }
+
+  /** CDC LOG COMPACTION + incremental MERGE — the Delta/Iceberg-style
+    * upsert primitive a 100-TB lakehouse table is maintained by. The event
+    * log is read as a change stream per user key (signup/purchase =
+    * upsert carrying `value`, error = delete tombstone; view/click are
+    * non-mutating reads, ignored), split at the midpoint of the observed
+    * event-time range into a BASE epoch (the compacted snapshot a table
+    * already holds) and a DELTA epoch (the newly-arrived changes). The
+    * merge applies delta over base with blind last-writer-wins — a delta
+    * row REPLACES the base row for its key without comparing versions,
+    * exactly how a MERGE INTO applies a newer batch — and the query then
+    * proves the incremental result row-for-row equal to compacting the
+    * whole log in one pass (`matches_full`, all true: every delta event's
+    * timestamp exceeds every base event's by construction of the cut, so
+    * blind override agrees with global argmax).
+    *
+    * Determinism: compaction picks each key's last change by the total
+    * order (ts, event_id) — event_id is unique, so the argmax is unique;
+    * the time cut is exact integer arithmetic on epoch-microseconds
+    * (remainder trick for the halving).
+    *
+    * Shape at 100 TB: each epoch compacts with ONE map-side-combined
+    * max_by(struct) hash aggregation (no per-key window sort), and the
+    * merge is a single keyed full-outer join — the delta side is tiny in
+    * steady state, so AQE broadcasts it against the snapshot. */
+  val cdcMerge: Q = Q(
+    "q_cdc_merge",
+    """WITH ops AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+      |  FROM events WHERE event_type IN ('signup', 'purchase', 'error')),
+      |cut AS (
+      |  SELECT mn + ((mx - mn) - ((mx - mn) % 2)) // 2 AS cut_us
+      |  FROM (SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM ops)),
+      |base AS (
+      |  SELECT user_id, op, value FROM (
+      |    SELECT o.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM ops o, cut c WHERE epoch_us(o.ts) <= c.cut_us)
+      |  WHERE rn = 1),
+      |delta AS (
+      |  SELECT user_id, op, value FROM (
+      |    SELECT o.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM ops o, cut c WHERE epoch_us(o.ts) > c.cut_us)
+      |  WHERE rn = 1),
+      |full_c AS (
+      |  SELECT user_id, op, value FROM (
+      |    SELECT o.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM ops o)
+      |  WHERE rn = 1),
+      |merged AS (
+      |  SELECT COALESCE(d.user_id, b.user_id) AS user_id,
+      |         b.op AS base_op, b.value AS base_value,
+      |         d.op AS delta_op, d.value AS delta_value,
+      |         COALESCE(d.op, b.op) AS merged_op,
+      |         CASE WHEN COALESCE(d.op, b.op) = 'delete' THEN NULL
+      |              ELSE COALESCE(d.value, b.value) END AS merged_value
+      |  FROM base b FULL OUTER JOIN delta d ON d.user_id = b.user_id)
+      |SELECT m.user_id, m.base_op, m.base_value, m.delta_op, m.delta_value,
+      |       m.merged_op, m.merged_value,
+      |       m.merged_op = 'delete' AS merged_deleted,
+      |       m.merged_op = f.op AND
+      |         (m.merged_value = f.value OR
+      |          (m.merged_value IS NULL AND (f.value IS NULL OR f.op = 'delete'))) AS matches_full
+      |FROM merged m JOIN full_c f ON f.user_id = m.user_id
+      |ORDER BY m.user_id""".stripMargin) { (s, dir) =>
+    val ops = t(s, dir, "events")
+      .filter(col("event_type").isin("signup", "purchase", "error"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        when(col("event_type") === "error", "delete").otherwise("upsert").as("op"))
+    val us = unix_micros(col("ts"))
+    val span = col("mx") - col("mn")
+    val cut = ops.agg(min(us).as("mn"), max(us).as("mx"))
+      .select((col("mn") + (span - pmod(span, lit(2))) / 2).cast("long").as("cut_us"))
+    val ord = struct(col("ts"), col("event_id"))
+    def compact(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("user_id")
+        .agg(max_by(struct(col("op"), col("value")), ord).as("last"))
+        .select(col("user_id"), col("last.op").as("op"), col("last.value").as("value"))
+    val withCut = ops.crossJoin(broadcast(cut))
+    val base = compact(withCut.filter(us <= col("cut_us")))
+    val delta = compact(withCut.filter(us > col("cut_us")))
+    val fullC = compact(ops)
+    val merged = base.as("b")
+      .join(delta.as("d"), col("b.user_id") === col("d.user_id"), "full_outer")
+      .select(coalesce(col("d.user_id"), col("b.user_id")).as("user_id"),
+        col("b.op").as("base_op"), col("b.value").as("base_value"),
+        col("d.op").as("delta_op"), col("d.value").as("delta_value"),
+        coalesce(col("d.op"), col("b.op")).as("merged_op"),
+        when(coalesce(col("d.op"), col("b.op")) === "delete", lit(null).cast("double"))
+          .otherwise(coalesce(col("d.value"), col("b.value"))).as("merged_value"))
+    merged.as("m").join(fullC.as("f"), Seq("user_id"))
+      .select(col("user_id"), col("base_op"), col("base_value"),
+        col("delta_op"), col("delta_value"), col("merged_op"), col("merged_value"),
+        (col("merged_op") === "delete").as("merged_deleted"),
+        (col("merged_op") === col("f.op") &&
+          (col("merged_value") === col("f.value") ||
+            (col("merged_value").isNull &&
+              (col("f.value").isNull || col("f.op") === "delete")))).as("matches_full"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] =
     Seq(jsonExtract, windowTumbling, windowSliding, windowSession, eventFunnel,
-      retentionCohorts, sessionTrajectories, hllDistinct, bloomPrune)
+      retentionCohorts, sessionTrajectories, hllDistinct, bloomPrune,
+      cmsHeavy, kmvDistinct, cdcMerge)
 }

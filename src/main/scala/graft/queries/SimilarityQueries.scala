@@ -888,8 +888,68 @@ object SimilarityQueries {
       .orderBy("qid")
   }
 
+  /** SPLIT-LEAKAGE audit — cross-split near-dup contamination of the
+    * held-out sets, the eval-integrity check every training pipeline needs
+    * BEFORE it trusts a benchmark number: a test/val document with a
+    * near-duplicate in train is a leaked answer (Lee et al. 2022 measure
+    * exactly this inflation). Composes three already-verified stages: the
+    * banded MinHash candidate pairs (q_minhash_neardup's shared CTEs), the
+    * deterministic 90/5/5 split rule (q_train_split's, single-sourced via
+    * functions.Text.splitAssign so the assignment audited IS the one
+    * shipped), and the exact-Levenshtein verify contract — restricted to
+    * pairs that STRADDLE train and a held-out split. Planted twins land at
+    * doc_id + 1000000, whose split hash is independent of the original's,
+    * so ~10% of twin pairs straddle the boundary at every scale: 'leaked'
+    * verdicts exist by construction.
+    *
+    * Shape at 100 TB: the split filter runs on the slim pair list BEFORE
+    * texts join on, so the expensive verify pass scores only the
+    * cross-split subset of an already-bounded candidate set. */
+  val splitLeakage: Q = {
+    def splitCase(idExpr: String) = {
+      val b = s"CAST(('0x' || substr(md5('split:' || CAST($idExpr AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+      s"CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val' ELSE 'test' END"
+    }
+    Q(
+      "q_split_leakage",
+      "WITH " + minhashPairCtes + s""",
+        |sp AS (SELECT doc_id, ${splitCase("doc_id")} AS split FROM planted),
+        |xp AS (
+        |  SELECT p.d1, p.d2, s1.split AS split1, s2.split AS split2
+        |  FROM pairs p
+        |  JOIN sp s1 ON s1.doc_id = p.d1
+        |  JOIN sp s2 ON s2.doc_id = p.d2
+        |  WHERE s1.split <> s2.split AND (s1.split = 'train' OR s2.split = 'train')),
+        |scored AS (
+        |  SELECT x.d1, x.d2, x.split1, x.split2,
+        |         levenshtein(a.text, b.text) AS ed,
+        |         GREATEST(length(a.text), length(b.text)) AS ml
+        |  FROM xp x
+        |  JOIN planted a ON a.doc_id = x.d1
+        |  JOIN planted b ON b.doc_id = x.d2)
+        |SELECT d1, d2, split1, split2, CAST(ed AS BIGINT) AS edit_dist,
+        |       CAST(1 AS DOUBLE) - CAST(ed AS DOUBLE) / ml AS similarity,
+        |       CASE WHEN CAST(1 AS DOUBLE) - CAST(ed AS DOUBLE) / ml >= 0.9
+        |            THEN 'leaked' ELSE 'candidate_only' END AS verdict
+        |FROM scored
+        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      import graft.functions.Text
+      val (planted, pairs) = minhashPlantedAndPairs(s, dir)
+      val xp = pairs
+        .withColumn("split1", Text.splitAssign(col("d1")))
+        .withColumn("split2", Text.splitAssign(col("d2")))
+        .filter(col("split1") =!= col("split2") &&
+          (col("split1") === "train" || col("split2") === "train"))
+      levenshteinVerdicts(s, planted, xp)
+        .select(col("d1"), col("d2"), col("split1"), col("split2"),
+          col("edit_dist"), col("similarity"),
+          when(col("similarity") >= 0.9, "leaked")
+            .otherwise("candidate_only").as("verdict"))
+    }
+  }
+
   val all: Seq[Q] =
     Seq(cosineTopK, annIvf, annIvfLearned, annInt8, annLsh, minhashNearDup,
       simhashNearDup, embedNearDup, dedupComponents, dedupCanonical,
-      nearDupVerify, winnowPairs, quantizeRoundtrip, annRecall)
+      nearDupVerify, winnowPairs, quantizeRoundtrip, annRecall, splitLeakage)
 }

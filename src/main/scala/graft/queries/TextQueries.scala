@@ -348,14 +348,9 @@ object TextQueries {
       |       CAST(SUM(toks) AS BIGINT) AS total_tokens
       |FROM s GROUP BY split, lang
       |ORDER BY split, lang""".stripMargin) { (s, dir) =>
-    val bucket = Text.md5Hash32(
-      concat(lit("split:"), col("doc_id").cast("string"))) % 100
     t(s, dir, "documents")
-      .select(col("lang"), bucket.as("bucket"),
+      .select(col("lang"), Text.splitAssign(col("doc_id")).as("split"),
         Text.tokenCount(col("text")).cast("long").as("toks"))
-      .withColumn("split",
-        when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "val").otherwise("test"))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("total_tokens"))
       .orderBy("split", "lang")
@@ -565,8 +560,88 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL DEDUP — dedup a NEW crawl batch against the fingerprint
+    * index of an EXISTING corpus, the shape every recurring ingestion run
+    * has (a 100-TB corpus is never re-deduped from scratch; each day's
+    * batch checks in against the standing index). doc_id % 5 == 0 plays
+    * the new batch, the rest the historical corpus; the index side is
+    * pre-aggregated to ONE (fingerprint, canonical_doc) row per
+    * fingerprint — exactly the compact index a production system stores —
+    * and each batch doc resolves to a three-way verdict: `dup_of_index`
+    * (normalized fingerprint already indexed), `dup_in_batch` (first
+    * occurrence inside the batch wins, smaller doc_id), or `new`.
+    *
+    * Shape at 100 TB: two keyed equi-joins on the 32-byte fingerprint
+    * (batch vs index, batch vs its own first-occurrence aggregate) — no
+    * pairwise work, no window; the index join is the same partitioned
+    * hash join an index lookup compiles to whatever the corpus size. */
+  val incrementalDedup: Q = Q(
+    "q_incremental_dedup",
+    """WITH planted AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 8000000 AS doc_id, upper(text) || ' ?!' AS text
+      |  FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 11 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 9000000 AS doc_id, text || '  ' AS text
+      |  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 13 = 2),
+      |keyed AS (
+      |  SELECT doc_id,
+      |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |                                 ' +', ' ', 'g'))) AS nfp
+      |  FROM planted),
+      |idx AS (
+      |  SELECT nfp, MIN(doc_id) AS index_doc FROM keyed
+      |  WHERE doc_id % 5 <> 0 AND doc_id < 8000000 GROUP BY nfp),
+      |batch AS (
+      |  SELECT doc_id, nfp FROM keyed
+      |  WHERE doc_id % 5 = 0 OR doc_id >= 8000000),
+      |firsts AS (SELECT nfp, MIN(doc_id) AS first_in_batch FROM batch GROUP BY nfp)
+      |SELECT b.doc_id,
+      |       CASE WHEN i.index_doc IS NOT NULL THEN 'dup_of_index'
+      |            WHEN b.doc_id <> f.first_in_batch THEN 'dup_in_batch'
+      |            ELSE 'new' END AS verdict,
+      |       CASE WHEN i.index_doc IS NOT NULL THEN i.index_doc
+      |            WHEN b.doc_id <> f.first_in_batch THEN f.first_in_batch
+      |            END AS matched_doc
+      |FROM batch b
+      |LEFT JOIN idx i ON i.nfp = b.nfp
+      |JOIN firsts f ON f.nfp = b.nfp
+      |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    // plant cross-epoch dups (batch copies of index docs, normalized away
+    // case + punct) and in-batch dups (second copies of batch docs) so all
+    // three verdicts occur on the synthetic corpus (500 unique texts)
+    val planted = docs
+      .unionAll(docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 11 === 1)
+        .select((col("doc_id") + 8000000).as("doc_id"),
+          concat(upper(col("text")), lit(" ?!")).as("text")))
+      .unionAll(docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 13 === 2)
+        .select((col("doc_id") + 9000000).as("doc_id"),
+          concat(col("text"), lit("  ")).as("text")))
+    val keyed = planted
+      .select(col("doc_id"),
+        md5(call_function("graft_norm_fp", col("text")).cast("binary")).as("nfp"))
+    val idx = keyed.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 8000000)
+      .groupBy("nfp").agg(min("doc_id").as("index_doc"))
+    val batch = keyed.filter(col("doc_id") % 5 === 0 || col("doc_id") >= 8000000)
+    val firsts = batch.groupBy("nfp").agg(min("doc_id").as("first_in_batch"))
+    batch
+      .join(idx, Seq("nfp"), "left")
+      .join(firsts, Seq("nfp"))
+      .select(col("doc_id"),
+        when(col("index_doc").isNotNull, "dup_of_index")
+          .when(col("doc_id") =!= col("first_in_batch"), "dup_in_batch")
+          .otherwise("new").as("verdict"),
+        when(col("index_doc").isNotNull, col("index_doc"))
+          .when(col("doc_id") =!= col("first_in_batch"), col("first_in_batch"))
+          .as("matched_doc"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(dedupExact, textStats, langId, docProfile, jaccardNearDup, mediaMeta,
       tokenCounts, fingerprintRolling, winnowFingerprint, trainSplit,
-      shuffleOrder, packShards, chunkDocs, dedupNormalized, labelMismatch)
+      shuffleOrder, packShards, chunkDocs, dedupNormalized, labelMismatch,
+      incrementalDedup)
 }

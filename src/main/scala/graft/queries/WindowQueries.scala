@@ -274,7 +274,43 @@ object WindowQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** TIME-RANGE window frame — the trailing-interval aggregate ROWS frames
+    * can't express (q_window_movavg's `ROWS 6 PRECEDING` counts rows;
+    * rate-limiting, rolling exposure, and "activity in the last hour"
+    * count TIME): per user, the sum and count of events inside the
+    * trailing hour of EVENT TIME at each event. The frame is
+    * `RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW` over
+    * epoch-microseconds — a physical long, so both engines resolve
+    * identical frame bounds (no calendar arithmetic), and timestamp TIES
+    * are in-frame together on both sides regardless of tie order, which is
+    * what makes a RANGE frame oracle-comparable where an unkeyed ROWS
+    * frame would not be. The sum folds in DECIMAL(38,6) and casts to
+    * double once (the engine's standing exact-aggregation discipline).
+    *
+    * Shape at 100 TB: partitioned by user_id — parallel across entities,
+    * per-partition sort only; the frame slides with two pointers per
+    * partition, never materializing the window. */
+  val windowTimeRange: Q = Q(
+    "q_window_timerange",
+    """SELECT event_id, user_id,
+      |       CAST(SUM(CAST(value AS DECIMAL(38,6)))
+      |            OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_1h_sum,
+      |       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS trailing_1h_n
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        sum(col("value").cast(DecimalType(38, 6))).over(w)
+          .cast(DoubleType).as("trailing_1h_sum"),
+        count(lit(1)).over(w).as("trailing_1h_n"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(
     windowLag, windowCumsum, windowRank, windowMovAvg, firstLast, tailSlice,
-    rowAlignJoin, interpolate, imputeInvariant, cumFraction)
+    rowAlignJoin, interpolate, imputeInvariant, cumFraction, windowTimeRange)
 }

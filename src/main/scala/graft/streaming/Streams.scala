@@ -297,6 +297,35 @@ object Streams {
       .groupBy("word_idx").agg(bit_or(col("m")).as("w"))
   }
 
+  /** Streaming count-min register maintenance — the incremental form of
+    * q_cms_heavy's counter bank for a continuously-arriving key stream:
+    * `groupBy(r, cell).count()` under Complete output keeps at most
+    * 4 x 512 = 2048 rows of state regardless of stream length (counts only
+    * grow — state bounded BY THE SKETCH, like the HLL registers and Bloom
+    * words; no watermark). Per-event counting sums to exactly the batch
+    * query's per-key-pre-aggregated cells, so the register bank bit-matches
+    * the batch build side at any micro-batch boundary. */
+  def cmsRegisters(keyed: DataFrame, keyCol: String): DataFrame = {
+    import graft.functions.Sketch
+    keyed
+      .select(Sketch.cmsCells(col(keyCol)).as("p"))
+      .select(col("p.r").as("r"), col("p.cell").as("cell"))
+      .groupBy("r", "cell").agg(count(lit(1)).as("cs"))
+  }
+
+  /** Probe a (r, cell, cs) register bank — streamed or batch — for the
+    * frequency estimates of a key set: each key joins its 4 cells against
+    * the (broadcast-sized) bank and takes the long MIN, the same integer
+    * arithmetic as the batch oracle query. */
+  def cmsEstimateOf(regs: DataFrame, keys: DataFrame, keyCol: String): DataFrame = {
+    import graft.functions.Sketch
+    keys
+      .select(col(keyCol).as("k"), Sketch.cmsCells(col(keyCol)).as("p"))
+      .select(col("k"), col("p.r").as("r"), col("p.cell").as("cell"))
+      .join(broadcast(regs), Seq("r", "cell"))
+      .groupBy("k").agg(min(col("cs")).as("cms_estimate"))
+  }
+
   /** Streaming exact dedup on a content fingerprint — the incremental form
     * of q_dedup_exact for a continuously-arriving corpus. State holds one
     * entry per fingerprint seen; `dropDuplicatesWithinWatermark` bounds it

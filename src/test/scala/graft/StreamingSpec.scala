@@ -279,6 +279,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cmsRegisters: streamed counter bank bit-matches the batch build") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val events = graft.engine.Tables.t(spark, sf, "events")
+    val users = events.select(col("user_id")).as[Long].collect()
+    val (b1, b2) = users.splitAt(users.length / 2)
+    val in = MemoryStream[Long]
+    val q = Streams.cmsRegisters(in.toDF().withColumnRenamed("value", "user_id"), "user_id")
+      .writeStream.format("memory").queryName("cmsregs")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      val midTotal = spark.table("cmsregs")
+        .agg(org.apache.spark.sql.functions.sum("cs")).as[Long].head()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      val regs = spark.table("cmsregs")
+      assert(regs.count() <= graft.functions.Sketch.CmsRows * graft.functions.Sketch.CmsWidth,
+        "state must stay bounded BY THE SKETCH")
+      val streamed = regs.as[(Int, Long, Long)].collect().toSet
+      val batch = Streams.cmsRegisters(events.select(col("user_id")), "user_id")
+        .as[(Int, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"diff: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+      // counters only grow across micro-batches
+      assert(midTotal <= streamed.toSeq.map(_._3).sum)
+      // estimates read off the streamed bank keep the one-sided guarantee
+      val est = Streams.cmsEstimateOf(regs, events.select(col("user_id")).distinct(), "user_id")
+        .withColumnRenamed("k", "user_id")
+        .join(events.groupBy("user_id").count(), Seq("user_id"))
+        .as[(Long, Long, Long)].collect()
+      assert(est.nonEmpty)
+      est.foreach { case (u, e, exact) =>
+        assert(e >= exact, s"user $u under-estimated: $e < $exact") }
+    } finally q.stop()
+  }
+
   test("sessionTrajectories: late in-span event lowers the open session's start") {
     // an out-of-order event arriving in a LATER micro-batch that predates
     // the open session's first-seen event must be absorbed with the
