@@ -113,7 +113,8 @@ object ScaleProbe {
     "q_json_extract", "q_window_tumbling", "q_window_sliding",
     "q_window_session", "q_event_funnel", "q_retention_cohorts",
     "q_session_trajectories", "q_hll_distinct", "q_bloom_prune",
-    "q_cms_heavy", "q_kmv_distinct", "q_cdc_merge", "q_window_timerange")
+    "q_cms_heavy", "q_kmv_distinct", "q_cdc_merge", "q_window_timerange",
+    "q_anomaly_zscore")
 
   private val Repl = 10
   // larger than any planted-twin id offset (max is 9_000_000 + base ids,

@@ -1,0 +1,392 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables.t
+
+/** Graph analytics over the co-purchase graph (parts linked by appearing in
+  * the same order) — the capability area a training-data platform needs for
+  * link-structure work: duplicate-cluster topology, citation/reference
+  * graphs, user-item affinity. The reference has no graph surface (its
+  * relational operators stop at joins, main.py:303-417); this is engine-own
+  * surface in the spirit of SURVEY §7.5's extensions.
+  *
+  * Graph construction (shared by all three queries):
+  *   - baskets  = DISTINCT (l_orderkey, l_partkey) — the incidence list.
+  *   - pairs    = self-equi-join of baskets on the order key with p1 < p2.
+  *     Lines-per-order is bounded by the data model (TPC-H caps at 7), so
+  *     the fan-out per order key is at most C(7,2) = 21 — a constant
+  *     factor, never quadratic in table size. At 100 TB this is one
+  *     shuffle on the order key followed by a map-side-combined pair count.
+  *   - edges    = pairs with support >= 2 (repeat co-purchase). The support
+  *     cut is the same df-cut idiom the near-dup queries use: it removes
+  *     one-off noise AND bounds the graph's density before any
+  *     super-linear step runs.
+  *
+  * Determinism: every derived metric is integer arithmetic (counts,
+  * integer DIV, parts-per-million scaling) — order-independent in both
+  * engines, so the oracle hash-matches without any Det decimal machinery.
+  */
+object GraphQueries {
+
+  /** DISTINCT (order, part) incidence list. */
+  private def baskets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+
+  /** Co-purchase pair support counts, p1 < p2 (see object scaladoc). */
+  private def pairCounts(b: DataFrame): DataFrame =
+    b.as("b1")
+      .join(b.as("b2"),
+        col("b1.ok") === col("b2.ok") && col("b1.pk") < col("b2.pk"))
+      .groupBy(col("b1.pk").as("p1"), col("b2.pk").as("p2"))
+      .agg(count(lit(1)).as("nij"))
+
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    pairCounts(baskets(s, dir)).filter(col("nij") >= 2).select("p1", "p2")
+
+  private val basketsCte =
+    "b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)"
+  private val pairCte =
+    """pair AS (SELECT b1.pk AS p1, b2.pk AS p2, COUNT(*) AS nij
+      |  FROM b b1 JOIN b b2 ON b1.ok = b2.ok AND b1.pk < b2.pk
+      |  GROUP BY b1.pk, b2.pk)""".stripMargin
+  private val edgeCte = "edge AS (SELECT p1, p2 FROM pair WHERE nij >= 2)"
+
+  /** MARKET-BASKET ASSOCIATION RULES — pair support / confidence / lift,
+    * the classic co-occurrence mining primitive (Agrawal-Srikant Apriori
+    * at its 2-itemset level, the level that matters for recommendation
+    * candidate generation). All three metrics are emitted as exact
+    * parts-per-million integers (`x * 1000000 DIV y`) so the result is
+    * bit-identical across engines — no floating ratio anywhere.
+    *
+    * Shape at 100 TB: the pair enumeration is the bounded per-order
+    * self-join (object scaladoc); item counts are a dimension-sized
+    * aggregate joined back by BROADCAST; the single global basket count
+    * is a 1-row aggregate crossJoined (planned as a broadcast nested
+    * loop, not a cartesian). Top-100 by support via TakeOrderedAndProject
+    * — no global sort materializes.
+    *
+    * Headroom: lift's numerator `nij * n_baskets * 1000000` stays inside
+    * a BIGINT while nij * n_baskets < 9.2e12 — at larger scale promote
+    * the product to DECIMAL(38,0) before the DIV (same answer, wider
+    * intermediate). */
+  val basketRules: Q = Q(
+    "q_basket_rules",
+    s"""WITH $basketsCte,
+      |$pairCte,
+      |nb AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM b),
+      |item AS (SELECT pk, COUNT(*) AS ni FROM b GROUP BY pk),
+      |r AS (SELECT p.p1, p.p2, p.nij, i1.ni AS n1, i2.ni AS n2, nb.n_baskets
+      |      FROM pair p JOIN item i1 ON i1.pk = p.p1
+      |                  JOIN item i2 ON i2.pk = p.p2, nb
+      |      WHERE p.nij >= 2)
+      |SELECT p1, p2, nij, n1, n2,
+      |       nij * 1000000 // n_baskets AS support_ppm,
+      |       nij * 1000000 // n1 AS conf_1to2_ppm,
+      |       nij * 1000000 // n2 AS conf_2to1_ppm,
+      |       nij * n_baskets * 1000000 // (n1 * n2) AS lift_ppm
+      |FROM r ORDER BY nij DESC, p1, p2 LIMIT 100""".stripMargin) { (s, dir) =>
+    val b = baskets(s, dir)
+    val nb = b.agg(countDistinct(col("ok")).as("n_baskets"))
+    val item = b.groupBy(col("pk")).agg(count(lit(1)).as("ni"))
+    pairCounts(b).filter(col("nij") >= 2)
+      .join(broadcast(item.as("i1")), col("p1") === col("i1.pk"))
+      .join(broadcast(item.as("i2")), col("p2") === col("i2.pk"))
+      .crossJoin(nb) // 1-row aggregate side
+      .select(col("p1"), col("p2"), col("nij"),
+        col("i1.ni").as("n1"), col("i2.ni").as("n2"), col("n_baskets"))
+      .select(col("p1"), col("p2"), col("nij"), col("n1"), col("n2"),
+        expr("nij * 1000000 DIV n_baskets").as("support_ppm"),
+        expr("nij * 1000000 DIV n1").as("conf_1to2_ppm"),
+        expr("nij * 1000000 DIV n2").as("conf_2to1_ppm"),
+        expr("nij * n_baskets * 1000000 DIV (n1 * n2)").as("lift_ppm"))
+      .orderBy(col("nij").desc, col("p1"), col("p2"))
+      .limit(100)
+  }
+
+  /** TRIANGLE COUNT + global clustering coefficient via DEGREE-ORDERED
+    * ORIENTATION — the standard scalable formulation (Cohen's MapReduce
+    * triangle counting; Suri-Vassilvitskii WWW'11): orient each undirected
+    * edge from its lower-(degree, id) endpoint to the higher, enumerate
+    * wedges only at each node's ORIENTED out-neighbors, and close a wedge
+    * with one equi-join back to the oriented edge list. Every triangle is
+    * counted exactly once (its orientation-minimum vertex owns both
+    * out-edges). Orientation bounds out-degree by O(sqrt(m)) on any graph
+    * — the wedge blowup is m^1.5 worst-case instead of sum(deg^2), which
+    * is what makes the join survive a skewed 100-TB graph where a hub
+    * vertex would otherwise generate deg^2 wedges.
+    *
+    * The orientation key packs (degree, id) into one BIGINT
+    * (`d * 2^32 + v`) so the tie-broken total order is a single integer
+    * compare in both engines (ids and degrees < 2^31 here; at wider id
+    * spaces use a struct compare instead).
+    *
+    * Output is one row: node/edge/wedge/triangle counts, open-triplet
+    * count sum(C(d,2)), and the global clustering coefficient
+    * 3*triangles/triplets in exact ppm. */
+  val triangleCount: Q = Q(
+    "q_triangle_count",
+    s"""WITH $basketsCte,
+      |$pairCte,
+      |$edgeCte,
+      |deg AS (SELECT v, COUNT(*) AS d, COUNT(*) * 4294967296 + v AS okey
+      |        FROM (SELECT p1 AS v FROM edge UNION ALL SELECT p2 AS v FROM edge)
+      |        GROUP BY v),
+      |ori AS (SELECT CASE WHEN d1.okey < d2.okey THEN e.p1 ELSE e.p2 END AS u,
+      |               CASE WHEN d1.okey < d2.okey THEN e.p2 ELSE e.p1 END AS w
+      |        FROM edge e JOIN deg d1 ON d1.v = e.p1 JOIN deg d2 ON d2.v = e.p2),
+      |wedge AS (SELECT CASE WHEN d1.okey < d2.okey THEN o1.w ELSE o2.w END AS wv,
+      |                 CASE WHEN d1.okey < d2.okey THEN o2.w ELSE o1.w END AS ww
+      |          FROM ori o1 JOIN ori o2 ON o1.u = o2.u AND o1.w < o2.w
+      |          JOIN deg d1 ON d1.v = o1.w JOIN deg d2 ON d2.v = o2.w),
+      |tri AS (SELECT COUNT(*) AS n_triangles
+      |        FROM wedge w JOIN ori o ON o.u = w.wv AND o.w = w.ww),
+      |trip AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_triplets FROM deg)
+      |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+      |       (SELECT COUNT(*) FROM edge) AS n_edges,
+      |       (SELECT COUNT(*) FROM wedge) AS n_wedges,
+      |       t.n_triangles, p.n_triplets,
+      |       3 * t.n_triangles * 1000000 // p.n_triplets AS gcc_ppm
+      |FROM tri t, trip p""".stripMargin) { (s, dir) =>
+    // edge list, degrees, and oriented edges are each read by several
+    // branches (wedge self-join, closing join, count rows) — a lazy
+    // localCheckpoint materializes each once instead of re-deriving the
+    // basket self-join per reference (38 exchanges -> 8 in the plan).
+    val e = edges(s, dir).localCheckpoint(false)
+    val deg = e.select(col("p1").as("v")).unionAll(e.select(col("p2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .withColumn("okey", col("d") * lit(4294967296L) + col("v"))
+      .localCheckpoint(false)
+    val ori = e
+      .join(deg.as("d1"), col("p1") === col("d1.v"))
+      .join(deg.as("d2"), col("p2") === col("d2.v"))
+      .select(
+        when(col("d1.okey") < col("d2.okey"), col("p1")).otherwise(col("p2")).as("u"),
+        when(col("d1.okey") < col("d2.okey"), col("p2")).otherwise(col("p1")).as("w"))
+      .localCheckpoint(false)
+    val wedge = ori.as("o1")
+      .join(ori.as("o2"),
+        col("o1.u") === col("o2.u") && col("o1.w") < col("o2.w"))
+      .join(deg.as("e1"), col("o1.w") === col("e1.v"))
+      .join(deg.as("e2"), col("o2.w") === col("e2.v"))
+      .select(
+        when(col("e1.okey") < col("e2.okey"), col("o1.w")).otherwise(col("o2.w")).as("wv"),
+        when(col("e1.okey") < col("e2.okey"), col("o2.w")).otherwise(col("o1.w")).as("ww"))
+    val tri = wedge.join(ori.as("c"),
+        col("wv") === col("c.u") && col("ww") === col("c.w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val trip = deg.agg(
+      sum(expr("d * (d - 1) DIV 2")).cast("long").as("n_triplets"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nWedges = wedge.agg(count(lit(1)).as("n_wedges"))
+    nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(tri).crossJoin(trip)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"), col("n_triplets"),
+        expr("3 * n_triangles * 1000000 DIV n_triplets").as("gcc_ppm"))
+  }
+
+  /** FIXED-POINT PAGERANK, 3 unrolled iterations, damping 0.85 — the
+    * canonical link-importance measure, run Pregel-style in pure SQL:
+    * each iteration is one shuffle of rank contributions `r DIV d` along
+    * the (symmetrized) edge list keyed by destination, aggregated with a
+    * map-side combine, then the damping update
+    * `0.15*SCALE + (85 * sum) DIV 100`.
+    *
+    * Determinism is the whole design: ranks live as BIGINTs scaled by
+    * 1e9 and every step is integer multiply/divide — exact, associative,
+    * order-independent — so three engines' shuffle orders all produce
+    * bit-identical ranks (a double-based PageRank would drift in the
+    * last ulps and fail a hash compare). Total mass stays ~n*1e9, far
+    * below 2^63; each DIV truncates at most 1 unit per edge per round,
+    * a bounded, deterministic leak.
+    *
+    * Shape at 100 TB: a fixed iteration count keeps this ONE Catalyst
+    * plan (no driver loop, no checkpoint barrier); each round is a
+    * shuffle on the destination key. For an open-ended iterate-to-
+    * convergence variant you would loop in the driver with
+    * localCheckpoint per round to cut lineage — documented, not needed
+    * for a fixed-depth rank. Every node in the edge set has degree >= 1
+    * by construction, so there are no dangling-mass corrections. */
+  val pageRank: Q = Q(
+    "q_pagerank",
+    s"""WITH $basketsCte,
+      |$pairCte,
+      |$edgeCte,
+      |sym AS (SELECT p1 AS u, p2 AS v FROM edge
+      |        UNION ALL SELECT p2 AS u, p1 AS v FROM edge),
+      |deg AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY u),
+      |r0 AS (SELECT node, d, CAST(1000000000 AS BIGINT) AS r FROM deg),
+      |c1 AS (SELECT s.v AS node, CAST(SUM(r.r // r.d) AS BIGINT) AS cin
+      |       FROM sym s JOIN r0 r ON r.node = s.u GROUP BY s.v),
+      |r1 AS (SELECT d.node, d.d, 150000000 + (85 * COALESCE(c.cin, 0)) // 100 AS r
+      |       FROM deg d LEFT JOIN c1 c ON c.node = d.node),
+      |c2 AS (SELECT s.v AS node, CAST(SUM(r.r // r.d) AS BIGINT) AS cin
+      |       FROM sym s JOIN r1 r ON r.node = s.u GROUP BY s.v),
+      |r2 AS (SELECT d.node, d.d, 150000000 + (85 * COALESCE(c.cin, 0)) // 100 AS r
+      |       FROM deg d LEFT JOIN c2 c ON c.node = d.node),
+      |c3 AS (SELECT s.v AS node, CAST(SUM(r.r // r.d) AS BIGINT) AS cin
+      |       FROM sym s JOIN r2 r ON r.node = s.u GROUP BY s.v),
+      |r3 AS (SELECT d.node, d.d, 150000000 + (85 * COALESCE(c.cin, 0)) // 100 AS r
+      |       FROM deg d LEFT JOIN c3 c ON c.node = d.node)
+      |SELECT node AS part, d AS degree, r AS rank_scaled
+      |FROM r3 ORDER BY r DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
+    // sym and deg feed every iteration — cut once, reuse three times
+    val e = edges(s, dir)
+    val sym = e.select(col("p1").as("u"), col("p2").as("v"))
+      .unionAll(e.select(col("p2").as("u"), col("p1").as("v")))
+      .localCheckpoint(false)
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(false)
+    val r0 = deg.select(col("node"), col("d"), lit(1000000000L).as("r"))
+    def step(r: DataFrame): DataFrame = {
+      val cin = sym.as("s")
+        .join(r.as("r"), col("s.u") === col("r.node"))
+        .select(col("s.v").as("dst"), expr("r DIV d").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+      deg.join(cin, col("node") === col("dst"), "left")
+        .select(col("node"), col("d"),
+          (lit(150000000L) + expr("(85 * coalesce(cin, 0)) DIV 100")).as("r"))
+    }
+    val r3 = step(step(step(r0)))
+    r3.select(col("node").as("part"), col("d").as("degree"),
+        col("r").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("part"))
+      .limit(20)
+  }
+
+  /** K-CORE DECOMPOSITION (k=3, three unrolled peeling rounds) — the
+    * degeneracy-based community/cohesion primitive: repeatedly remove
+    * nodes with degree < k and the edges they carry, reporting the
+    * surviving node/edge count per round. Three fixed rounds keep it ONE
+    * Catalyst plan (the open-ended converge-until-fixpoint form loops in
+    * the driver with localCheckpoint per round, exactly like iterative
+    * PageRank — documented on [[pageRank]]); the emitted `round` rows let
+    * a caller see whether the peel had already stabilized.
+    *
+    * Each round is: degree count (map-side combined) -> survivor filter
+    * -> LEFT SEMI joins of the edge list against survivors on each
+    * endpoint — all keyed equi-joins; the survivor side shrinks
+    * monotonically and broadcasts once it fits. */
+  val kCore: Q = Q(
+    "q_kcore",
+    s"""WITH $basketsCte,
+      |$pairCte,
+      |e0 AS (SELECT p1, p2 FROM pair WHERE nij >= 2),
+      |d0 AS (SELECT v, COUNT(*) AS d
+      |       FROM (SELECT p1 AS v FROM e0 UNION ALL SELECT p2 AS v FROM e0)
+      |       GROUP BY v),
+      |a1 AS (SELECT v FROM d0 WHERE d >= 3),
+      |e1 AS (SELECT p1, p2 FROM e0 WHERE p1 IN (SELECT v FROM a1)
+      |                               AND p2 IN (SELECT v FROM a1)),
+      |d1 AS (SELECT v, COUNT(*) AS d
+      |       FROM (SELECT p1 AS v FROM e1 UNION ALL SELECT p2 AS v FROM e1)
+      |       GROUP BY v),
+      |a2 AS (SELECT v FROM d1 WHERE d >= 3),
+      |e2 AS (SELECT p1, p2 FROM e1 WHERE p1 IN (SELECT v FROM a2)
+      |                               AND p2 IN (SELECT v FROM a2)),
+      |d2 AS (SELECT v, COUNT(*) AS d
+      |       FROM (SELECT p1 AS v FROM e2 UNION ALL SELECT p2 AS v FROM e2)
+      |       GROUP BY v),
+      |a3 AS (SELECT v FROM d2 WHERE d >= 3),
+      |e3 AS (SELECT p1, p2 FROM e2 WHERE p1 IN (SELECT v FROM a3)
+      |                               AND p2 IN (SELECT v FROM a3))
+      |SELECT 0 AS round, (SELECT COUNT(*) FROM d0) AS n_nodes,
+      |       (SELECT COUNT(*) FROM e0) AS n_edges
+      |UNION ALL SELECT 1, (SELECT COUNT(*) FROM a1), (SELECT COUNT(*) FROM e1)
+      |UNION ALL SELECT 2, (SELECT COUNT(*) FROM a2), (SELECT COUNT(*) FROM e2)
+      |UNION ALL SELECT 3, (SELECT COUNT(*) FROM a3), (SELECT COUNT(*) FROM e3)
+      |ORDER BY round""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.DataFrame
+    // Every round's edge list and degree table is referenced by several
+    // downstream branches (the next peel AND the per-round count rows);
+    // without a lineage cut the unrolled plan re-derives the base
+    // edge-construction join once per reference (measured 9s -> 2s at
+    // sf0.1). A LAZY localCheckpoint materializes each round once on
+    // first use — the standard iterative-graph round barrier (at cluster
+    // scale, a reliable checkpoint dir instead of executor-local blocks).
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint(false)
+    def degrees(e: DataFrame): DataFrame =
+      cut(e.select(col("p1").as("v")).unionAll(e.select(col("p2").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d")))
+    def peel(e: DataFrame, d: DataFrame): DataFrame = {
+      val alive = d.filter(col("d") >= 3).select("v")
+      cut(e.join(alive, col("p1") === col("v"), "left_semi")
+        .join(alive, col("p2") === col("v"), "left_semi"))
+    }
+    val e0 = cut(edges(s, dir))
+    val d0 = degrees(e0)
+    val e1 = peel(e0, d0); val d1 = degrees(e1)
+    val e2 = peel(e1, d1); val d2 = degrees(e2)
+    val e3 = peel(e2, d2)
+    def row(round: Int, nodes: DataFrame, es: DataFrame): DataFrame =
+      nodes.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(es.agg(count(lit(1)).as("n_edges")))
+        .select(lit(round).as("round"), col("n_nodes"), col("n_edges"))
+    row(0, d0, e0)
+      .unionAll(row(1, d0.filter(col("d") >= 3), e1))
+      .unionAll(row(2, d1.filter(col("d") >= 3), e2))
+      .unionAll(row(3, d2.filter(col("d") >= 3), e3))
+      .orderBy("round")
+  }
+
+  /** CONNECTED COMPONENTS of the co-purchase graph — the SAME
+    * pointer-jumping min-label engine the dedup pipeline runs
+    * ([[graft.engine.Dedup.components]]: O(log diameter) rounds, keyed
+    * shuffles only) applied to a second domain, proving the operator is
+    * generic over any edge list. Output is the component-SIZE histogram —
+    * the shape a curation pipeline reads to see whether its similarity
+    * graph has collapsed into a giant component (over-merging) or stayed
+    * granular. The DuckDB mirror closes the same edges with a recursive
+    * CTE and aggregates identically, so the iterative fixpoint is
+    * hash-checked end to end. */
+  val graphComponents: Q = Q(
+    "q_graph_components",
+    s"""WITH RECURSIVE $basketsCte,
+      |$pairCte,
+      |$edgeCte,
+      |sym AS (SELECT p1 AS a, p2 AS b FROM edge
+      |        UNION SELECT p2, p1 FROM edge),
+      |reach AS (
+      |  SELECT a AS id, b AS r FROM sym
+      |  UNION
+      |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+      |comp AS (SELECT id, LEAST(id, MIN(r)) AS cluster FROM reach GROUP BY id),
+      |sizes AS (SELECT cluster, COUNT(*) AS sz FROM comp GROUP BY cluster)
+      |SELECT sz AS component_size, COUNT(*) AS n_components,
+      |       CAST(SUM(sz) AS BIGINT) AS n_nodes
+      |FROM sizes GROUP BY sz ORDER BY component_size""".stripMargin) { (s, dir) =>
+    graft.engine.Dedup.components(edges(s, dir))
+      .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("component_size"))
+      .agg(count(lit(1)).as("n_components"),
+        sum(col("sz")).cast("long").as("n_nodes"))
+      .orderBy("component_size")
+  }
+
+  /** DEGREE HISTOGRAM — the first diagnostic read on any graph (skew,
+    * hubs, connectivity): node count per degree of the support graph.
+    * Two map-side-combined aggregations; trivially linear. */
+  val degreeHistogram: Q = Q(
+    "q_degree_histogram",
+    s"""WITH $basketsCte,
+      |$pairCte,
+      |$edgeCte,
+      |deg AS (SELECT v, COUNT(*) AS d
+      |        FROM (SELECT p1 AS v FROM edge UNION ALL SELECT p2 AS v FROM edge)
+      |        GROUP BY v)
+      |SELECT d AS degree, COUNT(*) AS n_nodes
+      |FROM deg GROUP BY d ORDER BY degree""".stripMargin) { (s, dir) =>
+    val e = edges(s, dir)
+    e.select(col("p1").as("v")).unionAll(e.select(col("p2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .groupBy(col("d").as("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  val all: Seq[Q] =
+    Seq(basketRules, triangleCount, pageRank, kCore, graphComponents,
+      degreeHistogram)
+}

@@ -1,0 +1,383 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables.t
+
+/** Operational analytics a 100-TB table lives on: one-pass data profiling
+  * (the ANALYZE/validation primitive), Z-order layout quality (the
+  * multi-dimensional clustering that makes min/max file skipping work for
+  * 2-D predicates), and windowed anomaly detection over the event stream.
+  * Engine-own surface (the reference's closest analogue is its df.info()
+  * inspection step, main.py:74-88) in the spirit of SURVEY §7.5.
+  */
+object ProfileQueries {
+
+  /** ONE-PASS TABLE PROFILE — per-column null count, exact distinct count,
+    * and typed min/max for a representative column set of `lineitem`
+    * (bigint, double, string, timestamp), emitted one row per column.
+    *
+    * Shape: ONE hash-aggregation pass computes every fixed-length
+    * statistic (Spark plans the multi-distinct via a single Expand — rows
+    * multiply by the distinct column count BEFORE partial aggregation,
+    * the documented trade for a single scan; at 100 TB swap exact
+    * distincts for the HLL sketch this engine already ships,
+    * q_hll_distinct, to drop the Expand). String min/max would put a
+    * VAR-LENGTH field in the aggregate buffer and demote the whole
+    * Expanded pass to SortAggregate (measured 15s -> 1s at sf0.1), so
+    * each string column instead reduces to its DISTINCT set first (hash —
+    * var-length keys are fine) and min/max aggregate that handful of
+    * rows. The per-column rows are then an in-row `explode` of the single
+    * joined aggregate row — no union of full scans.
+    *
+    * Determinism: counts are integers; min/max SELECT existing values
+    * (never arithmetic), so doubles/timestamps are bit-exact picks. */
+  val tableProfile: Q = Q(
+    "q_table_profile",
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |    COUNT(*) - COUNT(l_orderkey) AS nn_ok,
+      |    COUNT(DISTINCT l_orderkey) AS nd_ok,
+      |    CAST(MIN(l_orderkey) AS DOUBLE) AS mn_ok,
+      |    CAST(MAX(l_orderkey) AS DOUBLE) AS mx_ok,
+      |    COUNT(*) - COUNT(l_partkey) AS nn_pk,
+      |    COUNT(DISTINCT l_partkey) AS nd_pk,
+      |    CAST(MIN(l_partkey) AS DOUBLE) AS mn_pk,
+      |    CAST(MAX(l_partkey) AS DOUBLE) AS mx_pk,
+      |    COUNT(*) - COUNT(l_quantity) AS nn_q,
+      |    COUNT(DISTINCT l_quantity) AS nd_q,
+      |    MIN(l_quantity) AS mn_q, MAX(l_quantity) AS mx_q,
+      |    COUNT(*) - COUNT(l_extendedprice) AS nn_ep,
+      |    COUNT(DISTINCT l_extendedprice) AS nd_ep,
+      |    MIN(l_extendedprice) AS mn_ep, MAX(l_extendedprice) AS mx_ep,
+      |    COUNT(*) - COUNT(l_returnflag) AS nn_rf,
+      |    COUNT(DISTINCT l_returnflag) AS nd_rf,
+      |    MIN(l_returnflag) AS mn_rf, MAX(l_returnflag) AS mx_rf,
+      |    COUNT(*) - COUNT(l_linestatus) AS nn_ls,
+      |    COUNT(DISTINCT l_linestatus) AS nd_ls,
+      |    MIN(l_linestatus) AS mn_ls, MAX(l_linestatus) AS mx_ls,
+      |    COUNT(*) - COUNT(l_shipdate) AS nn_sd,
+      |    COUNT(DISTINCT l_shipdate) AS nd_sd,
+      |    MIN(l_shipdate) AS mn_sd, MAX(l_shipdate) AS mx_sd
+      |  FROM lineitem)
+      |SELECT 'l_orderkey' AS col_name, n_rows, CAST(nn_ok AS BIGINT) AS n_nulls,
+      |       CAST(nd_ok AS BIGINT) AS n_distinct, mn_ok AS min_num, mx_ok AS max_num,
+      |       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+      |       CAST(NULL AS TIMESTAMP) AS min_ts, CAST(NULL AS TIMESTAMP) AS max_ts FROM a
+      |UNION ALL SELECT 'l_partkey', n_rows, CAST(nn_pk AS BIGINT), CAST(nd_pk AS BIGINT),
+      |       mn_pk, mx_pk, NULL, NULL, NULL, NULL FROM a
+      |UNION ALL SELECT 'l_quantity', n_rows, CAST(nn_q AS BIGINT), CAST(nd_q AS BIGINT),
+      |       mn_q, mx_q, NULL, NULL, NULL, NULL FROM a
+      |UNION ALL SELECT 'l_extendedprice', n_rows, CAST(nn_ep AS BIGINT), CAST(nd_ep AS BIGINT),
+      |       mn_ep, mx_ep, NULL, NULL, NULL, NULL FROM a
+      |UNION ALL SELECT 'l_returnflag', n_rows, CAST(nn_rf AS BIGINT), CAST(nd_rf AS BIGINT),
+      |       NULL, NULL, mn_rf, mx_rf, NULL, NULL FROM a
+      |UNION ALL SELECT 'l_linestatus', n_rows, CAST(nn_ls AS BIGINT), CAST(nd_ls AS BIGINT),
+      |       NULL, NULL, mn_ls, mx_ls, NULL, NULL FROM a
+      |UNION ALL SELECT 'l_shipdate', n_rows, CAST(nn_sd AS BIGINT), CAST(nd_sd AS BIGINT),
+      |       NULL, NULL, NULL, NULL, mn_sd, mx_sd FROM a
+      |ORDER BY col_name""".stripMargin) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+    def nulls(c: String) = (count(lit(1)) - count(col(c))).as(s"nn_$c")
+    def nd(c: String) = countDistinct(col(c)).as(s"nd_$c")
+    // min/max over a VAR-LENGTH type (string) in an aggregate buffer
+    // forces the whole pass to SortAggregate — which, multiplied by the
+    // multi-distinct Expand, sorted 7x the table (15s at sf0.1). Keep the
+    // big pass's buffers fixed-length (counts, numerics, timestamp) so it
+    // stays a HashAggregate, and reduce each string column to its tiny
+    // DISTINCT set first (hash aggregation — var-length KEYS are fine);
+    // the string min/max then aggregates a handful of rows.
+    def strMinMax(c: String, mn: String, mx: String) =
+      li.groupBy(col(c)).agg(count(lit(1)))
+        .agg(min(col(c)).as(mn), max(col(c)).as(mx))
+    val a = li.agg(count(lit(1)).as("n_rows"),
+      nulls("l_orderkey"), nd("l_orderkey"),
+      min(col("l_orderkey")).cast("double").as("mn_ok"),
+      max(col("l_orderkey")).cast("double").as("mx_ok"),
+      nulls("l_partkey"), nd("l_partkey"),
+      min(col("l_partkey")).cast("double").as("mn_pk"),
+      max(col("l_partkey")).cast("double").as("mx_pk"),
+      nulls("l_quantity"), nd("l_quantity"),
+      min(col("l_quantity")).as("mn_q"), max(col("l_quantity")).as("mx_q"),
+      nulls("l_extendedprice"), nd("l_extendedprice"),
+      min(col("l_extendedprice")).as("mn_ep"),
+      max(col("l_extendedprice")).as("mx_ep"),
+      nulls("l_returnflag"), nd("l_returnflag"),
+      nulls("l_linestatus"), nd("l_linestatus"),
+      nulls("l_shipdate"), nd("l_shipdate"),
+      min(col("l_shipdate")).as("mn_sd"), max(col("l_shipdate")).as("mx_sd"))
+      .crossJoin(broadcast(strMinMax("l_returnflag", "mn_rf", "mx_rf")))
+      .crossJoin(broadcast(strMinMax("l_linestatus", "mn_ls", "mx_ls")))
+    def prow(name: String, nn: String, ndc: String,
+        mnNum: String, mxNum: String, mnStr: String, mxStr: String,
+        mnTs: String, mxTs: String) = {
+      def f(c: String, tpe: String) =
+        if (c.isEmpty) lit(null).cast(tpe) else col(c).cast(tpe)
+      struct(lit(name).as("col_name"), col("n_rows"),
+        col(nn).cast("long").as("n_nulls"), col(ndc).cast("long").as("n_distinct"),
+        f(mnNum, "double").as("min_num"), f(mxNum, "double").as("max_num"),
+        f(mnStr, "string").as("min_str"), f(mxStr, "string").as("max_str"),
+        f(mnTs, "timestamp").as("min_ts"), f(mxTs, "timestamp").as("max_ts"))
+    }
+    a.select(explode(array(
+        prow("l_orderkey", "nn_l_orderkey", "nd_l_orderkey", "mn_ok", "mx_ok", "", "", "", ""),
+        prow("l_partkey", "nn_l_partkey", "nd_l_partkey", "mn_pk", "mx_pk", "", "", "", ""),
+        prow("l_quantity", "nn_l_quantity", "nd_l_quantity", "mn_q", "mx_q", "", "", "", ""),
+        prow("l_extendedprice", "nn_l_extendedprice", "nd_l_extendedprice", "mn_ep", "mx_ep", "", "", "", ""),
+        prow("l_returnflag", "nn_l_returnflag", "nd_l_returnflag", "", "", "mn_rf", "mx_rf", "", ""),
+        prow("l_linestatus", "nn_l_linestatus", "nd_l_linestatus", "", "", "mn_ls", "mx_ls", "", ""),
+        prow("l_shipdate", "nn_l_shipdate", "nd_l_shipdate", "", "", "", "", "mn_sd", "mx_sd")
+      )).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Z-ORDER LAYOUT QUALITY — normalize two dimensions to 8 bits each by
+    * their observed min/max range (interleaving RAW values degenerates to
+    * a 1-D sort whenever one dimension's domain occupies fewer high bits
+    * than the other — which is why production Z-ordering, Delta/Iceberg
+    * style, interleaves range-normalized or ranked values), weave them
+    * into a 16-bit Morton code with the classic magic-number bit spread,
+    * range-bucket rows by the code (each bucket modeling one file of a
+    * `repartitionByRange(zval)` write), and grade a fixed 2-D box
+    * predicate against each bucket's min/max column stats — exactly the
+    * pruning decision a lakehouse engine makes from parquet footer
+    * statistics. `touched` = the bucket's (min,max) envelope intersects
+    * the box; `matching_rows` = rows truly inside it. Morton buckets are
+    * axis-aligned tiles, so a box selective in EITHER dimension skips
+    * most buckets — a 1-D sort serves only its own column (ProfileSpec
+    * grades both layouts against a two-query workload on the same data).
+    *
+    * Everything is integer arithmetic — min/max are exact value picks and
+    * the normalization is one integer multiply/DIV — bit-identical across
+    * engines. Shape at 100 TB: the global min/max is a 1-row aggregate
+    * broadcast back (or simply read from table-level stats); the code is
+    * then a per-row codegen expression; bucket stats are one
+    * map-side-combined aggregation. The real write is
+    * `repartitionByRange` on zval + the per-file min/max the parquet
+    * footer already keeps. */
+  val zorderLayout: Q = Q(
+    "q_zorder_layout",
+    """WITH z0 AS (SELECT l_partkey AS px, l_suppkey AS sx FROM lineitem),
+      |mm AS (SELECT MIN(px) AS mnp, GREATEST(MAX(px) - MIN(px), 1) AS rgp,
+      |              MIN(sx) AS mns, GREATEST(MAX(sx) - MIN(sx), 1) AS rgs
+      |       FROM z0),
+      |nrm AS (SELECT px, sx, (px - mnp) * 255 // rgp AS pn,
+      |               (sx - mns) * 255 // rgs AS sn FROM z0, mm),
+      |s1 AS (SELECT px, sx, ((pn | (pn << 4)) & 3855) AS ax,
+      |               ((sn | (sn << 4)) & 3855) AS bx FROM nrm),
+      |s2 AS (SELECT px, sx, ((ax | (ax << 2)) & 13107) AS ax,
+      |               ((bx | (bx << 2)) & 13107) AS bx FROM s1),
+      |s3 AS (SELECT px, sx, ((ax | (ax << 1)) & 21845) AS ax,
+      |               ((bx | (bx << 1)) & 21845) AS bx FROM s2),
+      |z AS (SELECT px, sx, (ax | (bx << 1)) AS zval FROM s3),
+      |bkt AS (SELECT zval >> 10 AS bucket, COUNT(*) AS n_rows,
+      |               MIN(px) AS min_px, MAX(px) AS max_px,
+      |               MIN(sx) AS min_sx, MAX(sx) AS max_sx,
+      |               CAST(SUM(CASE WHEN px BETWEEN 100 AND 160
+      |                              AND sx BETWEEN 30 AND 90
+      |                             THEN 1 ELSE 0 END) AS BIGINT) AS matching_rows
+      |        FROM z GROUP BY zval >> 10)
+      |SELECT bucket, n_rows, min_px, max_px, min_sx, max_sx, matching_rows,
+      |       (min_px <= 160 AND max_px >= 100 AND
+      |        min_sx <= 90 AND max_sx >= 30) AS touched
+      |FROM bkt ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val z0 = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("px"), col("l_suppkey").as("sx"))
+    val mm = z0.agg(min(col("px")).as("mnp"),
+      greatest(max(col("px")) - min(col("px")), lit(1L)).as("rgp"),
+      min(col("sx")).as("mns"),
+      greatest(max(col("sx")) - min(col("sx")), lit(1L)).as("rgs"))
+    z0.crossJoin(broadcast(mm)) // 1-row normalization constants
+      .withColumn("pn", expr("(px - mnp) * 255 DIV rgp"))
+      .withColumn("sn", expr("(sx - mns) * 255 DIV rgs"))
+      .withColumn("ax", expr("(pn | shiftleft(pn, 4)) & 3855"))
+      .withColumn("bx", expr("(sn | shiftleft(sn, 4)) & 3855"))
+      .withColumn("ax", expr("(ax | shiftleft(ax, 2)) & 13107"))
+      .withColumn("bx", expr("(bx | shiftleft(bx, 2)) & 13107"))
+      .withColumn("ax", expr("(ax | shiftleft(ax, 1)) & 21845"))
+      .withColumn("bx", expr("(bx | shiftleft(bx, 1)) & 21845"))
+      .withColumn("zval", expr("ax | shiftleft(bx, 1)"))
+      .groupBy(expr("zval >> 10").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("px")).as("min_px"), max(col("px")).as("max_px"),
+        min(col("sx")).as("min_sx"), max(col("sx")).as("max_sx"),
+        sum(when(col("px").between(100, 160) && col("sx").between(30, 90), 1L)
+          .otherwise(0L)).as("matching_rows"))
+      .select(col("bucket"), col("n_rows"), col("min_px"), col("max_px"),
+        col("min_sx"), col("max_sx"), col("matching_rows"),
+        (col("min_px") <= 160 && col("max_px") >= 100 &&
+          col("min_sx") <= 90 && col("max_sx") >= 30).as("touched"))
+      .orderBy(col("bucket"))
+  }
+
+  /** WINDOWED ANOMALY DETECTION — flag events whose value deviates more
+    * than 2 sigma from the trailing window of that user's previous 8
+    * events (the monitoring primitive behind data-drift and abuse
+    * detection). The 2-sigma test runs ENTIRELY in integers: with
+    * x = round(value*100) and the window's (n, s1=sum x, s2=sum x^2),
+    *   |x - mean| > 2*sigma  <=>  (n*x - s1)^2 > 4*(n*s2 - s1^2)
+    * (multiply both sides by n^2; variance = (n*s2 - s1^2)/n^2). No
+    * square root, no float — the flag is bit-identical across engines.
+    * Warm-up rows (fewer than 4 predecessors) are skipped.
+    *
+    * Shape at 100 TB: one window per user key with a BOUNDED 8-row frame
+    * — partition-local sort on (ts, event_id), no global sort, state
+    * bounded by the frame. The same ring-buffer-of-8 runs as a streaming
+    * twin (graft.streaming) with identical flags. */
+  val anomalyZscore: Q = Q(
+    "q_anomaly_zscore",
+    """WITH v AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |         CAST(ROUND(value * 100) AS BIGINT) AS x, ts
+      |  FROM events),
+      |w AS (
+      |  SELECT *, CAST(COUNT(x) OVER win AS BIGINT) AS n,
+      |         CAST(SUM(x) OVER win AS BIGINT) AS s1,
+      |         CAST(SUM(x * x) OVER win AS BIGINT) AS s2
+      |  FROM v
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, user_id, event_type, value, n AS n_prev,
+      |       (n * x - s1) * (n * x - s1) AS dev2_scaled,
+      |       4 * (n * s2 - s1 * s1) AS thresh_scaled
+      |FROM w
+      |WHERE n >= 4 AND (n * x - s1) * (n * x - s1) > 4 * (n * s2 - s1 * s1)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val v = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        round(col("value") * 100).cast("long").as("x"), col("ts"))
+    val win = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-8, -1)
+    val w = v
+      .withColumn("n", count(col("x")).over(win))
+      .withColumn("s1", sum(col("x")).over(win))
+      .withColumn("s2", sum(col("x") * col("x")).over(win))
+    val dev2 = (col("n") * col("x") - col("s1")) *
+      (col("n") * col("x") - col("s1"))
+    val thresh = lit(4L) * (col("n") * col("s2") - col("s1") * col("s1"))
+    w.filter(col("n") >= 4 && dev2 > thresh)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("n").as("n_prev"), dev2.as("dev2_scaled"),
+        thresh.as("thresh_scaled"))
+      .orderBy(col("event_id"))
+  }
+
+  /** DISTRIBUTION-DRIFT DETECTION — a quantized chi-square statistic
+    * between two time epochs of the event stream, per event_type: the
+    * monitoring primitive behind "did this week's data shift?" gates on a
+    * training pipeline. The stream splits at the exact integer midpoint of
+    * its microsecond time range (the q_cdc_merge cut), values histogram
+    * into 8 fixed-width buckets, and each epoch's bucket mass is an exact
+    * parts-per-million integer; the statistic is
+    * sum((p1-p2)^2 DIV max(p1+p2, 1)) over buckets — all integer
+    * arithmetic (a float PSI needs ln; the chi-square form needs nothing
+    * beyond DIV), so the drift score is bit-identical across engines.
+    * Quantization error is bounded by the ppm scale and is part of the
+    * operator's contract, not noise.
+    *
+    * Shape at 100 TB: two map-side-combined aggregations ((type, bucket,
+    * epoch) counts, then per-type totals joined back by broadcast) — no
+    * window, no sort, linear in the stream. */
+  val driftChisq: Q = Q(
+    "q_drift_chisq",
+    """WITH b AS (SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS lo,
+      |                  CAST(MAX(epoch_us(ts)) AS BIGINT) AS hi FROM events),
+      |v AS (SELECT event_type,
+      |             LEAST(CAST(ROUND(value * 100) AS BIGINT) // 2500, 7) AS bucket,
+      |             CASE WHEN epoch_us(ts) * 2 < lo + hi THEN 0 ELSE 1 END AS epoch
+      |      FROM events, b),
+      |c AS (SELECT event_type, bucket,
+      |             CAST(SUM(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |             CAST(SUM(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |      FROM v GROUP BY event_type, bucket),
+      |n AS (SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1,
+      |             CAST(SUM(c2) AS BIGINT) AS n2 FROM c GROUP BY event_type),
+      |p AS (SELECT c.event_type, c.bucket, c.c1, c.c2,
+      |             c.c1 * 1000000 // n.n1 AS p1_ppm,
+      |             c.c2 * 1000000 // n.n2 AS p2_ppm
+      |      FROM c JOIN n ON n.event_type = c.event_type)
+      |SELECT event_type,
+      |       CAST(SUM((p1_ppm - p2_ppm) * (p1_ppm - p2_ppm)
+      |                // GREATEST(p1_ppm + p2_ppm, 1)) AS BIGINT) AS chisq_ppm,
+      |       COUNT(*) AS n_buckets
+      |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"))
+    val v = ev.crossJoin(broadcast(b)) // 1-row epoch cut
+      .select(col("event_type"),
+        least(expr("CAST(ROUND(value * 100) AS BIGINT) DIV 2500"), lit(7L))
+          .as("bucket"),
+        when(unix_micros(col("ts")) * 2 < col("lo") + col("hi"), 0L)
+          .otherwise(1L).as("epoch"))
+    val c = v.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(col("epoch") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("epoch") === 1, 1L).otherwise(0L)).as("c2"))
+    val n = c.groupBy(col("event_type").as("ntype"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    c.join(broadcast(n), col("event_type") === col("ntype"))
+      .select(col("event_type"), col("bucket"),
+        expr("c1 * 1000000 DIV n1").as("p1_ppm"),
+        expr("c2 * 1000000 DIV n2").as("p2_ppm"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("(p1_ppm - p2_ppm) * (p1_ppm - p2_ppm) DIV " +
+          "GREATEST(p1_ppm + p2_ppm, 1)")).cast("long").as("chisq_ppm"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy("event_type")
+  }
+
+  /** WINSORIZATION (robust clipping at exact p01/p99 per event_type) —
+    * the outlier-taming normalization a feature pipeline applies before
+    * training. Values quantize to integers (round(value*100), the
+    * engine's standard), the per-type exact percentiles interpolate over
+    * integers (the q_length_quantiles precedent — Spark `percentile` ==
+    * DuckDB `quantile_cont`), the 5-row percentile table broadcasts back
+    * onto the stream, and clipped means use the Det decimal contract.
+    *
+    * Scale note (same contract as q_length_quantiles): EXACT percentiles
+    * buffer per-group values, which is fine for a bounded-cardinality
+    * group-by; the unbounded-domain path is the oracle-checked histogram
+    * sketch (q_quantile_sketch), whose buckets drop in here unchanged. */
+  val winsorize: Q = Q(
+    "q_winsorize",
+    """WITH v AS (SELECT event_type,
+      |                  CAST(ROUND(value * 100) AS BIGINT) AS x FROM events),
+      |p AS (SELECT event_type, quantile_cont(x, 0.01) AS p01,
+      |             quantile_cont(x, 0.99) AS p99 FROM v GROUP BY event_type),
+      |c AS (SELECT v.event_type, v.x,
+      |             GREATEST(LEAST(CAST(v.x AS DOUBLE), p.p99), p.p01) AS clip,
+      |             p.p01, p.p99
+      |      FROM v JOIN p ON p.event_type = v.event_type)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |       MIN(p01) AS p01, MIN(p99) AS p99,
+      |       CAST(SUM(CASE WHEN CAST(x AS DOUBLE) < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+      |       CAST(SUM(CASE WHEN CAST(x AS DOUBLE) > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+      |       CAST(SUM(x) AS DOUBLE) / (100 * COUNT(*)) AS mean_raw,
+      |       CAST(SUM(CAST(clip / 100 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean_winsorized
+      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val v = t(s, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("x"))
+    val p = v.groupBy(col("event_type").as("ptype"))
+      .agg(percentile(col("x"), lit(0.01)).as("p01"),
+        percentile(col("x"), lit(0.99)).as("p99"))
+    val clip = greatest(least(col("x").cast("double"), col("p99")), col("p01"))
+    v.join(broadcast(p), col("event_type") === col("ptype"))
+      .select(col("event_type"), col("x"), clip.as("clip"),
+        col("p01"), col("p99"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("p01")).as("p01"), min(col("p99")).as("p99"),
+        sum(when(col("x").cast("double") < col("p01"), 1L).otherwise(0L))
+          .as("n_clipped_low"),
+        sum(when(col("x").cast("double") > col("p99"), 1L).otherwise(0L))
+          .as("n_clipped_high"),
+        (sum(col("x")).cast("double") / (count(lit(1)) * 100)).as("mean_raw"),
+        (sum((col("clip") / 100).cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double") / count(lit(1))).as("mean_winsorized"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] =
+    Seq(tableProfile, zorderLayout, anomalyZscore, driftChisq, winsorize)
+}

@@ -7,7 +7,9 @@ object Registry {
     RelationalQueries.all ++ WindowQueries.all ++ PipelineQueries.all ++
       StatQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
       EventQueries.all ++ ScalarQueries.all ++ AdvancedJoinQueries.all ++
-      CorpusQueries.all ++ CurationQueries.all ++ ClassifyQueries.all
+      CorpusQueries.all ++ CurationQueries.all ++ ClassifyQueries.all ++
+      GraphQueries.all ++ ProfileQueries.all ++ SequenceQueries.all
+  // (GraphQueries/ProfileQueries/SequenceQueries are the round-10 additions)
 
   def queries = all.map(q => q.name -> q.build).toMap
   def oracleSql = all.flatMap(q => q.oracle.map(q.name -> _)).toMap

@@ -91,6 +91,59 @@ final case class FunnelState(stage: Long, anchorMicros: Long)
 final case class FunnelTransition(user_id: Long, stage: Long,
     ts: java.sql.Timestamp)
 
+/** Event row for the streaming anomaly detector (batch: q_anomaly_zscore). */
+final case class AnomEvent(event_id: Long, user_id: Long,
+    ts: java.sql.Timestamp, value: Double)
+
+/** A flagged anomaly — identical columns (and values) to a batch
+  * q_anomaly_zscore row for the same per-user arrival order. */
+final case class AnomalyFlag(event_id: Long, user_id: Long, value: Double,
+    n_prev: Long, dev2_scaled: Long, thresh_scaled: Long)
+
+/** Ring buffer of the user's previous (at most 8) scaled readings. */
+final case class AnomState(xs: Seq[Long])
+
+/** Streaming ANOMALY detector: the incremental twin of q_anomaly_zscore's
+  * trailing-window 2-sigma test. State is a ring buffer of at most 8
+  * scaled longs per user — the exact window frame the batch query reads
+  * (`ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING`), so for in-order per-user
+  * arrival the streamed flags bit-match the batch rows across any
+  * micro-batch split (StreamingSpec proves it). The integer inequality is
+  * the same libm-free form: (n*x - s1)^2 > 4*(n*s2 - s1^2). Scaling uses
+  * HALF_UP BigDecimal rounding — the same rule as Spark's `round()` — so
+  * stream and batch quantize identically. */
+private[streaming] class AnomalyProcessor
+    extends StatefulProcessor[Long, AnomEvent, AnomalyFlag] {
+  @transient private var ring: ValueState[AnomState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    ring = getHandle.getValueState[AnomState]("ring",
+      Encoders.product[AnomState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[AnomEvent],
+      timers: TimerValues): Iterator[AnomalyFlag] = {
+    var xs = if (ring.exists()) ring.get().xs else Seq.empty[Long]
+    val out = Seq.newBuilder[AnomalyFlag]
+    rows.toSeq.sortBy(e => (Streams.micros(e.ts), e.event_id)).foreach { e =>
+      val x = BigDecimal(e.value * 100)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val n = xs.length.toLong
+      if (n >= 4) {
+        val s1 = xs.sum
+        val s2 = xs.map(v => v * v).sum
+        val dev = n * x - s1
+        val dev2 = dev * dev
+        val thresh = 4L * (n * s2 - s1 * s1)
+        if (dev2 > thresh)
+          out += AnomalyFlag(e.event_id, user, e.value, n, dev2, thresh)
+      }
+      xs = (xs :+ x).takeRight(8)
+    }
+    ring.update(AnomState(xs))
+    out.result().iterator
+  }
+}
+
 /** Streaming FUNNEL state machine: per-user progression through the
   * view -> click -> purchase sequence with strict event-time ordering —
   * the incremental twin of q_event_funnel. State is ONE (stage, anchor)
@@ -206,6 +259,28 @@ object Streams {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total"))
       .select(col("w.start").as("wstart"), col("event_type"),
         col("n_events"), col("total"))
+
+  /** Streaming OHLC bars — the incremental twin of q_ohlc_bars: 15-minute
+    * watermarked tumbling windows per event_type with open/close as
+    * min_by/max_by VALUE PICKS on the unique event_id (deterministic
+    * whatever order micro-batches deliver rows in — the aggregate is
+    * order-free, unlike a first/last-in-arrival-order bar). A closed
+    * window's row is bit-identical to the batch query's row for the same
+    * events (StreamingSpec proves it); state is one bar per open
+    * (window, type). The `total` column here is a plain double sum —
+    * streaming partial aggregation order is nondeterministic, so the
+    * batch query's Det decimal contract applies only where an oracle
+    * hash-compares; the OHLC fields themselves are exact picks. */
+  def ohlcBars(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"))
+      .select(col("w.start").as("wstart"), col("event_type"),
+        col("n_events"), col("open"), col("high"), col("low"), col("close"))
 
   /** Streaming HLL register maintenance — the incremental form of
     * q_hll_distinct's register bank for a continuously-arriving key
@@ -614,6 +689,18 @@ object Streams {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor(steps),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming anomaly detection (see [[AnomalyProcessor]]): 2-sigma
+    * trailing-window flags stream out per user with a ring buffer of at
+    * most 8 longs of state per key — the incremental twin of
+    * q_anomaly_zscore. Requires the RocksDB state store provider (as
+    * [[sessionizeTws]]). */
+  def anomalyFlags(events: Dataset[AnomEvent]): Dataset[AnomalyFlag] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new AnomalyProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.ProfileQueries
+
+class ProfileSpec extends SparkSpec {
+
+  test("table profile matches independently computed statistics") {
+    val rows = ProfileQueries.tableProfile.build(spark, sf).collect()
+    assert(rows.length == 7)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val n = li.count()
+    assert(rows.forall(_.getAs[Long]("n_rows") == n))
+    val byCol = rows.map(r => r.getAs[String]("col_name") -> r).toMap
+    val ok = byCol("l_orderkey")
+    assert(ok.getAs[Long]("n_nulls") == 0)
+    assert(ok.getAs[Long]("n_distinct") ==
+      li.select(countDistinct(col("l_orderkey"))).head().getLong(0))
+    assert(ok.getAs[Double]("min_num") ==
+      li.agg(min(col("l_orderkey"))).head().getLong(0).toDouble)
+    val rf = byCol("l_returnflag")
+    assert(rf.getAs[String]("min_str") == "A" && rf.getAs[String]("max_str") == "R")
+    assert(rf.isNullAt(rf.fieldIndex("min_num")))
+    val sd = byCol("l_shipdate")
+    assert(sd.getAs[Timestamp]("min_ts") != null)
+  }
+
+  test("z-order serves a multi-dim workload better than a 1-D sort") {
+    // sf0.01: the suppkey domain at sf0.001 is too small (<= 10) for the
+    // oracle's sx box to select anything.
+    val dir = "/root/testdata/sf0.01"
+    val b = ProfileQueries.zorderLayout.build(spark, dir).collect()
+    val total = b.map(_.getAs[Long]("n_rows")).sum
+    val matching = b.map(_.getAs[Long]("matching_rows")).sum
+    val zTouched2D = b.filter(_.getAs[Boolean]("touched"))
+      .map(_.getAs[Long]("n_rows")).sum
+    // every matching row lives in a touched bucket (no false skip)
+    assert(b.forall(r =>
+      r.getAs[Boolean]("touched") || r.getAs[Long]("matching_rows") == 0))
+    assert(matching > 0 && zTouched2D < total)
+
+    // A single layout must serve MANY query shapes: grade each layout's
+    // bucket envelopes against a px-selective box AND an sx-selective
+    // box. A px-sorted layout wins the px box but must read EVERY bucket
+    // for the sx box; the Morton tiling bounds both.
+    case class Env(n: Long, minPx: Long, maxPx: Long, minSx: Long, maxSx: Long)
+    def touched(envs: Seq[Env], pxLo: Long, pxHi: Long, sxLo: Long, sxHi: Long) =
+      envs.filter(e => e.minPx <= pxHi && e.maxPx >= pxLo &&
+        e.minSx <= sxHi && e.maxSx >= sxLo).map(_.n).sum
+    val zEnvs = b.toSeq.map(r => Env(r.getAs[Long]("n_rows"),
+      r.getAs[Long]("min_px"), r.getAs[Long]("max_px"),
+      r.getAs[Long]("min_sx"), r.getAs[Long]("max_sx")))
+    val nb = b.length
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey").as("px"), col("l_suppkey").as("sx"))
+    val oneDEnvs = li.withColumn("bucket", ntile(nb).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("px"), col("sx"))))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("px").as("min_px"), max("px").as("max_px"),
+        min("sx").as("min_sx"), max("sx").as("max_sx"))
+      .collect().toSeq.map(r => Env(r.getAs[Long]("n_rows"),
+        r.getAs[Long]("min_px"), r.getAs[Long]("max_px"),
+        r.getAs[Long]("min_sx"), r.getAs[Long]("max_sx")))
+    val zWork = touched(zEnvs, 100, 160, 0, 1000000) +
+      touched(zEnvs, 0, 1000000, 30, 90)
+    val oneDWork = touched(oneDEnvs, 100, 160, 0, 1000000) +
+      touched(oneDEnvs, 0, 1000000, 30, 90)
+    assert(zWork < oneDWork,
+      s"z-order read $zWork rows across the workload, 1-D read $oneDWork")
+  }
+
+  test("anomaly z-score flags a planted spike and not the stable tail") {
+    val d = Files.createTempDirectory("graft-anom").toString
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    // user 1: eight steady 10.00 readings then a 100.00 spike (flagged,
+    // variance 0 -> any deviation trips) then more steady readings whose
+    // windows CONTAIN the spike (high variance, not flagged).
+    val vals = Seq.fill(8)(10.0) ++ Seq(100.0) ++ Seq.fill(4)(10.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      Row(i.toLong, 1L, Timestamp.from(base.plusSeconds(60L * i)), "view", v, "{}")
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val flagged = ProfileQueries.anomalyZscore.build(spark, d).collect()
+    assert(flagged.map(_.getAs[Long]("event_id")).toSeq == Seq(8L),
+      s"expected only the spike, got ${flagged.toSeq}")
+    // hand-check the integer inequality at the spike: n=8, x=10000,
+    // s1=8*1000, s2=8*1000^2 -> dev2=(80000-8000)^2, thresh=0
+    val f = flagged.head
+    assert(f.getAs[Long]("dev2_scaled") == 72000L * 72000L)
+    assert(f.getAs[Long]("thresh_scaled") == 0L)
+  }
+
+  test("drift chisq: a total distribution shift scores the 2e6 maximum") {
+    val d = Files.createTempDirectory("graft-drift").toString
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    // first half all 10.0 (bucket 0), second half all 100.0 (bucket 4):
+    // p1 = 1e6 in bucket 0, p2 = 1e6 in bucket 4 -> chisq 2,000,000 ppm
+    val rows = (0 until 20).map { i =>
+      val v = if (i < 10) 10.0 else 100.0
+      Row(i.toLong, 1L, Timestamp.from(base.plusSeconds(3600L * i)), "view", v, "{}")
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = ProfileQueries.driftChisq.build(spark, d).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("chisq_ppm") == 2000000L)
+    assert(r.head.getAs[Long]("n_buckets") == 2L)
+  }
+
+  test("anomaly rate on real testdata is small and nonzero") {
+    val n = ProfileQueries.anomalyZscore.build(spark, sf).count()
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(n > 0 && n < total / 10)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.queries.SequenceQueries
+
+class SequenceSpec extends SparkSpec {
+
+  private def writeEvents(rows: Seq[Row]): String = {
+    val d = Files.createTempDirectory("graft-seq").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  private val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+  private def at(minutes: Long) = Timestamp.from(base.plusSeconds(minutes * 60))
+
+  test("transitions: exact counts and ppm on a crafted timeline") {
+    val d = writeEvents(Seq(
+      Row(0L, 1L, at(0), "view", 1.0, "{}"),
+      Row(1L, 1L, at(1), "click", 1.0, "{}"),
+      Row(2L, 1L, at(2), "view", 1.0, "{}"),
+      Row(3L, 1L, at(3), "purchase", 1.0, "{}"),
+      Row(4L, 2L, at(0), "view", 1.0, "{}"), // user 2: single event, no transition
+      Row(5L, 3L, at(0), "view", 1.0, "{}"),
+      Row(6L, 3L, at(5), "click", 1.0, "{}")))
+    val r = SequenceQueries.eventTransitions.build(spark, d).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(4))).toSet
+    assert(r == Set(
+      ("view", "click", 2L, 666666L), // 2 of view's 3 outgoing
+      ("view", "purchase", 1L, 333333L),
+      ("click", "view", 1L, 1000000L)))
+  }
+
+  test("ohlc: open/close picked by event_id, high/low exact") {
+    val d = writeEvents(Seq(
+      Row(10L, 1L, at(1), "view", 5.0, "{}"),
+      Row(11L, 2L, at(4), "view", 9.0, "{}"),
+      Row(12L, 3L, at(8), "view", 2.0, "{}"),
+      Row(13L, 4L, at(14), "view", 7.0, "{}"),
+      Row(14L, 5L, at(20), "view", 3.0, "{}"))) // second 15-min bar
+    val r = SequenceQueries.ohlcBars.build(spark, d).collect()
+    assert(r.length == 2)
+    val bar0 = r.head
+    assert(bar0.getAs[Long]("n_events") == 4)
+    assert(bar0.getAs[Double]("open") == 5.0)
+    assert(bar0.getAs[Double]("high") == 9.0)
+    assert(bar0.getAs[Double]("low") == 2.0)
+    assert(bar0.getAs[Double]("close") == 7.0)
+    assert(bar0.getAs[Double]("total") == 23.0)
+  }
+
+  test("attribution: latest in-window touch wins; stale touches do not") {
+    val d = writeEvents(Seq(
+      // user 1: view at t0, click at t10, purchase at t20 -> click wins
+      Row(0L, 1L, at(0), "view", 1.0, "{}"),
+      Row(1L, 1L, at(10), "click", 1.0, "{}"),
+      Row(2L, 1L, at(20), "purchase", 50.0, "{}"),
+      // user 2: touch 3h before purchase -> outside the 2h window
+      Row(3L, 2L, at(0), "view", 1.0, "{}"),
+      Row(4L, 2L, at(180), "purchase", 60.0, "{}"),
+      // user 3: purchase with no touches at all
+      Row(5L, 3L, at(0), "purchase", 70.0, "{}")))
+    val r = SequenceQueries.lastTouchAttribution.build(spark, d).collect()
+      .map(x => x.getAs[Long]("purchase_id") -> x).toMap
+    assert(r(2L).getAs[Boolean]("attributed"))
+    assert(r(2L).getAs[Long]("touch_id") == 1L)
+    assert(r(2L).getAs[String]("touch_type") == "click")
+    assert(r(2L).getAs[Long]("gap_us") == 10L * 60 * 1000000)
+    assert(!r(4L).getAs[Boolean]("attributed"))
+    assert(r(4L).isNullAt(r(4L).fieldIndex("touch_id")))
+    assert(!r(5L).getAs[Boolean]("attributed"))
+  }
+
+  test("sequence queries run end-to-end on real testdata") {
+    assert(SequenceQueries.eventTransitions.build(spark, sf).count() > 0)
+    assert(SequenceQueries.ohlcBars.build(spark, sf).count() > 0)
+    val a = SequenceQueries.lastTouchAttribution.build(spark, sf)
+    assert(a.count() > 0)
+  }
+}

@@ -799,6 +799,70 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("anomalyFlags: streamed flags bit-match q_anomaly_zscore across a split") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = graft.queries.ProfileQueries.anomalyZscore.build(spark, sf)
+        .select("event_id", "n_prev", "dev2_scaled", "thresh_scaled")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val events = graft.engine.Tables.t(spark, sf, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .orderBy("ts", "event_id")
+        .as[graft.streaming.AnomEvent].collect()
+      val (b1, b2) = events.splitAt(events.length / 2)
+      val in = MemoryStream[graft.streaming.AnomEvent]
+      val q = Streams.anomalyFlags(in.toDS())
+        .writeStream.format("memory").queryName("anom")
+        .outputMode("append").start()
+      try {
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+        val streamed = spark.table("anom")
+          .select("event_id", "n_prev", "dev2_scaled", "thresh_scaled")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(streamed == batch,
+          s"stream-only: ${(streamed diff batch).take(3)}, " +
+            s"batch-only: ${(batch diff streamed).take(3)}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("ohlcBars: a closed window's bar matches the batch fields exactly") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val q = Streams.ohlcBars(
+        in.toDF().toDF("event_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("ohlc").outputMode("append").start()
+    try {
+      in.addData((10L, Timestamp.valueOf("2024-01-01 10:01:00"), "view", 5.0),
+        (11L, Timestamp.valueOf("2024-01-01 10:04:00"), "view", 9.0))
+      q.processAllAvailable()
+      in.addData((12L, Timestamp.valueOf("2024-01-01 10:08:00"), "view", 2.0),
+        (13L, Timestamp.valueOf("2024-01-01 10:14:00"), "view", 7.0))
+      q.processAllAvailable()
+      assert(spark.table("ohlc").count() == 0, "bar must stay open pre-watermark")
+      in.addData((14L, Timestamp.valueOf("2024-01-01 12:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ohlc")
+        .select("wstart", "event_type", "n_events", "open", "high", "low", "close")
+        .as[(Timestamp, String, Long, Double, Double, Double, Double)]
+        .collect().toSet
+      // open/close picked by event_id across BOTH micro-batches
+      assert(rows == Set((Timestamp.valueOf("2024-01-01 10:00:00"), "view",
+        4L, 5.0, 9.0, 2.0, 7.0)), s"$rows")
+    } finally q.stop()
+  }
+
   test("the same transform runs in batch mode (unified API)") {
     val batch = Seq(evAt(1, "10:05", 2.0), evAt(1, "10:20", 3.0), evAt(2, "11:05", 7.0))
       .toDF()
