@@ -386,7 +386,53 @@ object GraphQueries {
       .orderBy("degree")
   }
 
+  /** ITEM-ITEM RECOMMENDATIONS — top-3 co-purchase partners per part by
+    * lift (ties by partner id): the candidate-generation step of an
+    * item-based collaborative filter, derived from the same rule table as
+    * q_basket_rules but symmetrized (each edge recommends in BOTH
+    * directions) and ranked per source item. The rank window partitions
+    * by the source part — partition size is the part's graph degree,
+    * bounded by the support cut, never the corpus. */
+  val recommendTopk: Q = Q(
+    "q_recommend_topk",
+    s"""WITH $basketsCte,
+      |$pairCte,
+      |nb AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM b),
+      |item AS (SELECT pk, COUNT(*) AS ni FROM b GROUP BY pk),
+      |r AS (SELECT p.p1, p.p2, p.nij, i1.ni AS n1, i2.ni AS n2, nb.n_baskets
+      |      FROM pair p JOIN item i1 ON i1.pk = p.p1
+      |                  JOIN item i2 ON i2.pk = p.p2, nb
+      |      WHERE p.nij >= 2),
+      |sym AS (SELECT p1 AS src, p2 AS rec, nij,
+      |               nij * n_baskets * 1000000 // (n1 * n2) AS lift_ppm FROM r
+      |        UNION ALL
+      |        SELECT p2, p1, nij,
+      |               nij * n_baskets * 1000000 // (n1 * n2) FROM r),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+      |                 ORDER BY lift_ppm DESC, rec) AS rnk FROM sym)
+      |SELECT src, rec, nij, lift_ppm, rnk
+      |FROM rk WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = baskets(s, dir)
+    val nb = b.agg(countDistinct(col("ok")).as("n_baskets"))
+    val item = b.groupBy(col("pk")).agg(count(lit(1)).as("ni"))
+    val r = pairCounts(b).filter(col("nij") >= 2)
+      .join(broadcast(item.as("i1")), col("p1") === col("i1.pk"))
+      .join(broadcast(item.as("i2")), col("p2") === col("i2.pk"))
+      .crossJoin(nb)
+      .select(col("p1"), col("p2"), col("nij"),
+        expr("nij * n_baskets * 1000000 DIV (i1.ni * i2.ni)").as("lift_ppm"))
+    val sym = r.select(col("p1").as("src"), col("p2").as("rec"),
+        col("nij"), col("lift_ppm"))
+      .unionAll(r.select(col("p2").as("src"), col("p1").as("rec"),
+        col("nij"), col("lift_ppm")))
+    val w = Window.partitionBy("src").orderBy(col("lift_ppm").desc, col("rec"))
+    sym.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy("src", "rnk")
+  }
+
   val all: Seq[Q] =
     Seq(basketRules, triangleCount, pageRank, kCore, graphComponents,
-      degreeHistogram)
+      degreeHistogram, recommendTopk)
 }

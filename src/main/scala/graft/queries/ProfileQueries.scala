@@ -378,6 +378,31 @@ object ProfileQueries {
       .orderBy("event_type")
   }
 
+  /** SOURCE CONCENTRATION (HHI) — the Herfindahl-Hirschman index of the
+    * corpus's source mix plus the largest single share: the one-number
+    * balance diagnostic a data-mixture pipeline watches (a corpus drifting
+    * toward one crawl/domain shows up here before quality metrics move).
+    * Shares are exact ppm integers; HHI = sum(share^2)/1e6, all integer.
+    * Two tiny aggregations over the source dimension. */
+  val sourceHhi: Q = Q(
+    "q_source_hhi",
+    """WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM s)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+      |       CAST(SUM((n * 1000000 // tot) * (n * 1000000 // tot)) // 1000000 AS BIGINT) AS hhi_ppm,
+      |       CAST(MAX(n * 1000000 // tot) AS BIGINT) AS top_share_ppm
+      |FROM s, t""".stripMargin) { (s, dir) =>
+    val src = t(s, dir, "documents").groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+    val tot = src.agg(sum(col("n")).cast("long").as("tot"))
+    src.crossJoin(broadcast(tot)) // 1-row total
+      .select(expr("n * 1000000 DIV tot").as("share"))
+      .agg(count(lit(1)).cast("long").as("n_sources"),
+        expr("CAST(SUM(share * share) DIV 1000000 AS BIGINT)").as("hhi_ppm"),
+        max(col("share")).as("top_share_ppm"))
+  }
+
   val all: Seq[Q] =
-    Seq(tableProfile, zorderLayout, anomalyZscore, driftChisq, winsorize)
+    Seq(tableProfile, zorderLayout, anomalyZscore, driftChisq, winsorize,
+      sourceHhi)
 }

@@ -154,5 +154,98 @@ object SequenceQueries {
       .orderBy("purchase_id")
   }
 
-  val all: Seq[Q] = Seq(eventTransitions, ohlcBars, lastTouchAttribution)
+  /** FUNNEL CONVERSION TIME — the latency distribution between a user's
+    * first `view` and their first `purchase` strictly after it: the
+    * time-to-convert metric that prices a funnel. Gaps are exact integer
+    * microseconds; the percentiles interpolate over integers (the
+    * q_length_quantiles precedent). Per-user MIN aggregations + one keyed
+    * join — no window, no per-user sort, the q_event_funnel shape. */
+  val conversionTime: Q = Q(
+    "q_conversion_time",
+    """WITH p AS (SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |q AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1
+      |      FROM events e JOIN p ON p.user_id = e.user_id
+      |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > p.t0
+      |      GROUP BY e.user_id),
+      |d AS (SELECT q.user_id, q.t1 - p.t0 AS dt_us
+      |      FROM q JOIN p ON p.user_id = q.user_id)
+      |SELECT COUNT(*) AS n_converted, CAST(MIN(dt_us) AS BIGINT) AS min_us,
+      |       quantile_cont(dt_us, 0.5) AS p50_us,
+      |       quantile_cont(dt_us, 0.9) AS p90_us,
+      |       CAST(MAX(dt_us) AS BIGINT) AS max_us
+      |FROM d""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val p = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("t0"))
+    val q = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("quid"), unix_micros(col("ts")).as("tp"))
+      .join(p, col("quid") === col("user_id"))
+      .filter(col("tp") > col("t0"))
+      .groupBy(col("quid")).agg(min(col("tp")).as("t1"), min(col("t0")).as("t0"))
+    q.select((col("t1") - col("t0")).as("dt_us"))
+      .agg(count(lit(1)).as("n_converted"), min(col("dt_us")).as("min_us"),
+        percentile(col("dt_us"), lit(0.5)).as("p50_us"),
+        percentile(col("dt_us"), lit(0.9)).as("p90_us"),
+        max(col("dt_us")).as("max_us"))
+  }
+
+  /** CUSUM CHANGEPOINT — per event_type, the day where the cumulative
+    * deviation of the daily value total from its mean peaks: the
+    * binary-segmentation statistic argmax_t |T*S_t - t*X| (S_t = running
+    * sum, X = total, T = day count — the mean-multiplied form keeps
+    * EVERYTHING integer; a float mean would smear the argmax between
+    * engines). The argmax resolves by max-join + earliest-day tie-break,
+    * never a packed sort key.
+    *
+    * Shape at 100 TB: the raw stream collapses to one row per (type,
+    * day) FIRST (map-side combined), so the window runs over day-count
+    * rows per type — bounded by the calendar, not the data. */
+  val cusumChangepoint: Q = Q(
+    "q_cusum_changepoint",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY event_type, day),
+      |tot AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS xx,
+      |               COUNT(*) AS tt FROM daily GROUP BY event_type),
+      |c AS (SELECT d.event_type, d.day,
+      |             CAST(SUM(d.x) OVER (PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS cs,
+      |             ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) AS t,
+      |             tot.xx, tot.tt
+      |      FROM daily d JOIN tot ON tot.event_type = d.event_type),
+      |dev AS (SELECT event_type, day, ABS(tt * cs - t * xx) AS dv, tt FROM c),
+      |m AS (SELECT event_type, MAX(dv) AS max_dev FROM dev GROUP BY event_type)
+      |SELECT d.event_type, CAST(MIN(d.day) AS BIGINT) AS change_day,
+      |       m.max_dev, CAST(MIN(d.tt) AS BIGINT) AS n_days
+      |FROM dev d JOIN m ON m.event_type = d.event_type AND d.dv = m.max_dev
+      |GROUP BY d.event_type, m.max_dev
+      |ORDER BY d.event_type""".stripMargin) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+    val tot = daily.groupBy(col("event_type").as("ttype"))
+      .agg(sum(col("x")).as("xx"), count(lit(1)).as("tt"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val dev = daily
+      .withColumn("cs", sum(col("x")).over(w))
+      .withColumn("t", row_number().over(w))
+      .join(broadcast(tot), col("event_type") === col("ttype"))
+      .select(col("event_type"), col("day"), col("tt"),
+        abs(col("tt") * col("cs") - col("t") * col("xx")).as("dv"))
+    val m = dev.groupBy(col("event_type").as("mtype"))
+      .agg(max(col("dv")).as("max_dev"))
+    dev.join(broadcast(m),
+        col("event_type") === col("mtype") && col("dv") === col("max_dev"))
+      .groupBy(col("event_type"), col("max_dev"))
+      .agg(min(col("day")).as("change_day"), min(col("tt")).as("n_days"))
+      .select(col("event_type"), col("change_day"), col("max_dev"),
+        col("n_days"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] =
+    Seq(eventTransitions, ohlcBars, lastTouchAttribution, conversionTime,
+      cusumChangepoint)
 }

@@ -91,6 +91,46 @@ final case class FunnelState(stage: Long, anchorMicros: Long)
 final case class FunnelTransition(user_id: Long, stage: Long,
     ts: java.sql.Timestamp)
 
+/** Event row for the streaming transition extractor (batch:
+  * q_event_transitions). */
+final case class TransEvent(event_id: Long, user_id: Long,
+    ts: java.sql.Timestamp, event_type: String)
+
+/** One (prev -> next) transition in a user's timeline. */
+final case class Transition(user_id: Long, prev: String, next: String,
+    ts: java.sql.Timestamp)
+
+/** Last event type seen per user — the entire transition state. */
+final case class LastEvent(event_type: String)
+
+/** Streaming TRANSITION extraction: the incremental twin of
+  * q_event_transitions' lag window. State is ONE string per user (the
+  * last event type), so for in-order per-user arrival the emitted
+  * (prev, next) pairs aggregate to exactly the batch transition counts
+  * across any micro-batch split (StreamingSpec proves it); the ppm
+  * probabilities are a downstream read over the accumulated pairs, the
+  * same registers-then-estimate split the sketch twins use. */
+private[streaming] class TransitionProcessor
+    extends StatefulProcessor[Long, TransEvent, Transition] {
+  @transient private var last: ValueState[LastEvent] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[LastEvent]("last",
+      Encoders.product[LastEvent], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[TransEvent],
+      timers: TimerValues): Iterator[Transition] = {
+    var prev = if (last.exists()) last.get().event_type else null
+    val out = Seq.newBuilder[Transition]
+    rows.toSeq.sortBy(e => (Streams.micros(e.ts), e.event_id)).foreach { e =>
+      if (prev != null) out += Transition(user, prev, e.event_type, e.ts)
+      prev = e.event_type
+    }
+    last.update(LastEvent(prev))
+    out.result().iterator
+  }
+}
+
 /** Event row for the streaming anomaly detector (batch: q_anomaly_zscore). */
 final case class AnomEvent(event_id: Long, user_id: Long,
     ts: java.sql.Timestamp, value: Double)
@@ -689,6 +729,16 @@ object Streams {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor(steps),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming transition extraction (see [[TransitionProcessor]]): one
+    * string of state per user. Requires the RocksDB state store provider
+    * (as [[sessionizeTws]]). */
+  def eventTransitions(events: Dataset[TransEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 

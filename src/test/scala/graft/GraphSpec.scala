@@ -92,6 +92,19 @@ class GraphSpec extends SparkSpec {
     assert(rows == Seq((0, 4L, 4L), (1, 1L, 0L), (2, 0L, 0L), (3, 0L, 0L)))
   }
 
+  test("recommendations: lift-ranked partners in both directions") {
+    val rows = GraphQueries.recommendTopk.build(spark, dir).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("rnk")) ->
+        (r.getAs[Long]("rec"), r.getAs[Long]("lift_ppm"))).toMap
+    // part 1 (n1=4): partner 2 lift 2*9e6/(4*4)=1125000 beats
+    // partner 3 lift 2*9e6/(4*6)=750000
+    assert(rows((1L, 1L)) == (2L, 1125000L))
+    assert(rows((1L, 2L)) == (3L, 750000L))
+    // pendant part 4 (n4=3): only partner is 3, lift 2*9e6/(6*3)=1000000
+    assert(rows((4L, 1L)) == (3L, 1000000L))
+    assert(!rows.contains((4L, 2L)))
+  }
+
   test("graph queries run end-to-end on real testdata") {
     val tri = GraphQueries.triangleCount.build(spark, sf).collect()
     assert(tri.head.getAs[Long]("n_triangles") > 0)

@@ -123,6 +123,25 @@ class ProfileSpec extends SparkSpec {
     assert(r.head.getAs[Long]("n_buckets") == 2L)
   }
 
+  test("source HHI: crafted 50/30/20 split scores exactly 380000 ppm") {
+    val d = Files.createTempDirectory("graft-hhi").toString
+    val rows = (0 until 100).map { i =>
+      val src = if (i < 50) "a" else if (i < 80) "b" else "c"
+      Row(i.toLong, s"doc $i", "en", src, 10L)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = ProfileQueries.sourceHhi.build(spark, d).collect().head
+    assert(r.getAs[Long]("n_sources") == 3)
+    // 0.5^2 + 0.3^2 + 0.2^2 = 0.38
+    assert(r.getAs[Long]("hhi_ppm") == 380000L)
+    assert(r.getAs[Long]("top_share_ppm") == 500000L)
+  }
+
   test("anomaly rate on real testdata is small and nonzero") {
     val n = ProfileQueries.anomalyZscore.build(spark, sf).count()
     val total = spark.read.parquet(s"$sf/events.parquet").count()

@@ -81,6 +81,39 @@ class SequenceSpec extends SparkSpec {
     assert(!r(5L).getAs[Boolean]("attributed"))
   }
 
+  test("conversion time: strictly-after purchase only, exact gap") {
+    val d = writeEvents(Seq(
+      Row(0L, 1L, at(0), "view", 1.0, "{}"),
+      Row(1L, 1L, at(10), "purchase", 5.0, "{}"), // converts in 10 min
+      Row(2L, 2L, at(0), "purchase", 5.0, "{}"), // purchase BEFORE any view
+      Row(3L, 2L, at(5), "view", 1.0, "{}"),
+      Row(4L, 3L, at(0), "view", 1.0, "{}"))) // never purchases
+    val r = SequenceQueries.conversionTime.build(spark, d).collect().head
+    assert(r.getAs[Long]("n_converted") == 1)
+    assert(r.getAs[Long]("min_us") == 10L * 60 * 1000000)
+    assert(r.getAs[Double]("p50_us") == 10.0 * 60 * 1000000)
+    assert(r.getAs[Long]("max_us") == 10L * 60 * 1000000)
+  }
+
+  test("cusum: a planted level shift peaks at the boundary day") {
+    // 10 days at 10.00/day then 10 days at 100.00/day, one event per day
+    val rows = (0 until 20).map { i =>
+      val v = if (i < 10) 10.0 else 100.0
+      Row(i.toLong, 1L, at(i.toLong * 24 * 60), "view", v, "{}")
+    }
+    val d = writeEvents(rows)
+    val r = SequenceQueries.cusumChangepoint.build(spark, d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val day0 = java.util.concurrent.TimeUnit.MILLISECONDS.toDays(
+      base.toEpochMilli)
+    // argmax |T*S_t - t*X| lands on the LAST low day (t=10 -> day0+9):
+    // dv grows 90000t through the low regime, then decays
+    assert(row.getAs[Long]("change_day") == day0 + 9)
+    assert(row.getAs[Long]("max_dev") == 900000L)
+    assert(row.getAs[Long]("n_days") == 20L)
+  }
+
   test("sequence queries run end-to-end on real testdata") {
     assert(SequenceQueries.eventTransitions.build(spark, sf).count() > 0)
     assert(SequenceQueries.ohlcBars.build(spark, sf).count() > 0)

@@ -837,6 +837,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("eventTransitions: streamed pairs aggregate to the batch counts") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = graft.queries.SequenceQueries.eventTransitions
+        .build(spark, sf)
+        .select("prev", "next", "n").as[(String, String, Long)]
+        .collect().map(t => (t._1, t._2) -> t._3).toMap
+      val events = graft.engine.Tables.t(spark, sf, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .orderBy("ts", "event_id")
+        .as[graft.streaming.TransEvent].collect()
+      val (b1, b2) = events.splitAt(events.length / 2)
+      val in = MemoryStream[graft.streaming.TransEvent]
+      val q = Streams.eventTransitions(in.toDS())
+        .writeStream.format("memory").queryName("trans")
+        .outputMode("append").start()
+      try {
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+        val streamed = spark.table("trans")
+          .groupBy("prev", "next").count()
+          .as[(String, String, Long)].collect()
+          .map(t => (t._1, t._2) -> t._3).toMap
+        assert(streamed == batch,
+          s"stream-only: ${(streamed.toSet diff batch.toSet).take(3)}, " +
+            s"batch-only: ${(batch.toSet diff streamed.toSet).take(3)}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("ohlcBars: a closed window's bar matches the batch fields exactly") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String, Double)]
