@@ -114,7 +114,10 @@ object ScaleProbe {
     "q_window_session", "q_event_funnel", "q_retention_cohorts",
     "q_session_trajectories", "q_hll_distinct", "q_bloom_prune",
     "q_cms_heavy", "q_kmv_distinct", "q_cdc_merge", "q_window_timerange",
-    "q_anomaly_zscore")
+    "q_anomaly_zscore", "q_event_transitions", "q_ohlc_bars",
+    "q_attribution", "q_drift_chisq", "q_winsorize", "q_cusum_changepoint",
+    "q_conversion_time", "q_pivot_events", "q_melt_events", "q_event_paths",
+    "q_cms_join_size")
 
   private val Repl = 10
   // larger than any planted-twin id offset (max is 9_000_000 + base ids,

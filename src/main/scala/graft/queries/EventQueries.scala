@@ -682,8 +682,66 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** CMS JOIN-CARDINALITY ESTIMATE — the optimizer primitive that prices
+    * a join before running it: |A join B on k| = sum_k cntA(k)*cntB(k),
+    * estimated as the count-min INNER PRODUCT min_r sum_cell a[r]*b[r]
+    * (Cormode-Muthukrishnan) from two fixed 4x512 banks, GRADED against
+    * the exactly-computed true size. The inner-product estimate inherits
+    * the one-sided guarantee (every true pair lands in agreeing cells, so
+    * estimate >= truth — collisions only add). The two relations are the
+    * per-user signup and purchase counts; the sketch answer needs only
+    * the two 2048-counter banks — at 100 TB each side's bank is one
+    * map-side-combined aggregation and the estimate itself is a
+    * 2048-row join, while the exact answer needs the full keyed join. */
+  val cmsJoinSize: Q = {
+    import graft.functions.Sketch
+    def cellsSql(tbl: String) = (0 until Sketch.CmsRows).map(i =>
+      s"SELECT user_id, cnt, $i AS r, CAST(('0x' || substr(md5('cm$i:' || " +
+        s"CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % ${Sketch.CmsWidth} " +
+        s"AS cell FROM $tbl").mkString("\n  UNION ALL\n  ")
+    Q(
+      "q_cms_join_size",
+      s"""WITH a AS (SELECT user_id, COUNT(*) AS cnt FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |b AS (SELECT user_id, COUNT(*) AS cnt FROM events
+        |      WHERE event_type = 'purchase' GROUP BY user_id),
+        |pa AS (
+        |  ${cellsSql("a")}),
+        |pb AS (
+        |  ${cellsSql("b")}),
+        |ca AS (SELECT r, cell, CAST(SUM(cnt) AS BIGINT) AS csa FROM pa GROUP BY r, cell),
+        |cb AS (SELECT r, cell, CAST(SUM(cnt) AS BIGINT) AS csb FROM pb GROUP BY r, cell),
+        |ip AS (SELECT ca.r, CAST(SUM(ca.csa * cb.csb) AS BIGINT) AS dot
+        |       FROM ca JOIN cb ON cb.r = ca.r AND cb.cell = ca.cell GROUP BY ca.r),
+        |exact AS (SELECT CAST(COALESCE(SUM(a.cnt * b.cnt), 0) AS BIGINT) AS true_size
+        |          FROM a JOIN b ON b.user_id = a.user_id)
+        |SELECT e.true_size, CAST(MIN(ip.dot) AS BIGINT) AS cms_estimate,
+        |       CAST(MIN(ip.dot) AS BIGINT) - e.true_size AS overestimate
+        |FROM ip, exact e GROUP BY e.true_size""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      def side(tp: String) = ev.filter(col("event_type") === tp)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      def bank(df: org.apache.spark.sql.DataFrame, out: String) = df
+        .select(col("cnt"), Sketch.cmsCells(col("user_id")).as("p"))
+        .select(col("cnt"), col("p.r").as("r"), col("p.cell").as("cell"))
+        .groupBy("r", "cell").agg(sum("cnt").as(out))
+      val a = side("signup")
+      val b = side("purchase")
+      val ip = bank(a, "csa").join(bank(b, "csb"), Seq("r", "cell"))
+        .groupBy("r").agg(sum(col("csa") * col("csb")).as("dot"))
+      val exact = a.as("a")
+        .join(b.as("b"), col("a.user_id") === col("b.user_id"))
+        .agg(coalesce(sum(col("a.cnt") * col("b.cnt")), lit(0L))
+          .cast("long").as("true_size"))
+      ip.agg(min(col("dot")).cast("long").as("cms_estimate"))
+        .crossJoin(exact) // 1-row x 1-row
+        .select(col("true_size"), col("cms_estimate"),
+          (col("cms_estimate") - col("true_size")).as("overestimate"))
+    }
+  }
+
   val all: Seq[Q] =
     Seq(jsonExtract, windowTumbling, windowSliding, windowSession, eventFunnel,
       retentionCohorts, sessionTrajectories, hllDistinct, bloomPrune,
-      cmsHeavy, kmvDistinct, cdcMerge)
+      cmsHeavy, kmvDistinct, cdcMerge, cmsJoinSize)
 }

@@ -416,12 +416,15 @@ object GraphQueries {
     val b = baskets(s, dir)
     val nb = b.agg(countDistinct(col("ok")).as("n_baskets"))
     val item = b.groupBy(col("pk")).agg(count(lit(1)).as("ni"))
+    // both union branches read r — cut once so the basket self-join
+    // doesn't run twice
     val r = pairCounts(b).filter(col("nij") >= 2)
       .join(broadcast(item.as("i1")), col("p1") === col("i1.pk"))
       .join(broadcast(item.as("i2")), col("p2") === col("i2.pk"))
       .crossJoin(nb)
       .select(col("p1"), col("p2"), col("nij"),
         expr("nij * n_baskets * 1000000 DIV (i1.ni * i2.ni)").as("lift_ppm"))
+      .localCheckpoint(false)
     val sym = r.select(col("p1").as("src"), col("p2").as("rec"),
         col("nij"), col("lift_ppm"))
       .unionAll(r.select(col("p2").as("src"), col("p1").as("rec"),

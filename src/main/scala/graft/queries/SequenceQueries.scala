@@ -245,7 +245,86 @@ object SequenceQueries {
       .orderBy("event_type")
   }
 
+  private val EventTypes = Seq("view", "click", "purchase", "signup", "error")
+
+  /** PIVOT (long -> wide) — per-user event counts spread into one column
+    * per event type via Spark's pivot operator with an EXPLICIT value
+    * list (an implicit list would cost a distinct-collect pass and make
+    * the schema data-dependent — never acceptable at scale). The DuckDB
+    * mirror is the equivalent conditional aggregation, so the pivot
+    * rewrite itself is what gets hash-checked. One hash aggregation. */
+  val pivotEvents: Q = Q(
+    "q_pivot_events",
+    s"""SELECT user_id,
+      |${EventTypes.map(t => s"  CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t").mkString(",\n")}
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val wide = t(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    wide.select(col("user_id") +:
+        EventTypes.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+      .orderBy("user_id")
+  }
+
+  /** MELT (wide -> long) — the inverse reshape: the pivoted table
+    * unpivots back to (user_id, event_type, n) rows via `stack`,
+    * RESTORING explicit zero rows for absent combinations (the melt
+    * contract a modeling pipeline relies on — silent missing rows skew
+    * per-cell statistics). The oracle rebuilds the same grid with a
+    * dimension cross join, so the pivot -> melt roundtrip is proven
+    * value-exact, zeros included. */
+  val meltEvents: Q = Q(
+    "q_melt_events",
+    """WITH grid AS (
+      |  SELECT u.user_id, t.event_type
+      |  FROM (SELECT DISTINCT user_id FROM events) u
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+      |c AS (SELECT user_id, event_type, COUNT(*) AS n
+      |      FROM events GROUP BY user_id, event_type)
+      |SELECT g.user_id, g.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      |FROM grid g LEFT JOIN c ON c.user_id = g.user_id
+      |                       AND c.event_type = g.event_type
+      |ORDER BY g.user_id, g.event_type""".stripMargin) { (s, dir) =>
+    val wide = t(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .select(col("user_id") +:
+        EventTypes.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+    val stackExpr = EventTypes.map(tp => s"'$tp', n_$tp").mkString(", ")
+    wide.select(col("user_id"),
+        expr(s"stack(${EventTypes.size}, $stackExpr) AS (event_type, n)"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** COMMON PATHS — top-20 length-3 event sequences across all user
+    * timelines (the sequence-mining primitive behind "what do users do
+    * before X" and n-gram statistics over behavioral training
+    * sequences). Two `lead` taps on one per-user window, then a
+    * 125-row-max aggregate with TakeOrdered — no self-joins, no explode. */
+  val eventPaths: Q = Q(
+    "q_event_paths",
+    """WITH s AS (
+      |  SELECT user_id, event_type AS e1,
+      |         LEAD(event_type, 1) OVER w AS e2,
+      |         LEAD(event_type, 2) OVER w AS e3
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT e1, e2, e3, COUNT(*) AS n FROM s WHERE e3 IS NOT NULL
+      |GROUP BY e1, e2, e3 ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin) {
+    (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e3").isNotNull)
+        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
+  }
+
   val all: Seq[Q] =
     Seq(eventTransitions, ohlcBars, lastTouchAttribution, conversionTime,
-      cusumChangepoint)
+      cusumChangepoint, pivotEvents, meltEvents, eventPaths)
 }

@@ -114,6 +114,42 @@ class SequenceSpec extends SparkSpec {
     assert(row.getAs[Long]("n_days") == 20L)
   }
 
+  test("pivot -> melt roundtrip: wide counts exact, zeros restored") {
+    val d = writeEvents(Seq(
+      Row(0L, 1L, at(0), "view", 1.0, "{}"),
+      Row(1L, 1L, at(1), "view", 1.0, "{}"),
+      Row(2L, 1L, at(2), "click", 1.0, "{}"),
+      Row(3L, 2L, at(0), "purchase", 1.0, "{}")))
+    val wide = SequenceQueries.pivotEvents.build(spark, d).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(wide(1L).getAs[Long]("n_view") == 2)
+    assert(wide(1L).getAs[Long]("n_click") == 1)
+    assert(wide(1L).getAs[Long]("n_purchase") == 0) // explicit zero
+    assert(wide(2L).getAs[Long]("n_purchase") == 1)
+    val long = SequenceQueries.meltEvents.build(spark, d).collect()
+    // melt restores the full 2-user x 5-type grid, zeros included
+    assert(long.length == 10)
+    val m = long.map(r => (r.getAs[Long]("user_id"),
+      r.getAs[String]("event_type")) -> r.getAs[Long]("n")).toMap
+    assert(m((1L, "view")) == 2 && m((1L, "signup")) == 0)
+    assert(m((2L, "purchase")) == 1 && m((2L, "view")) == 0)
+  }
+
+  test("event paths: exact trigram counts on a crafted timeline") {
+    val d = writeEvents(Seq(
+      Row(0L, 1L, at(0), "view", 1.0, "{}"),
+      Row(1L, 1L, at(1), "view", 1.0, "{}"),
+      Row(2L, 1L, at(2), "click", 1.0, "{}"),
+      Row(3L, 1L, at(3), "purchase", 1.0, "{}"),
+      Row(4L, 2L, at(0), "view", 1.0, "{}"),
+      Row(5L, 2L, at(1), "click", 1.0, "{}"))) // too short for a trigram
+    val r = SequenceQueries.eventPaths.build(spark, d).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2)) ->
+        x.getAs[Long]("n")).toMap
+    assert(r == Map(("view", "view", "click") -> 1L,
+      ("view", "click", "purchase") -> 1L))
+  }
+
   test("sequence queries run end-to-end on real testdata") {
     assert(SequenceQueries.eventTransitions.build(spark, sf).count() > 0)
     assert(SequenceQueries.ohlcBars.build(spark, sf).count() > 0)

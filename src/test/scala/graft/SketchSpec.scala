@@ -179,4 +179,15 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(corrected - exact) / exact < 0.10,
       s"corrected estimate $corrected vs exact $exact out of tolerance")
   }
+
+  test("cms join-size estimate is one-sided and close on real data") {
+    val row = graft.queries.EventQueries.cmsJoinSize.build(spark, sf)
+      .collect().head
+    val exact = row.getAs[Long]("true_size")
+    val est = row.getAs[Long]("cms_estimate")
+    assert(exact > 0)
+    assert(est >= exact, s"inner-product estimate must upper-bound: $est < $exact")
+    // 4x512 bank over ~150 users: collisions inflate by far less than 2x
+    assert(est < 2 * exact, s"estimate $est implausibly far from $exact")
+  }
 }
