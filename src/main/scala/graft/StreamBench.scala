@@ -99,7 +99,9 @@ object StreamBench {
         build: DataFrame => DataFrame): (String, String) = {
       val in = if (name == "funnel" || name == "session_tws" ||
           name == "session_traj" || name == "hll_registers" ||
-          name == "bloom_words" || name == "cms_registers") s"$work/events"
+          name == "bloom_words" || name == "cms_registers" ||
+          name == "transitions" || name == "anomaly" ||
+          name == "ohlc") s"$work/events"
         else if (name == "semantic_hits") s"$work/vecs"
         else s"$work/docs"
       val t0 = System.nanoTime()
@@ -135,6 +137,15 @@ object StreamBench {
         streaming.Streams.bloomWords(df, "user_id")),
       run("cms_registers", nEvents, mode = "complete")(df =>
         streaming.Streams.cmsRegisters(df, "user_id")),
+      run("transitions", nEvents)(df =>
+        streaming.Streams.eventTransitions(
+          df.select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type")).as[streaming.TransEvent]).toDF()),
+      run("anomaly", nEvents)(df =>
+        streaming.Streams.anomalyFlags(
+          df.select(col("event_id"), col("user_id"), col("ts"),
+            col("value")).as[streaming.AnomEvent]).toDF()),
+      run("ohlc", nEvents)(df => streaming.Streams.ohlcBars(df)),
       run("hist_registers", nDocs, mode = "complete")(df =>
         streaming.Streams.histRegisters(
           df.select(col("source"),
