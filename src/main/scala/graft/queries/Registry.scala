@@ -8,8 +8,9 @@ object Registry {
       StatQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
       EventQueries.all ++ ScalarQueries.all ++ AdvancedJoinQueries.all ++
       CorpusQueries.all ++ CurationQueries.all ++ ClassifyQueries.all ++
-      GraphQueries.all ++ ProfileQueries.all ++ SequenceQueries.all
-  // (GraphQueries/ProfileQueries/SequenceQueries are the round-10 additions)
+      GraphQueries.all ++ ProfileQueries.all ++ SequenceQueries.all ++
+      LakehouseQueries.all
+  // (Graph/Profile/Sequence/LakehouseQueries are the round-10 additions)
 
   def queries = all.map(q => q.name -> q.build).toMap
   def oracleSql = all.flatMap(q => q.oracle.map(q.name -> _)).toMap

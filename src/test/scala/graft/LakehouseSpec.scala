@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.queries.LakehouseQueries
+
+/** Pins the lakehouse-primitive semantics the oracle can't state: SCD2
+  * interval chaining / single-current invariants, bitmap word-boundary
+  * bit placement (bit 63, word crossings), and the adaptive-Bloom ladder
+  * actually ADAPTING the filter size to the build cardinality. */
+class LakehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  private def eventsDir(rows: Seq[(Long, Timestamp, String, Double)]): String = {
+    val dir = Files.createTempDirectory("lakehouse-spec").toString
+    // ts stored as NANOSECOND longs, matching the driver testdata layout
+    rows.toDF("user_id", "ts0", "event_type", "value")
+      .select(unix_micros(col("ts0")).as("event_id"),
+        (unix_micros(col("ts0")) * 1000).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("""{"k":"1"}""").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("scd2: versions chain, tombstones are versions, one current per key") {
+    val dir = eventsDir(Seq(
+      (1L, ts(0), "signup", 1.0), (1L, ts(5), "purchase", 2.0),
+      (1L, ts(9), "error", 0.0), (1L, ts(20), "signup", 3.0),
+      (2L, ts(1), "signup", 4.0),
+      (3L, ts(2), "view", 9.0))) // read event: not a change, no versions
+    val rows = LakehouseQueries.scd2Build.build(spark, dir)
+      .as[(Long, Long, String, Double, Timestamp, Option[Timestamp], Boolean)]
+      .collect()
+    assert(rows.map(_._1).toSet == Set(1L, 2L), "only mutating keys versioned")
+    val k1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(k1.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L), "dense version numbers")
+    assert(k1.map(_._3).toSeq == Seq("upsert", "upsert", "delete", "upsert"),
+      "tombstone keeps its place in history")
+    // intervals chain: each valid_to equals the NEXT version's valid_from
+    k1.sliding(2).foreach { case Array(a, b) =>
+      assert(a._6.contains(b._5), s"interval chain broken at version ${a._2}")
+    }
+    assert(k1.count(_._7) == 1 && k1.last._7, "exactly the last version current")
+    assert(rows.filter(_._1 == 2L).map(r => (r._2, r._7)).toSeq == Seq((1L, true)))
+  }
+
+  test("scd2 on real data: dense versions, single current, ordered intervals") {
+    val df = LakehouseQueries.scd2Build.build(spark, sf).cache()
+    try {
+      val bad = df.groupBy("user_id")
+        .agg(max("version").as("mx"), count(lit(1)).as("n"),
+          sum(when(col("is_current"), 1).otherwise(0)).as("cur"))
+        .filter(col("mx") =!= col("n") || col("cur") =!= 1)
+        .count()
+      assert(bad == 0, "every key: dense versions and exactly one current row")
+      val unordered = df.filter(col("valid_to").isNotNull &&
+        col("valid_to") <= col("valid_from")).count()
+      assert(unordered == 0, "validity intervals strictly forward")
+    } finally df.unpersist()
+  }
+
+  test("bitmap overlap: word boundaries and bit 63 place correctly") {
+    // users 63 (bit 63 of word 0 — the sign bit), 64 (bit 0 of word 1),
+    // 127/128 (next boundary): overlap of the two segments is {63, 128}
+    val dir = eventsDir(Seq(
+      (63L, ts(0), "view", 1.0), (64L, ts(1), "view", 1.0),
+      (128L, ts(2), "view", 1.0),
+      (63L, ts(3), "click", 1.0), (127L, ts(4), "click", 1.0),
+      (128L, ts(5), "click", 1.0)))
+    val rows = LakehouseQueries.bitmapOverlap.build(spark, dir)
+      .as[(String, String, Long, Long, Boolean)].collect()
+    assert(rows.toSeq == Seq(("click", "view", 2L, 2L, true)))
+  }
+
+  test("bitmap overlap on real data: bitmap count == naive count, all pairs") {
+    val rows = LakehouseQueries.bitmapOverlap.build(spark, sf)
+      .as[(String, String, Long, Long, Boolean)].collect()
+    assert(rows.length == 10, "C(5,2) segment pairs")
+    assert(rows.forall(_._5), "bitmap intersection exact on every pair")
+    assert(rows.exists(_._3 > 0), "audiences genuinely intersect")
+  }
+
+  test("adaptive bloom: filter size tracks build cardinality up the ladder") {
+    def log(nMembers: Int, nOthers: Int) = eventsDir(
+      (1 to nMembers).map(i => (i.toLong, ts(0), "purchase", 1.0)) ++
+        (1 to nOthers).map(i => ((100000 + i).toLong, ts(1), "view", 1.0)))
+    val small = LakehouseQueries.adaptiveBloom.build(spark, log(40, 400))
+      .as[(Double, Long, Long, Long, Long, Long, Long, Boolean)].head()
+    val large = LakehouseQueries.adaptiveBloom.build(spark, log(3000, 400))
+      .as[(Double, Long, Long, Long, Long, Long, Long, Boolean)].head()
+    // (est, bits, n_users, n_members, fp, n_nonmembers, fpp_ppm, no_fn)
+    assert(small._2 == 1024L, s"40-key build sizes to the 2^10 floor: $small")
+    assert(large._2 > small._2, "3000-key build must climb the ladder")
+    assert((large._2 & (large._2 - 1)) == 0, "ladder yields a power of two")
+    for (r <- Seq(small, large)) {
+      assert(r._8, "no false negatives, ever")
+      assert(r._7 <= 60000, s"~16 bits/key holds FPP low, got ${r._7} ppm")
+    }
+  }
+
+  test("adaptive bloom on real data: guarantees hold, geometry from ladder") {
+    val r = LakehouseQueries.adaptiveBloom.build(spark, sf)
+      .as[(Double, Long, Long, Long, Long, Long, Long, Boolean)].head()
+    assert(r._8, "no false negatives on the real log")
+    assert((r._2 & (r._2 - 1)) == 0 && r._2 >= 1024L && r._2 <= (1L << 20))
+    assert(r._5 <= r._6, "false positives bounded by the non-member pool")
+  }
+}
