@@ -435,7 +435,52 @@ object GraphQueries {
       .orderBy("src", "rnk")
   }
 
+  /** BFS SHORTEST HOPS (4 unrolled frontier expansions) — hop distance
+    * from a deterministic root (the graph's minimum vertex id) to every
+    * vertex within 4 hops: the neighborhood/reachability primitive behind
+    * related-item exploration and duplicate-cluster radius checks. Four
+    * fixed rounds keep it ONE Catalyst plan (the kCore convention); each
+    * round is frontier JOIN edge-list -> union -> distinct — a keyed
+    * equi-join whose frontier side shrinks/broadcasts, the textbook
+    * scalable BFS step (no per-path enumeration: the frontier is a SET, so
+    * a dense graph costs |reachable| x degree per round, never the
+    * path-count blowup a naive recursive walk pays). The DuckDB mirror IS
+    * that naive bounded recursive walk — correct at oracle scale, and the
+    * cost contrast is the point.
+    *
+    * Determinism: hop distance is MIN over discovery rounds — set
+    * semantics, no tie-break needed. All integers. */
+  val bfsHops: Q = Q(
+    "q_bfs_hops",
+    s"""WITH RECURSIVE $basketsCte,
+      |$pairCte,
+      |$edgeCte,
+      |und AS (SELECT p1 AS src, p2 AS dst FROM edge
+      |        UNION ALL SELECT p2, p1 FROM edge),
+      |root AS (SELECT MIN(p1) AS node FROM edge),
+      |walk(node, dist) AS (
+      |  SELECT node, 0 FROM root
+      |  UNION ALL
+      |  SELECT u.dst, w.dist + 1 FROM walk w JOIN und u ON u.src = w.node
+      |  WHERE w.dist < 4)
+      |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+      |FROM walk GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint(false)
+    val e = cut(edges(s, dir))
+    val und = cut(e.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(e.select(col("p2").as("src"), col("p1").as("dst"))))
+    val root = e.agg(min(col("p1")).as("node"))
+    var reach = cut(root.select(col("node"), lit(0L).as("dist")))
+    for (k <- 1 to 4) {
+      val next = reach.join(und, reach("node") === und("src"))
+        .select(und("dst").as("node"), lit(k.toLong).as("dist"))
+      reach = cut(reach.unionAll(next)
+        .groupBy("node").agg(min(col("dist")).as("dist")))
+    }
+    reach.orderBy("node")
+  }
+
   val all: Seq[Q] =
     Seq(basketRules, triangleCount, pageRank, kCore, graphComponents,
-      degreeHistogram, recommendTopk)
+      degreeHistogram, recommendTopk, bfsHops)
 }

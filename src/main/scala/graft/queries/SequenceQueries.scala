@@ -324,7 +324,148 @@ object SequenceQueries {
         .limit(20)
   }
 
+  /** GAPS-AND-ISLANDS ACTIVITY STREAKS — per user, the runs of CONSECUTIVE
+    * active days (the engagement primitive behind "7-day streak" features
+    * and the recency/consistency signals an interaction-log pipeline
+    * weights training data by). The classic islands trick: number each
+    * user's distinct active days, subtract the row number (in days) — the
+    * difference is CONSTANT exactly within a consecutive run, so one
+    * grouping on it recovers every island without any self-join.
+    *
+    * Shape at 100 TB: distinct (user, day) first (map-side combined, the
+    * big reduction), then ONE keyed window bounded by days-per-user (a few
+    * hundred even for a years-long log), then two hash aggregations.
+    * Everything after the distinct is bounded by users x days — no raw
+    * event row survives past the first aggregation. */
+  val streakIslands: Q = Q(
+    "q_streak_islands",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, d,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      |  FROM ud),
+      |isl AS (
+      |  SELECT user_id, d - CAST(rn AS INTEGER) AS grp, COUNT(*) AS len
+      |  FROM r GROUP BY user_id, d - CAST(rn AS INTEGER))
+      |SELECT user_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |       CAST(MAX(len) AS BIGINT) AS longest_streak,
+      |       CAST(SUM(len) AS BIGINT) AS active_days
+      |FROM isl GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val ud = t(s, dir, "events")
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("d"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    ud.select(col("user_id"), col("d"), row_number().over(w).as("rn"))
+      .groupBy(col("user_id"), date_sub(col("d"), col("rn")).as("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        sum(col("len")).as("active_days"))
+      .orderBy("user_id")
+  }
+
+  // 2^-k as exact plain-decimal strings, k = 1..16: the dyadic EWMA kernel
+  // weights, single-sourced so the Spark literals and the DuckDB SQL parse
+  // the IDENTICAL doubles (1/2^k is a finite decimal, so the string IS the
+  // double — the HLL dyadic-table trick).
+  private val EwmaWeights: Seq[String] = (1 to 16).map(k =>
+    (BigDecimal(1) / BigDecimal(2).pow(k)).underlying.toPlainString)
+
+  /** DYADIC-EXACT EWMA — exponentially-weighted moving average of the
+    * per-day event counts (alpha = 1/2, kernel truncated at 16 taps): the
+    * trend-smoothing operator behind rate monitoring and drift dashboards.
+    * Every weight 2^-k is a dyadic rational and every daily count fits in
+    * ~20 mantissa bits, so all 16 products and their sum are EXACT doubles
+    * — the smoothed series hash-matches across engines with no Det decimal
+    * machinery, the same exactness argument as the HLL harmonic sum. Terms
+    * beyond the 16th carry weight < 2^-16 (below half an event); the
+    * truncated kernel is NOT renormalized at the series head — the
+    * warm-up rows read low by the missing tail, documented standard
+    * behavior for a fixed-kernel smoother.
+    *
+    * Shape at 100 TB: the daily aggregation collapses the raw stream
+    * first; the 16-tap window partitions by event_type and is bounded by
+    * days-per-series. A 1000x corpus adds rows to the AGGREGATION (map-side
+    * combined), not to the window. */
+  val ewmaDaily: Q = {
+    def tapSql(j: Int) =
+      s"CAST(COALESCE(LAG(cnt, $j) OVER w, 0) AS DOUBLE) * ${EwmaWeights(j)}::DOUBLE"
+    Q(
+      "q_ewma_daily",
+      s"""WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+        |         COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, d, CAST(cnt AS BIGINT) AS cnt,
+        |       ${(0 until 16).map(tapSql).mkString("\n       + ")} AS ewma
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY d)
+        |ORDER BY event_type, d""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy("d")
+      val ewma = (0 until 16).map(j =>
+        coalesce(lag(col("cnt"), j).over(w), lit(0L)).cast("double") *
+          lit(EwmaWeights(j).toDouble)).reduce(_ + _)
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("event_type"), col("d"), col("cnt"), ewma.as("ewma"))
+        .orderBy("event_type", "d")
+    }
+  }
+
+  /** WEEKDAY SEASONAL PROFILE — the seasonality decomposition a traffic
+    * forecaster starts from: per (event_type, ISO weekday), the event
+    * volume and its seasonal index vs the series' flat daily mean, in
+    * exact parts-per-million (`s_dow * n_days_total * 1e6 DIV
+    * (n_days_dow * s_total)` — all integer, so the index hash-matches
+    * without any float ratio). Monday = 1 in both engines (Spark
+    * `weekday()+1`, DuckDB `isodow()`).
+    *
+    * Shape at 100 TB: the daily grid collapses the raw stream first
+    * (map-side combined); everything after is bounded by
+    * event_types x days, and the per-type totals join back by BROADCAST. */
+  val seasonalProfile: Q = Q(
+    "q_seasonal_profile",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |         COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |dw AS (
+      |  SELECT event_type, CAST(isodow(d) AS BIGINT) AS dow,
+      |         SUM(cnt) AS s, COUNT(*) AS nd
+      |  FROM daily GROUP BY 1, 2),
+      |tot AS (SELECT event_type, SUM(cnt) AS st, COUNT(*) AS ndt
+      |        FROM daily GROUP BY 1)
+      |SELECT w.event_type, w.dow,
+      |       CAST(w.s AS BIGINT) AS n_events,
+      |       CAST(w.nd AS BIGINT) AS n_days,
+      |       CAST(w.s * t.ndt * 1000000 // (w.nd * t.st) AS BIGINT) AS seasonal_ppm
+      |FROM dw w JOIN tot t USING (event_type)
+      |ORDER BY event_type, dow""".stripMargin) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(date_trunc("day", col("ts"))).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val dw = daily
+      .groupBy(col("event_type"), (expr("weekday(d)") + 1).cast("long").as("dow"))
+      .agg(sum(col("cnt")).as("s"), count(lit(1)).as("nd"))
+    val tot = daily.groupBy("event_type")
+      .agg(sum(col("cnt")).as("st"), count(lit(1)).as("ndt"))
+    dw.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("dow"),
+        col("s").cast("long").as("n_events"),
+        col("nd").cast("long").as("n_days"),
+        expr("s * ndt * 1000000 DIV (nd * st)").as("seasonal_ppm"))
+      .orderBy("event_type", "dow")
+  }
+
   val all: Seq[Q] =
     Seq(eventTransitions, ohlcBars, lastTouchAttribution, conversionTime,
-      cusumChangepoint, pivotEvents, meltEvents, eventPaths)
+      cusumChangepoint, pivotEvents, meltEvents, eventPaths, streakIslands,
+      ewmaDaily, seasonalProfile)
 }

@@ -105,11 +105,20 @@ class GraphSpec extends SparkSpec {
     assert(!rows.contains((4L, 2L)))
   }
 
+  test("bfs hops: exact distances from the min-id root; frontier is a set") {
+    // root = 1 (min vertex); triangle puts 2 and 3 at hop 1, pendant 4 at
+    // hop 2 — and 4 is discovered via BOTH 3-paths, so the MIN dedups it
+    val rows = GraphQueries.bfsHops.build(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
   test("graph queries run end-to-end on real testdata") {
     val tri = GraphQueries.triangleCount.build(spark, sf).collect()
     assert(tri.head.getAs[Long]("n_triangles") > 0)
     val pr = GraphQueries.pageRank.build(spark, sf).collect()
     assert(pr.length == 20)
     assert(GraphQueries.basketRules.build(spark, sf).count() > 0)
+    assert(GraphQueries.bfsHops.build(spark, sf).count() > 0)
   }
 }

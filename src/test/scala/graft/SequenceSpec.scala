@@ -150,10 +150,58 @@ class SequenceSpec extends SparkSpec {
       ("view", "click", "purchase") -> 1L))
   }
 
+  test("streaks: islands split exactly at day gaps") {
+    def day(d: Int, i: Int) = at(d.toLong * 1440 + i)
+    val dir = writeEvents(Seq(
+      // user 1: runs [1,2,3], [5], [10,11] — two events on day 1 must not
+      // double-count the day
+      Row(0L, 1L, day(1, 0), "view", 1.0, "{}"),
+      Row(1L, 1L, day(1, 30), "click", 1.0, "{}"),
+      Row(2L, 1L, day(2, 0), "view", 1.0, "{}"),
+      Row(3L, 1L, day(3, 0), "view", 1.0, "{}"),
+      Row(4L, 1L, day(5, 0), "view", 1.0, "{}"),
+      Row(5L, 1L, day(10, 0), "view", 1.0, "{}"),
+      Row(6L, 1L, day(11, 0), "view", 1.0, "{}"),
+      Row(7L, 2L, day(4, 0), "view", 1.0, "{}")))
+    val rows = SequenceQueries.streakIslands.build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, 3L, 3L, 6L), (2L, 1L, 1L, 1L)))
+  }
+
+  test("ewma: dyadic kernel is exact on a crafted daily series") {
+    def day(d: Int, i: Int) = at(d.toLong * 1440 + i)
+    val dir = writeEvents(
+      (0 until 4).map(i => Row(i.toLong, 1L, day(1, i), "view", 1.0, "{}")) ++
+        (0 until 2).map(i => Row((10 + i).toLong, 1L, day(2, i), "view", 1.0, "{}")) ++
+        (0 until 8).map(i => Row((20 + i).toLong, 1L, day(3, i), "view", 1.0, "{}")))
+    val rows = SequenceQueries.ewmaDaily.build(spark, dir)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    // counts 4, 2, 8 -> 4/2 ; 2/2+4/4 ; 8/2+2/4+4/8 — every term dyadic-exact
+    assert(rows.toSeq == Seq((4L, 2.0), (2L, 2.0), (8L, 5.0)))
+  }
+
+  test("seasonal profile: exact ppm index, ISO weekday keying") {
+    def day(d: Int, i: Int) = at(d.toLong * 1440 + i) // day 0 = Mon 2024-01-01
+    val dir = writeEvents(
+      // Mondays Jan 1 + Jan 8: counts 4 and 2; Tuesday Jan 2: count 1
+      (0 until 4).map(i => Row(i.toLong, 1L, day(0, i), "view", 1.0, "{}")) ++
+        (0 until 2).map(i => Row((10 + i).toLong, 1L, day(7, i), "view", 1.0, "{}")) ++
+        Seq(Row(20L, 1L, day(1, 0), "view", 1.0, "{}")))
+    val rows = SequenceQueries.seasonalProfile.build(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // Monday: s=6 over 2 days vs flat 7/3 -> 6*3e6 DIV (2*7); Tuesday: 1*3e6 DIV 7
+    assert(rows.toSeq == Seq(
+      (1L, 6L, 2L, 6L * 3L * 1000000L / (2L * 7L)),
+      (2L, 1L, 1L, 3000000L / 7L)))
+  }
+
   test("sequence queries run end-to-end on real testdata") {
     assert(SequenceQueries.eventTransitions.build(spark, sf).count() > 0)
     assert(SequenceQueries.ohlcBars.build(spark, sf).count() > 0)
     val a = SequenceQueries.lastTouchAttribution.build(spark, sf)
     assert(a.count() > 0)
+    assert(SequenceQueries.streakIslands.build(spark, sf).count() > 0)
+    assert(SequenceQueries.ewmaDaily.build(spark, sf).count() > 0)
+    assert(SequenceQueries.seasonalProfile.build(spark, sf).count() > 0)
   }
 }
