@@ -402,7 +402,60 @@ object ProfileQueries {
         max(col("share")).as("top_share_ppm"))
   }
 
+  /** GROUPED SKYLINE (Pareto frontier) — per brand, the parts no other
+    * part of that brand dominates on (lower price, larger size): the
+    * preference-query operator behind best-value ranking and
+    * multi-objective candidate pruning (Borzsony/Kossmann/Stocker ICDE'01).
+    * For 2 objectives the frontier needs NO pairwise dominance join: sort
+    * each group by price and a point survives iff no strictly-cheaper row
+    * reaches its size (running MAX over the strictly-preceding RANGE) and
+    * no same-price row beats it (MAX over the price tie group) — two
+    * window passes, O(n log n), where the textbook NOT EXISTS self-join is
+    * quadratic.
+    *
+    * Determinism: prices compare as exact integer cents (ROUND(x*100) —
+    * the double product is identical in both engines and both round
+    * half-up for positives); ties keep ALL non-dominated rows, so no
+    * tie-break is ever taken.
+    *
+    * Shape at 100 TB: the window partitions by brand — the distributed
+    * skyline's local-frontier step with the partition AS the group, so the
+    * result is exact; dominated rows (the vast majority) never leave their
+    * partition. */
+  val skyline: Q = Q(
+    "q_skyline",
+    """WITH p AS (
+      |  SELECT p_brand, p_partkey, p_size, p_retailprice,
+      |         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+      |  FROM part),
+      |fl AS (
+      |  SELECT *,
+      |         MAX(p_size) OVER (PARTITION BY p_brand ORDER BY cents
+      |           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper,
+      |         MAX(p_size) OVER (PARTITION BY p_brand, cents) AS best_same
+      |  FROM p)
+      |SELECT p_brand, p_partkey, p_size, p_retailprice
+      |FROM fl
+      |WHERE (best_cheaper IS NULL OR best_cheaper < p_size)
+      |  AND best_same <= p_size
+      |ORDER BY p_brand, cents, p_partkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val cents = round(col("p_retailprice") * 100).cast("long")
+    val wCheaper = Window.partitionBy("p_brand").orderBy("cents")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSame = Window.partitionBy("p_brand", "cents")
+    t(s, dir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_size"),
+        col("p_retailprice"), cents.as("cents"))
+      .withColumn("best_cheaper", max(col("p_size")).over(wCheaper))
+      .withColumn("best_same", max(col("p_size")).over(wSame))
+      .filter((col("best_cheaper").isNull || col("best_cheaper") < col("p_size")) &&
+        col("best_same") <= col("p_size"))
+      .orderBy(col("p_brand"), col("cents"), col("p_partkey"))
+      .select(col("p_brand"), col("p_partkey"), col("p_size"), col("p_retailprice"))
+  }
+
   val all: Seq[Q] =
     Seq(tableProfile, zorderLayout, anomalyZscore, driftChisq, winsorize,
-      sourceHhi)
+      sourceHhi, skyline)
 }

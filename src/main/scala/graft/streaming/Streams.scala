@@ -184,6 +184,64 @@ private[streaming] class AnomalyProcessor
   }
 }
 
+/** Minimal event for the streak maintainer: just (user, event time). */
+final case class DayEvent(user_id: Long, ts: java.sql.Timestamp)
+
+/** Streak counters for one user: the CLOSED-FORM state of
+  * q_streak_islands — last active day (epoch days), current run length,
+  * and the three reported aggregates. */
+final case class StreakState(lastDay: Long, curLen: Long, nStreaks: Long,
+    bestLen: Long, activeDays: Long)
+
+/** One per-user streak summary row; `active_days` strictly increases
+  * between a user's emissions, so the row with the max is the final one. */
+final case class StreakUpdate(user_id: Long, n_streaks: Long,
+    longest_streak: Long, active_days: Long, last_day: Long)
+
+/** Streaming STREAK maintainer: the incremental twin of
+  * q_streak_islands. State is FIVE longs per user — the gaps-and-islands
+  * aggregates have a closed incremental form (a new day either extends
+  * the current run, opens a new one, or repeats the last day), so the
+  * stream never stores the day set the batch query groups over. For
+  * in-order per-user arrival the final per-user summary bit-matches the
+  * batch rows across any micro-batch split (StreamingSpec proves it);
+  * a row older than the user's last seen day is absorbed as a no-op (the
+  * in-order assumption, stated — the batch query would have counted that
+  * day, so late data needs the batch path, as with any streaming
+  * aggregation without retraction). Emits one updated summary per user
+  * per micro-batch that changed its state. */
+private[streaming] class StreakProcessor
+    extends StatefulProcessor[Long, DayEvent, StreakUpdate] {
+  @transient private var st: ValueState[StreakState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[StreakState]("streak",
+      Encoders.product[StreakState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[DayEvent],
+      timers: TimerValues): Iterator[StreakUpdate] = {
+    var s = if (st.exists()) st.get()
+      else StreakState(Long.MinValue, 0L, 0L, 0L, 0L)
+    val before = s
+    rows.toSeq.map(e => Streams.micros(e.ts) / 86400000000L).sorted.foreach { d =>
+      if (s.activeDays == 0L)
+        s = StreakState(d, 1L, 1L, 1L, 1L)
+      else if (d == s.lastDay + 1L)
+        s = StreakState(d, s.curLen + 1L, s.nStreaks,
+          math.max(s.bestLen, s.curLen + 1L), s.activeDays + 1L)
+      else if (d > s.lastDay)
+        s = StreakState(d, 1L, s.nStreaks + 1L, s.bestLen, s.activeDays + 1L)
+      // d <= lastDay: same day repeat or out-of-order — no-op (see scaladoc)
+    }
+    if (s == before) Iterator.empty
+    else {
+      st.update(s)
+      Iterator.single(
+        StreakUpdate(user, s.nStreaks, s.bestLen, s.activeDays, s.lastDay))
+    }
+  }
+}
+
 /** Streaming FUNNEL state machine: per-user progression through the
   * view -> click -> purchase sequence with strict event-time ordering —
   * the incremental twin of q_event_funnel. State is ONE (stage, anchor)
@@ -751,6 +809,17 @@ object Streams {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new AnomalyProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming activity-streak maintainer (see [[StreakProcessor]]): the
+    * incremental form of q_streak_islands with five longs of state per
+    * user. Requires the RocksDB state store provider (as
+    * [[sessionizeTws]]). */
+  def activityStreaks(events: Dataset[DayEvent]): Dataset[StreakUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new StreakProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 

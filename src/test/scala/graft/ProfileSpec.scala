@@ -142,6 +142,29 @@ class ProfileSpec extends SparkSpec {
     assert(r.getAs[Long]("top_share_ppm") == 500000L)
   }
 
+  test("skyline: dominated rows drop, ties and incomparable rows survive") {
+    val d = Files.createTempDirectory("graft-skyline").toString
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_brand", StringType),
+      StructField("p_size", IntegerType), StructField("p_retailprice", DoubleType)))
+    val parts = Seq(
+      // brand A: (80,3)x2 duplicates — both survive (neither dominates);
+      // (90,5) and (120,9) incomparable frontier; (100,5) + dup dominated
+      // by (90,5) via strictly-cheaper-equal-size
+      Row(1L, "A", 3, 80.0), Row(2L, "A", 3, 80.0),
+      Row(3L, "A", 5, 90.0), Row(4L, "A", 9, 120.0),
+      Row(5L, "A", 5, 100.0), Row(6L, "A", 5, 100.0),
+      // (90,4): same price as the size-5 row — dominated within the tie
+      Row(7L, "A", 4, 90.0),
+      // brand B is its own group: a row brand A would dominate survives
+      Row(8L, "B", 1, 500.0))
+    spark.createDataFrame(spark.sparkContext.parallelize(parts, 2), schema)
+      .write.mode("overwrite").parquet(s"$d/part.parquet")
+    val got = ProfileQueries.skyline.build(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq("A" -> 1L, "A" -> 2L, "A" -> 3L, "A" -> 4L, "B" -> 8L))
+  }
+
   test("anomaly rate on real testdata is small and nonzero") {
     val n = ProfileQueries.anomalyZscore.build(spark, sf).count()
     val total = spark.read.parquet(s"$sf/events.parquet").count()

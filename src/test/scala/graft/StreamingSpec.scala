@@ -837,6 +837,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("activityStreaks: final streamed summaries bit-match q_streak_islands") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = graft.queries.SequenceQueries.streakIslands.build(spark, sf)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      val events = graft.engine.Tables.t(spark, sf, "events")
+        .select(col("user_id"), col("ts"))
+        .orderBy("ts")
+        .as[graft.streaming.DayEvent].collect()
+      // split INSIDE the day range so streaks straddle the batch boundary
+      val (b1, b2) = events.splitAt(events.length / 3)
+      val in = MemoryStream[graft.streaming.DayEvent]
+      val q = Streams.activityStreaks(in.toDS())
+        .writeStream.format("memory").queryName("streaks")
+        .outputMode("append").start()
+      try {
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+        // active_days strictly increases between a user's emissions: the
+        // max row per user is the final summary
+        val streamed = spark.table("streaks")
+          .as[(Long, Long, Long, Long, Long)].collect()
+          .groupBy(_._1)
+          .map { case (u, rows) =>
+            val last = rows.maxBy(_._4)
+            u -> (last._2, last._3, last._4)
+          }
+        assert(streamed == batch,
+          s"mismatched users: ${
+            (streamed.toSet diff batch.toSet).take(3)} vs ${
+            (batch.toSet diff streamed.toSet).take(3)}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("eventTransitions: streamed pairs aggregate to the batch counts") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions.col
