@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.engine.Tables.t
+import graft.functions.Text
+
+/** Data-quality and experimentation AUDITS — the governance queries a
+  * 100-TB platform schedules against every managed table: referential
+  * integrity across the star schema's foreign-key edges, fact-vs-rollup
+  * reconciliation, and deterministic A/B experiment readout. Engine-own
+  * surface (SURVEY §7.5 spirit; the reference's only audit is a null
+  * inspection, main.py:74-88).
+  *
+  * Determinism: integrity counts are integers; reconciliation totals use
+  * the engine's Det decimal-sum rule so the float sums hash-match; the A/B
+  * assignment is the md5-32 content hash (the q_train_split convention) —
+  * reproducible in any engine, the property a real experiment system
+  * needs so a user's arm never flips between runs.
+  */
+object AuditQueries {
+
+  /** FOREIGN-KEY INTEGRITY AUDIT — one row per FK edge of the star
+    * schema: child rows, orphan child rows (no parent), and distinct
+    * orphan keys. The dangling-reference detector every warehouse runs
+    * after each load; all four edges audited in ONE query so the report
+    * is a single artifact.
+    *
+    * Shape at 100 TB: each edge is a LEFT ANTI join on the key — the
+    * parent side is its key projection only (column-pruned at the scan),
+    * dims broadcast, the two counts fold in one aggregation per edge.
+    * Nothing wide ever shuffles. */
+  val fkIntegrity: Q = {
+    val edges = Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"))
+    def edgeSql(e: (String, String, String, String, String)) = {
+      val (name, child, ck, parent, pk) = e
+      s"""SELECT '$name' AS fk_edge,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM $child) AS n_child_rows,
+         |       CAST(COUNT(*) AS BIGINT) AS n_orphan_rows,
+         |       CAST(COUNT(DISTINCT c.$ck) AS BIGINT) AS n_orphan_keys
+         |FROM $child c LEFT JOIN $parent p ON p.$pk = c.$ck
+         |WHERE p.$pk IS NULL""".stripMargin
+    }
+    Q(
+      "q_fk_integrity",
+      edges.map(edgeSql).mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")) {
+      (s, dir) =>
+        def edgeDf(e: (String, String, String, String, String)): DataFrame = {
+          val (name, child, ck, parent, pk) = e
+          val c = t(s, dir, child).select(col(ck))
+          val orphans = c.join(broadcast(t(s, dir, parent).select(col(pk))),
+            col(ck) === col(pk), "left_anti")
+          c.agg(count(lit(1)).as("n_child_rows"))
+            .crossJoin(orphans.agg(count(lit(1)).as("n_orphan_rows"),
+              countDistinct(col(ck)).as("n_orphan_keys")))
+            .select(lit(name).as("fk_edge"), col("n_child_rows"),
+              col("n_orphan_rows"), col("n_orphan_keys"))
+        }
+        edges.map(edgeDf).reduce(_ unionAll _).orderBy("fk_edge")
+    }
+  }
+
+  /** FACT-vs-ROLLUP RECONCILIATION — per order, the lineitem-derived
+    * charge total `sum(extprice * (1-disc) * (1+tax))` against the
+    * order-header o_totalprice, with the discrepancy in exact cents and
+    * the line count (0-line orders included via the LEFT join): the
+    * consistency audit that catches partial loads, double-applied deltas,
+    * and drifted denormalizations between a fact table and its rollup.
+    *
+    * Determinism: each per-line charge is one IEEE double product
+    * (identical in both engines); the per-order sum goes through the
+    * engine's DECIMAL(38,6) exact-sum rule (order-independent), and the
+    * discrepancy is reported as ROUND(|diff| * 100) integer cents.
+    *
+    * Shape at 100 TB: one map-side-combined aggregation of the fact table
+    * on its natural key, then one keyed equi-join to the header — both
+    * sides already partitioned by the same key in a bucketed layout, so
+    * the join is co-located; no window, no second pass. */
+  val orderReconcile: Q = Q(
+    "q_order_reconcile",
+    """WITH li AS (
+      |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+      |                       AS DECIMAL(38,6))) AS DOUBLE) AS computed_total
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT o.o_orderkey, COALESCE(li.n_lines, 0) AS n_lines,
+      |       o.o_totalprice, li.computed_total,
+      |       CAST(ROUND(ABS(o.o_totalprice - COALESCE(li.computed_total, 0.0)) * 100)
+      |            AS BIGINT) AS diff_cents
+      |FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+      |ORDER BY o.o_orderkey""".stripMargin) { (s, dir) =>
+    val charge = col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+      (lit(1.0) + col("l_tax"))
+    val li = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(charge.cast(DecimalType(38, 6))).cast(DoubleType).as("computed_total"))
+    t(s, dir, "orders")
+      .join(li, col("l_orderkey") === col("o_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        col("o_totalprice"), col("computed_total"),
+        round(abs(col("o_totalprice") - coalesce(col("computed_total"), lit(0.0))) * 100)
+          .cast("long").as("diff_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  /** A/B EXPERIMENT READOUT — users deterministically hash-split into two
+    * arms (md5-32 of "exp1:"+user_id, mod 2 — the same content-hash
+    * assignment rule as q_train_split, so an arm never flips between
+    * runs or engines), conversion = at least one purchase event, and the
+    * readout is one row: per-arm users/conversions, conversion rates and
+    * relative lift in exact ppm integers, and the 2x2 chi-square statistic
+    * `n*(ad-bc)^2 / (margin products)` as ONE IEEE division of two exactly-
+    * computed integer operands (the q_kmv_distinct determinism pattern —
+    * both operands stay under 2^53 while conversions < ~9e7 per arm; past
+    * that, promote the numerator to DECIMAL(38,0) before the division).
+    *
+    * Shape at 100 TB: one distinct + one filtered distinct on the user
+    * key (map-side combined), one broadcast-joined membership flag, then
+    * a 2-row aggregation folded to a single row. The raw event stream is
+    * touched exactly twice, never joined against itself. */
+  val abLift: Q = Q(
+    "q_ab_lift",
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CAST(('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS arm
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |conv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      |arms AS (
+      |  SELECT u.arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |         CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+      |  FROM u LEFT JOIN conv c ON c.user_id = u.user_id
+      |  GROUP BY u.arm),
+      |wide AS (
+      |  SELECT MAX(CASE WHEN arm = 0 THEN n_users END) AS n_control,
+      |         MAX(CASE WHEN arm = 0 THEN n_conv END) AS conv_control,
+      |         MAX(CASE WHEN arm = 1 THEN n_users END) AS n_treat,
+      |         MAX(CASE WHEN arm = 1 THEN n_conv END) AS conv_treat
+      |  FROM arms),
+      |d AS (
+      |  SELECT *, conv_control * (n_treat - conv_treat)
+      |            - conv_treat * (n_control - conv_control) AS adbc
+      |  FROM wide)
+      |SELECT n_control, conv_control, n_treat, conv_treat,
+      |       conv_control * 1000000 // n_control AS rate_control_ppm,
+      |       conv_treat * 1000000 // n_treat AS rate_treat_ppm,
+      |       conv_treat * n_control * 1000000 // (conv_control * n_treat) AS lift_ppm,
+      |       CAST((n_control + n_treat) * adbc * adbc AS DOUBLE)
+      |       / CAST((conv_control + conv_treat)
+      |              * ((n_control - conv_control) + (n_treat - conv_treat))
+      |              * n_control * n_treat AS DOUBLE) AS chi2
+      |FROM d""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val u = ev.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        (Text.md5Hash32(concat(lit("exp1:"), col("user_id").cast("string"))) % 2)
+          .as("arm"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().withColumn("is_c", lit(true))
+    val arms = u.join(broadcast(conv), Seq("user_id"), "left")
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("is_c").isNotNull, 1).otherwise(0)).cast("long").as("n_conv"))
+    arms.agg(
+        max(when(col("arm") === 0, col("n_users"))).as("n_control"),
+        max(when(col("arm") === 0, col("n_conv"))).as("conv_control"),
+        max(when(col("arm") === 1, col("n_users"))).as("n_treat"),
+        max(when(col("arm") === 1, col("n_conv"))).as("conv_treat"))
+      .withColumn("adbc",
+        expr("conv_control * (n_treat - conv_treat) - conv_treat * (n_control - conv_control)"))
+      .select(col("n_control"), col("conv_control"), col("n_treat"), col("conv_treat"),
+        expr("conv_control * 1000000 DIV n_control").as("rate_control_ppm"),
+        expr("conv_treat * 1000000 DIV n_treat").as("rate_treat_ppm"),
+        expr("conv_treat * n_control * 1000000 DIV (conv_control * n_treat)")
+          .as("lift_ppm"),
+        (expr("(n_control + n_treat) * adbc * adbc").cast("double") /
+          expr("""(conv_control + conv_treat)
+            * ((n_control - conv_control) + (n_treat - conv_treat))
+            * n_control * n_treat""").cast("double")).as("chi2"))
+  }
+
+  val all: Seq[Q] = Seq(fkIntegrity, orderReconcile, abLift)
+}

@@ -9,7 +9,7 @@ object Registry {
       EventQueries.all ++ ScalarQueries.all ++ AdvancedJoinQueries.all ++
       CorpusQueries.all ++ CurationQueries.all ++ ClassifyQueries.all ++
       GraphQueries.all ++ ProfileQueries.all ++ SequenceQueries.all ++
-      LakehouseQueries.all
+      LakehouseQueries.all ++ AuditQueries.all
   // (Graph/Profile/Sequence/LakehouseQueries are the round-10 additions)
 
   def queries = all.map(q => q.name -> q.build).toMap

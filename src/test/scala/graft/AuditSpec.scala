@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.AuditQueries
+
+/** Pins the audit semantics the oracle can't state: planted FK orphans
+  * are found (and clean edges report zero), reconciliation cents are
+  * exact on crafted books, and the A/B readout agrees with a
+  * hand-folded contingency table under the single-sourced hash split. */
+class AuditSpec extends SparkSpec {
+
+  private def writeTable(dir: String, name: String, schema: StructType,
+      rows: Seq[Row]): Unit =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+
+  test("fk integrity: planted orphans counted by row AND key; clean edges zero") {
+    val d = Files.createTempDirectory("graft-audit").toString
+    writeTable(d, "orders", StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType))),
+      Seq(Row(1L, 10L), Row(2L, 10L), Row(3L, 99L))) // custkey 99 orphan
+    writeTable(d, "customer", StructType(Seq(
+      StructField("c_custkey", LongType))), Seq(Row(10L), Row(11L)))
+    writeTable(d, "part", StructType(Seq(
+      StructField("p_partkey", LongType))), Seq(Row(100L)))
+    writeTable(d, "supplier", StructType(Seq(
+      StructField("s_suppkey", LongType))), Seq(Row(200L)))
+    writeTable(d, "lineitem", StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType))),
+      Seq(
+        Row(1L, 100L, 200L), // fully valid
+        Row(7L, 100L, 200L), Row(7L, 100L, 200L), // orderkey 7 orphan x2 rows
+        Row(8L, 100L, 200L))) // orderkey 8 orphan
+    val got = AuditQueries.fkIntegrity.build(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got("lineitem.l_orderkey->orders") == ((4L, 3L, 2L)))
+    assert(got("lineitem.l_partkey->part") == ((4L, 0L, 0L)))
+    assert(got("lineitem.l_suppkey->supplier") == ((4L, 0L, 0L)))
+    assert(got("orders.o_custkey->customer") == ((3L, 1L, 1L)))
+  }
+
+  test("order reconcile: exact cents, mismatches surfaced, 0-line orders kept") {
+    val d = Files.createTempDirectory("graft-audit2").toString
+    writeTable(d, "orders", StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_totalprice", DoubleType))),
+      Seq(Row(1L, 220.0), Row(2L, 100.0), Row(3L, 50.0)))
+    writeTable(d, "lineitem", StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType), StructField("l_tax", DoubleType))),
+      Seq(
+        // order 1: 100*(1-0)*(1+0.1) + 100*(1-0)*(1+0.1) = 220 — consistent
+        Row(1L, 100.0, 0.0, 0.1), Row(1L, 100.0, 0.0, 0.1),
+        // order 2: 100*(1-0.25)*(1+0) = 75 -> 25.00 off
+        Row(2L, 100.0, 0.25, 0.0)))
+    // order 3 has no lines -> computed_total null, diff = full header amount
+    val got = AuditQueries.orderReconcile.build(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 2L, 0L), (2L, 1L, 2500L), (3L, 0L, 5000L)))
+  }
+
+  test("ab lift: readout equals a hand-folded table under the shared split") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-audit3").toString
+    val users = (1L to 40L).toSeq
+    val converted = users.filter(_ % 3 == 0).toSet
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    writeTable(d, "events", StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType))),
+      users.flatMap { u =>
+        Seq(Row(u * 10, u, t0, "view", 1.0, "{}")) ++
+          (if (converted(u)) Seq(Row(u * 10 + 1, u, t0, "purchase", 1.0, "{}"))
+           else Nil)
+      })
+    // fold the expected 2x2 table through the SAME single-sourced hash
+    val arms = users.toDF("user_id")
+      .select(col("user_id"),
+        (graft.functions.Text.md5Hash32(
+          concat(lit("exp1:"), col("user_id").cast("string"))) % 2).as("arm"))
+      .as[(Long, Long)].collect().toMap
+    val (nC, nT) = (arms.count(_._2 == 0L).toLong, arms.count(_._2 == 1L).toLong)
+    val cC = users.count(u => arms(u) == 0L && converted(u)).toLong
+    val cT = users.count(u => arms(u) == 1L && converted(u)).toLong
+    val r = AuditQueries.abLift.build(spark, d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((nC, cC, nT, cT)))
+    assert(r.getLong(4) == cC * 1000000L / nC)
+    assert(r.getLong(5) == cT * 1000000L / nT)
+    assert(r.getLong(6) == cT * nC * 1000000L / (cC * nT))
+    val adbc = cC * (nT - cT) - cT * (nC - cC)
+    val expChi2 = ((nC + nT) * adbc * adbc).toDouble /
+      ((cC + cT) * ((nC - cC) + (nT - cT)) * nC * nT).toDouble
+    assert(r.getDouble(7) == expChi2, "chi2 is the exact-operand IEEE division")
+  }
+
+  test("audits run end-to-end on real testdata: star schema is orphan-free") {
+    val fk = AuditQueries.fkIntegrity.build(spark, sf).collect()
+    assert(fk.length == 4)
+    assert(fk.forall(_.getLong(2) == 0L), "driver testdata has no FK orphans")
+    assert(AuditQueries.orderReconcile.build(spark, sf).count() > 0)
+    val ab = AuditQueries.abLift.build(spark, sf).collect().head
+    assert(ab.getLong(0) > 0 && ab.getLong(2) > 0, "both arms populated")
+  }
+}
