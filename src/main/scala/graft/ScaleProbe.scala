@@ -117,7 +117,8 @@ object ScaleProbe {
     "q_anomaly_zscore", "q_event_transitions", "q_ohlc_bars",
     "q_attribution", "q_drift_chisq", "q_winsorize", "q_cusum_changepoint",
     "q_conversion_time", "q_pivot_events", "q_melt_events", "q_event_paths",
-    "q_cms_join_size")
+    "q_cms_join_size", "q_scd2_build", "q_bitmap_overlap", "q_adaptive_bloom",
+    "q_streak_islands", "q_ewma_daily", "q_seasonal_profile", "q_ab_lift")
 
   private val Repl = 10
   // larger than any planted-twin id offset (max is 9_000_000 + base ids,

@@ -101,7 +101,7 @@ object StreamBench {
           name == "session_traj" || name == "hll_registers" ||
           name == "bloom_words" || name == "cms_registers" ||
           name == "transitions" || name == "anomaly" ||
-          name == "ohlc") s"$work/events"
+          name == "ohlc" || name == "streaks") s"$work/events"
         else if (name == "semantic_hits") s"$work/vecs"
         else s"$work/docs"
       val t0 = System.nanoTime()
@@ -146,6 +146,9 @@ object StreamBench {
           df.select(col("event_id"), col("user_id"), col("ts"),
             col("value")).as[streaming.AnomEvent]).toDF()),
       run("ohlc", nEvents)(df => streaming.Streams.ohlcBars(df)),
+      run("streaks", nEvents)(df =>
+        streaming.Streams.activityStreaks(
+          df.select(col("user_id"), col("ts")).as[streaming.DayEvent]).toDF()),
       run("hist_registers", nDocs, mode = "complete")(df =>
         streaming.Streams.histRegisters(
           df.select(col("source"),

@@ -652,8 +652,66 @@ object CorpusQueries {
     }
   }
 
+  /** COLLOCATION MINING — document-level co-occurrence lift over the
+    * df-ranked top-100 vocabulary: which token pairs appear in the same
+    * document far more often than independence predicts (lift =
+    * n12 * n_docs / (n1 * n2), in exact ppm integers — the q_basket_rules
+    * metric applied to text, the association signal behind phrase
+    * detection and topic seeding). Support floor n12 >= 5 cuts one-off
+    * noise (the df-cut idiom); top-50 pairs by co-occurrence via
+    * TakeOrderedAndProject.
+    *
+    * Shape at 100 TB: the vocabulary is LIMIT-bounded (100 rows at any
+    * scale) and BROADCAST onto the exploded token stream, so the
+    * incidence table carries only vocab hits; the pair self-join fans out
+    * at most C(100,2) per document — a constant factor, never quadratic in
+    * corpus size — and aggregates to <= 4,950 pair keys with map-side
+    * combine. Lift's BIGINT numerator n12 * n_docs * 1e6 holds to ~9e6
+    * docs per n12 unit; past that promote to DECIMAL(38,0) (the
+    * q_basket_rules headroom note). */
+  val collocationLift: Q = Q(
+    "q_collocation_lift",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |v AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+      |top AS (SELECT tok, df FROM v ORDER BY df DESC, tok LIMIT 100),
+      |inc AS (SELECT DISTINCT t.doc_id, t.tok FROM tok t JOIN top ON top.tok = t.tok),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |pair AS (
+      |  SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS n12
+      |  FROM inc a JOIN inc b ON b.doc_id = a.doc_id AND a.tok < b.tok
+      |  GROUP BY a.tok, b.tok),
+      |r AS (SELECT p.t1, p.t2, p.n12, v1.df AS n1, v2.df AS n2, nd.n_docs
+      |      FROM pair p JOIN top v1 ON v1.tok = p.t1
+      |                  JOIN top v2 ON v2.tok = p.t2, nd
+      |      WHERE p.n12 >= 5)
+      |SELECT t1, t2, CAST(n12 AS BIGINT) AS n12,
+      |       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |       CAST(n12 * n_docs * 1000000 // (n1 * n2) AS BIGINT) AS lift_ppm
+      |FROM r ORDER BY n12 DESC, t1, t2 LIMIT 50""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+    val top = tok.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(100)
+    val inc = tok.join(broadcast(top.select("tok")), Seq("tok")).distinct()
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val pair = inc.as("a")
+      .join(inc.as("b"),
+        col("b.doc_id") === col("a.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("t1"), col("b.tok").as("t2"))
+      .agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= 5)
+    pair
+      .join(broadcast(top.select(col("tok").as("t1"), col("df").as("n1"))), Seq("t1"))
+      .join(broadcast(top.select(col("tok").as("t2"), col("df").as("n2"))), Seq("t2"))
+      .crossJoin(broadcast(nd)) // 1-row aggregate side
+      .select(col("t1"), col("t2"), col("n12"), col("n1"), col("n2"),
+        expr("n12 * n_docs * 1000000 DIV (n1 * n2)").as("lift_ppm"))
+      .orderBy(col("n12").desc, col("t1"), col("t2"))
+      .limit(50)
+  }
+
   val all: Seq[Q] =
     Seq(decontaminate, semanticDecontaminate, mixSample, repetitionQuality,
       vocabTopk, tfidfKeywords, lengthQuantiles, quantileSketch, bpePairs,
-      oovRate, keywordSearch)
+      oovRate, keywordSearch, collocationLift)
 }

@@ -311,5 +311,68 @@ object LakehouseQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(scd2Build, bitmapOverlap, adaptiveBloom)
+  /** POINT-IN-TIME (PIT) JOIN — each probe (view event) joined to the
+    * dimension state that was CURRENT at its event time: the feature-store
+    * primitive that prevents training-label leakage (a feature row must
+    * reflect only what was known at the example's timestamp — joining the
+    * latest state instead is the classic offline/online skew bug). Reads
+    * the same change stream q_scd2_build versions; a probe at a delete
+    * tombstone's effective time sees NULL state.
+    *
+    * Shape at 100 TB: the engine's as-of stream-merge form (the
+    * q_attribution shape): union changes + probes on the user key, ONE
+    * partition-local sort, one running last(ignoreNulls) of the packed
+    * change struct — never the probes x versions range join, whose
+    * interval predicate would force a per-key cross product. Ties are
+    * total: (ts, kind 0-before-1, event_id), so a change at exactly the
+    * probe's timestamp is visible to it in both engines.
+    */
+  val pitJoin: Q = Q(
+    "q_pit_join",
+    """WITH ops AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+      |  FROM events WHERE event_type IN ('signup', 'purchase', 'error')),
+      |tl AS (
+      |  SELECT user_id, ts, 0 AS kind, event_id,
+      |         struct_pack(vts := ts, vop := op, vval := value) AS ch
+      |  FROM ops
+      |  UNION ALL
+      |  SELECT user_id, ts, 1, event_id,
+      |         CAST(NULL AS STRUCT(vts TIMESTAMP, vop VARCHAR, vval DOUBLE))
+      |  FROM events WHERE event_type = 'view'),
+      |st AS (
+      |  SELECT *, LAST_VALUE(ch IGNORE NULLS) OVER
+      |         (PARTITION BY user_id ORDER BY ts, kind, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+      |  FROM tl)
+      |SELECT event_id AS probe_event_id, user_id, ts AS probe_ts,
+      |       m.vts AS version_ts, m.vop AS state_op,
+      |       CASE WHEN m.vop = 'delete' THEN NULL ELSE m.vval END AS state_value,
+      |       m.vts IS NOT NULL AND m.vop != 'delete' AS has_state
+      |FROM st WHERE kind = 1 ORDER BY probe_event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val chType = "struct<vts:timestamp,vop:string,vval:double>"
+    val changes = changeStream(s, dir)
+      .select(col("user_id"), col("ts"), lit(0).as("kind"), col("event_id"),
+        struct(col("ts").as("vts"), col("op").as("vop"),
+          col("value").as("vval")).as("ch"))
+    val probes = t(s, dir, "events").filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"),
+        lit(null).cast(chType).as("ch"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    changes.unionAll(probes)
+      .withColumn("m", last(col("ch"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id").as("probe_event_id"), col("user_id"),
+        col("ts").as("probe_ts"),
+        col("m.vts").as("version_ts"), col("m.vop").as("state_op"),
+        when(col("m.vop") === "delete", lit(null).cast("double"))
+          .otherwise(col("m.vval")).as("state_value"),
+        (col("m.vts").isNotNull && col("m.vop") =!= "delete").as("has_state"))
+      .orderBy("probe_event_id")
+  }
+
+  val all: Seq[Q] = Seq(scd2Build, bitmapOverlap, adaptiveBloom, pitJoin)
 }

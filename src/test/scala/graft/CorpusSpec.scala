@@ -166,4 +166,19 @@ class CorpusSpec extends SparkSpec {
       .sortBy { case (p, c, _) => (-c, p) }.take(50)
     assert(top == want)
   }
+
+  test("collocation lift: perfect pair lifts above independence, rare pair cut") {
+    val dir = corpusDir(
+      (1L to 8L).map(i => i -> "alpha beta x") ++
+        (9L to 11L).map(i => i -> "gamma x") ++ // (gamma, x) n12=3 < support 5
+        Seq(12L -> "delta x"))
+    val got = CorpusQueries.collocationLift.build(spark, dir)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // n_docs=12; alpha/beta df=8, x df=12: perfect co-travel lifts 3/2,
+    // independent-rate pairs sit exactly at 1e6 ppm
+    assert(got == Seq(
+      ("alpha", "beta", 8L, 8L, 8L, 1500000L),
+      ("alpha", "x", 8L, 8L, 12L, 1000000L),
+      ("beta", "x", 8L, 8L, 12L, 1000000L)))
+  }
 }

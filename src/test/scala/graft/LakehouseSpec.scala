@@ -102,6 +102,30 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("pit join: probes see the state AT their time, never future state") {
+    val dir = eventsDir(Seq(
+      (1L, ts(0), "view", 0.0), // before any change: no state
+      (1L, ts(2), "signup", 7.0),
+      (1L, ts(3), "view", 0.0), // sees the signup (value 7)
+      (1L, ts(5), "purchase", 9.0),
+      (1L, ts(5), "view", 0.0), // change at the SAME ts is visible (kind order)
+      (1L, ts(7), "error", 0.0),
+      (1L, ts(8), "view", 0.0), // after tombstone: deleted -> null value
+      (1L, ts(20), "signup", 3.0),
+      (1L, ts(21), "view", 0.0))) // resurrection visible
+    val rows = LakehouseQueries.pitJoin.build(spark, dir)
+      .as[(Long, Long, Timestamp, Option[Timestamp], Option[String],
+        Option[Double], Boolean)].collect().sortBy(_._3.getTime)
+    assert(rows.map(r => (r._5, r._6, r._7)).toSeq == Seq(
+      (None, None, false),
+      (Some("upsert"), Some(7.0), true),
+      (Some("upsert"), Some(9.0), true),
+      (Some("delete"), None, false),
+      (Some("upsert"), Some(3.0), true)))
+    // version_ts is the matched change's OWN time, not the probe's
+    assert(rows(1)._4.contains(ts(2)) && rows(4)._4.contains(ts(20)))
+  }
+
   test("adaptive bloom on real data: guarantees hold, geometry from ladder") {
     val r = LakehouseQueries.adaptiveBloom.build(spark, sf)
       .as[(Double, Long, Long, Long, Long, Long, Long, Boolean)].head()
