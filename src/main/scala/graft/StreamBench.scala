@@ -101,7 +101,8 @@ object StreamBench {
           name == "session_traj" || name == "hll_registers" ||
           name == "bloom_words" || name == "cms_registers" ||
           name == "transitions" || name == "anomaly" ||
-          name == "ohlc" || name == "streaks") s"$work/events"
+          name == "ohlc" || name == "streaks" ||
+          name == "pit_lookup") s"$work/events"
         else if (name == "semantic_hits") s"$work/vecs"
         else s"$work/docs"
       val t0 = System.nanoTime()
@@ -149,6 +150,10 @@ object StreamBench {
       run("streaks", nEvents)(df =>
         streaming.Streams.activityStreaks(
           df.select(col("user_id"), col("ts")).as[streaming.DayEvent]).toDF()),
+      run("pit_lookup", nEvents)(df =>
+        streaming.Streams.pitLookup(
+          df.select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value")).as[streaming.PitInput]).toDF()),
       run("hist_registers", nDocs, mode = "complete")(df =>
         streaming.Streams.histRegisters(
           df.select(col("source"),

@@ -242,6 +242,77 @@ private[streaming] class StreakProcessor
   }
 }
 
+/** Mixed change/probe event for the streaming PIT lookup (events-table
+  * shaped; signup/purchase = upsert, error = delete, view = probe). */
+final case class PitInput(user_id: Long, ts: java.sql.Timestamp,
+    event_id: Long, event_type: String, value: Double)
+
+/** The one dimension version a user currently has (micros + op + value). */
+final case class PitState(vtsUs: Long, vop: String, vval: Double)
+
+/** One probe's point-in-time join result — identical fields (and values,
+  * for in-order arrival) to a batch q_pit_join row. */
+final case class PitLookup(probe_event_id: Long, user_id: Long,
+    probe_ts: java.sql.Timestamp, version_ts: Option[java.sql.Timestamp],
+    state_op: Option[String], state_value: Option[Double], has_state: Boolean)
+
+/** Streaming POINT-IN-TIME lookup: the incremental twin of q_pit_join —
+  * the online half of the feature-store story (the batch query builds
+  * leakage-safe training rows; this serves the SAME state rule at inference
+  * time, so offline and online features agree by construction). State is
+  * ONE PitState per user — the running last(ignoreNulls) the batch window
+  * computes. Within a micro-batch rows fold in the batch's exact total
+  * order (ts, change-before-probe, event_id), so a change at a probe's own
+  * timestamp is visible to it; ACROSS batches in-order arrival is assumed
+  * (a late change would need the batch path, as any streaming join without
+  * retraction). For in-order arrival the emitted rows bit-match the batch
+  * query across any micro-batch split (StreamingSpec proves it). */
+private[streaming] class PitProcessor
+    extends StatefulProcessor[Long, PitInput, PitLookup] {
+  @transient private var st: ValueState[PitState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[PitState]("pit",
+      Encoders.product[PitState], TTLConfig.NONE)
+
+  private def kindOf(t: String): Int = t match {
+    case "signup" | "purchase" | "error" => 0
+    case _ => 1
+  }
+
+  /** Micros-since-epoch -> Timestamp, full microsecond fidelity (setNanos
+    * carries the complete fractional second). */
+  private def toTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  override def handleInputRows(user: Long, rows: Iterator[PitInput],
+      timers: TimerValues): Iterator[PitLookup] = {
+    var s = if (st.exists()) Option(st.get()) else None
+    val out = Seq.newBuilder[PitLookup]
+    rows.toSeq
+      .sortBy(e => (Streams.micros(e.ts), kindOf(e.event_type), e.event_id))
+      .foreach { e =>
+        e.event_type match {
+          case "signup" | "purchase" =>
+            s = Some(PitState(Streams.micros(e.ts), "upsert", e.value))
+          case "error" =>
+            s = Some(PitState(Streams.micros(e.ts), "delete", e.value))
+          case "view" =>
+            out += PitLookup(e.event_id, user, e.ts,
+              s.map(v => toTs(v.vtsUs)), s.map(_.vop),
+              s.filter(_.vop != "delete").map(_.vval),
+              s.exists(_.vop != "delete"))
+          case _ => () // click etc.: neither change nor probe
+        }
+      }
+    s.foreach(st.update)
+    out.result().iterator
+  }
+}
+
 /** Streaming FUNNEL state machine: per-user progression through the
   * view -> click -> purchase sequence with strict event-time ordering —
   * the incremental twin of q_event_funnel. State is ONE (stage, anchor)
@@ -820,6 +891,16 @@ object Streams {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new StreakProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming point-in-time lookup (see [[PitProcessor]]): the online
+    * serving form of q_pit_join with one PitState of state per user.
+    * Requires the RocksDB state store provider (as [[sessionizeTws]]). */
+  def pitLookup(events: Dataset[PitInput]): Dataset[PitLookup] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new PitProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -837,6 +837,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("pitLookup: streamed PIT rows bit-match q_pit_join across a split") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, expr}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = graft.queries.LakehouseQueries.pitJoin.build(spark, sf)
+        .select("probe_event_id", "version_ts", "state_op", "state_value",
+          "has_state")
+        .as[(Long, Option[java.sql.Timestamp], Option[String], Option[Double],
+          Boolean)].collect().toSet
+      // feed in the batch window's exact total order: (ts, change-first,
+      // event_id) — the order the PIT state rule is defined over
+      val events = graft.engine.Tables.t(spark, sf, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          col("value"))
+        .orderBy(col("ts"),
+          expr("CASE WHEN event_type IN ('signup','purchase','error') THEN 0 ELSE 1 END"),
+          col("event_id"))
+        .as[graft.streaming.PitInput].collect()
+      val (b1, b2) = events.splitAt(events.length / 2)
+      val in = MemoryStream[graft.streaming.PitInput]
+      val q = Streams.pitLookup(in.toDS())
+        .writeStream.format("memory").queryName("pit")
+        .outputMode("append").start()
+      try {
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+        val streamed = spark.table("pit")
+          .select("probe_event_id", "version_ts", "state_op", "state_value",
+            "has_state")
+          .as[(Long, Option[java.sql.Timestamp], Option[String], Option[Double],
+            Boolean)].collect().toSet
+        assert(streamed == batch,
+          s"stream-only: ${(streamed diff batch).take(3)}, " +
+            s"batch-only: ${(batch diff streamed).take(3)}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("activityStreaks: final streamed summaries bit-match q_streak_islands") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions.col
