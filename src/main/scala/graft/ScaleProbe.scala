@@ -99,7 +99,7 @@ object ScaleProbe {
     "q_neardup_verify", "q_bpe_pairs", "q_winnow_pairs",
     "q_dedup_canonical", "q_oov_rate", "q_stratified_sample",
     "q_quantile_sketch", "q_incremental_dedup", "q_keyword_search",
-    "q_split_leakage")
+    "q_split_leakage", "q_collocation_lift")
 
   /** Queries that read ONLY the embeddings table (replicated input #2). */
   private val EmbQueries = Seq(
@@ -118,7 +118,8 @@ object ScaleProbe {
     "q_attribution", "q_drift_chisq", "q_winsorize", "q_cusum_changepoint",
     "q_conversion_time", "q_pivot_events", "q_melt_events", "q_event_paths",
     "q_cms_join_size", "q_scd2_build", "q_bitmap_overlap", "q_adaptive_bloom",
-    "q_streak_islands", "q_ewma_daily", "q_seasonal_profile", "q_ab_lift")
+    "q_streak_islands", "q_ewma_daily", "q_seasonal_profile", "q_ab_lift",
+    "q_pit_join")
 
   private val Repl = 10
   // larger than any planted-twin id offset (max is 9_000_000 + base ids,
