@@ -374,5 +374,70 @@ object LakehouseQueries {
       .orderBy("probe_event_id")
   }
 
-  val all: Seq[Q] = Seq(scd2Build, bitmapOverlap, adaptiveBloom, pitJoin)
+  /** TIME-WEIGHTED AVERAGE (TWAP) over versioned state — each user's mean
+    * dimension value weighted by how LONG each version was current: the
+    * temporal aggregate behind position/balance averaging and
+    * time-in-state metrics, and the natural consumer of the SCD2 layout
+    * (q_scd2_build supplies the intervals; delete tombstones contribute a
+    * gap, not a zero). The observation window closes at the log's global
+    * max event time, broadcast as a 1-row aggregate.
+    *
+    * Determinism: durations are exact integer microseconds and the value
+    * quantizes to exact integer cents (ROUND(v*100) — one IEEE multiply +
+    * half-up, identical both engines), so the weighted numerator is a pure
+    * INTEGER sum in DECIMAL(38,0)/HUGEINT. Casting an INTEGER decimal to
+    * double is a single correctly-rounded conversion in both engines —
+    * unlike a fractional DECIMAL(38,6) cast, where DuckDB's scaled-int128
+    * representation double-rounds and the last ulp diverges (observed on
+    * this very query's first draft). The final mean is then one IEEE
+    * division of two deterministic doubles.
+    *
+    * Shape at 100 TB: one keyed window bounded by versions-per-key (the
+    * SCD2 shape), one map-side-combined aggregation. Nothing global but
+    * the broadcast 1-row window end. */
+  val twap: Q = Q(
+    "q_twap",
+    """WITH ops AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+      |  FROM events WHERE event_type IN ('signup', 'purchase', 'error')),
+      |w_end AS (SELECT MAX(ts) AS t_end FROM events),
+      |iv AS (
+      |  SELECT o.user_id, o.op, o.value,
+      |         epoch_us(COALESCE(LEAD(o.ts) OVER w, e.t_end)) - epoch_us(o.ts) AS dur_us
+      |  FROM ops o, w_end e
+      |  WINDOW w AS (PARTITION BY o.user_id ORDER BY o.ts, o.event_id)),
+      |live AS (
+      |  SELECT user_id, dur_us,
+      |         CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+      |  FROM iv WHERE op = 'upsert' AND dur_us > 0)
+      |SELECT user_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |       CAST(SUM(dur_us) AS BIGINT) AS live_us,
+      |       CAST(SUM(CAST(v_cents AS HUGEINT) * dur_us) AS DOUBLE)
+      |       / (CAST(SUM(dur_us) AS DOUBLE) * 100) AS twap
+      |FROM live GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val ev = t(s, dir, "events")
+    val wEnd = ev.agg(max(col("ts")).as("t_end"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val iv = changeStream(s, dir).crossJoin(broadcast(wEnd))
+      .select(col("user_id"), col("op"), col("value"),
+        (unix_micros(coalesce(lead(col("ts"), 1).over(w), col("t_end"))) -
+          unix_micros(col("ts"))).as("dur_us"))
+      .filter(col("op") === "upsert" && col("dur_us") > 0)
+      .select(col("user_id"), col("dur_us"),
+        round(col("value") * 100).cast("long").as("v_cents"))
+    iv.groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_us")).cast("long").as("live_us"),
+        (sum((col("v_cents").cast(DecimalType(38, 0)) * col("dur_us")))
+          .cast(DoubleType) /
+          (sum(col("dur_us")).cast(DoubleType) * 100)).as("twap"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(scd2Build, bitmapOverlap, adaptiveBloom, pitJoin, twap)
 }

@@ -455,7 +455,60 @@ object ProfileQueries {
       .select(col("p_brand"), col("p_partkey"), col("p_size"), col("p_retailprice"))
   }
 
+  /** JOIN-KEY SKEW REPORT — per candidate join key, the row-distribution
+    * shape a shuffle planner cares about: key count, total rows, max
+    * rows-per-key, mean (x100, exact integer), and the share of rows held
+    * by the top-10 keys in exact ppm. The diagnostic that decides whether
+    * a key needs salting or AQE skew-join handling BEFORE the 100-TB
+    * shuffle runs — the operational companion of engine/Skew.scala's
+    * salted operators.
+    *
+    * Shape: per key, one map-side-combined COUNT; per report row, one
+    * bounded TakeOrdered(10) for the top-share — ties at the boundary sum
+    * identically, so the ppm is deterministic without a tie-break. */
+  val keySkewReport: Q = {
+    val keys = Seq(
+      ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      ("orders.o_custkey", "orders", "o_custkey"),
+      ("events.user_id", "events", "user_id"))
+    def keySql(e: (String, String, String)) = {
+      val (name, tbl, k) = e
+      s"""SELECT '$name' AS key_col,
+         |       CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |       CAST(SUM(c) AS BIGINT) AS n_rows,
+         |       CAST(MAX(c) AS BIGINT) AS max_rows,
+         |       CAST(SUM(c) * 100 // COUNT(*) AS BIGINT) AS mean_x100,
+         |       CAST((SELECT SUM(c) FROM (SELECT c FROM (
+         |              SELECT COUNT(*) AS c FROM $tbl GROUP BY $k)
+         |            ORDER BY c DESC LIMIT 10)) * 1000000 // SUM(c) AS BIGINT)
+         |         AS top10_share_ppm
+         |FROM (SELECT COUNT(*) AS c FROM $tbl GROUP BY $k)""".stripMargin
+    }
+    Q(
+      "q_key_skew_report",
+      keys.map(keySql).mkString("", "\nUNION ALL\n", "\nORDER BY key_col")) {
+      (s, dir) =>
+        def report(e: (String, String, String)): org.apache.spark.sql.DataFrame = {
+          val (name, tbl, k) = e
+          val counts = t(s, dir, tbl).groupBy(col(k)).agg(count(lit(1)).as("c"))
+          val top10 = counts.orderBy(col("c").desc).limit(10)
+            .agg(sum(col("c")).as("top10"))
+          counts
+            .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+              max(col("c")).as("max_rows"))
+            .crossJoin(top10) // 1-row x 1-row
+            .select(lit(name).as("key_col"),
+              col("n_keys").cast("long").as("n_keys"),
+              col("n_rows").cast("long").as("n_rows"),
+              col("max_rows").cast("long").as("max_rows"),
+              expr("n_rows * 100 DIV n_keys").cast("long").as("mean_x100"),
+              expr("top10 * 1000000 DIV n_rows").cast("long").as("top10_share_ppm"))
+        }
+        keys.map(report).reduce(_ unionAll _).orderBy("key_col")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(tableProfile, zorderLayout, anomalyZscore, driftChisq, winsorize,
-      sourceHhi, skyline)
+      sourceHhi, skyline, keySkewReport)
 }

@@ -276,6 +276,41 @@ object RelationalQueries {
   }
 
   /** CUBE grouping-sets aggregation (SURVEY §2.4 extension). */
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize: a
+    * caller-chosen set list ((flag, status), (status), ()) in ONE pass
+    * (Spark plans one Expand + one hash aggregation, same as rollup/cube).
+    * Per-column GROUPING flags disambiguate a real NULL from a rolled-up
+    * level — emitted as separate 0/1 columns rather than a combined
+    * grouping_id, whose bit order is an engine convention the oracle
+    * should not depend on. */
+  val groupingSetsAgg: Q = Q(
+    "q_grouping_sets",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+      |       COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      |ORDER BY g_flag, g_status, returnflag, linestatus""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      // grouping() is an aggregate-context function in Spark — it must be
+      // computed HERE, inside the GroupingSets aggregate, not downstream
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("g_flag"), col("g_status"), col("n_rows"), col("sum_qty"))
+      .orderBy("g_flag", "g_status", "returnflag", "linestatus")
+  }
+
   val cubeAgg: Q = Q(
     "q_cube",
     """SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
@@ -314,5 +349,6 @@ object RelationalQueries {
   val all: Seq[Q] = Seq(
     topkRevenue, pricingSummary, filterProject, joinBroadcastStar, joinShuffle,
     joinSemi, joinAnti, distinctValues, dedupGroupMax, scalarLookup,
-    lookupBroadcastKey, setOps, rollupAgg, cubeAgg, countDistinctAgg)
+    lookupBroadcastKey, setOps, rollupAgg, groupingSetsAgg, cubeAgg,
+    countDistinctAgg)
 }

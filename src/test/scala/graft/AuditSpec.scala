@@ -103,6 +103,32 @@ class AuditSpec extends SparkSpec {
     assert(r.getDouble(7) == expChi2, "chi2 is the exact-operand IEEE division")
   }
 
+  test("key skew report: crafted hot key shows in max and top-10 share") {
+    val d = Files.createTempDirectory("graft-audit4").toString
+    // orders: custkey 1 holds 60 of 100 rows; 40 singleton custkeys
+    writeTable(d, "orders", StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType))),
+      (1 to 60).map(i => Row(i.toLong, 1L)) ++
+        (61 to 100).map(i => Row(i.toLong, i.toLong)))
+    writeTable(d, "lineitem", StructType(Seq(
+      StructField("l_orderkey", LongType))),
+      (1 to 10).map(i => Row(i.toLong)))
+    writeTable(d, "events", StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType))),
+      (1 to 10).map(i => Row(i.toLong, 1L,
+        Timestamp.valueOf("2024-01-01 10:00:00"), "view", 1.0, "{}")))
+    val got = graft.queries.ProfileQueries.keySkewReport.build(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // 41 keys / 100 rows; max 60; mean 2.43; top-10 = 60 + 9 singles = 69%
+    assert(got("orders.o_custkey") == ((41L, 100L, 60L, 243L, 690000L)))
+    assert(got("lineitem.l_orderkey") == ((10L, 10L, 1L, 100L, 1000000L)))
+    assert(got("events.user_id") == ((1L, 10L, 10L, 1000L, 1000000L)))
+  }
+
   test("audits run end-to-end on real testdata: star schema is orphan-free") {
     val fk = AuditQueries.fkIntegrity.build(spark, sf).collect()
     assert(fk.length == 4)

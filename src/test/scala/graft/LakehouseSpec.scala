@@ -126,6 +126,30 @@ class LakehouseSpec extends SparkSpec {
     assert(rows(1)._4.contains(ts(2)) && rows(4)._4.contains(ts(20)))
   }
 
+  test("twap: duration-weighted mean, tombstone gaps excluded, exact cents") {
+    val dir = eventsDir(Seq(
+      // user 1: value 10 for 10 min, then 40 for 20 min, tombstone at 30,
+      // dead gap to 50, value 100 for 8 min (window closes at the view @58)
+      (1L, ts(0), "signup", 10.0),
+      (1L, ts(10), "purchase", 40.0),
+      (1L, ts(30), "error", 0.0),
+      (1L, ts(50), "signup", 100.0),
+      (9L, ts(58), "view", 0.0))) // pushes the global window end to minute 58
+    val r = LakehouseQueries.twap.build(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.length == 1 && r.head._1 == 1L)
+    val (_, n, liveUs, twap) = r.head
+    assert(n == 3, "three live intervals (the tombstone's is excluded)")
+    assert(liveUs == (10L + 20L + 8L) * 60000000L)
+    // numerator in cent-microseconds, denominator in microseconds*100 —
+    // the exact integer operands the query divides
+    val num = (1000L * 600000000L + 4000L * 1200000000L +
+      10000L * 480000000L).toDouble
+    assert(twap == num / (liveUs.toDouble * 100),
+      "exact integer-operand division")
+    assert(math.abs(twap - 1700.0 / 38) < 1e-12)
+  }
+
   test("adaptive bloom on real data: guarantees hold, geometry from ladder") {
     val r = LakehouseQueries.adaptiveBloom.build(spark, sf)
       .as[(Double, Long, Long, Long, Long, Long, Long, Boolean)].head()
