@@ -275,7 +275,6 @@ object RelationalQueries {
       .orderBy("returnflag", "linestatus")
   }
 
-  /** CUBE grouping-sets aggregation (SURVEY §2.4 extension). */
   /** Explicit GROUPING SETS — the general form rollup/cube specialize: a
     * caller-chosen set list ((flag, status), (status), ()) in ONE pass
     * (Spark plans one Expand + one hash aggregation, same as rollup/cube).
@@ -311,6 +310,7 @@ object RelationalQueries {
       .orderBy("g_flag", "g_status", "returnflag", "linestatus")
   }
 
+  /** CUBE grouping-sets aggregation (SURVEY §2.4 extension). */
   val cubeAgg: Q = Q(
     "q_cube",
     """SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
