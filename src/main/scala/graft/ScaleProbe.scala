@@ -119,7 +119,7 @@ object ScaleProbe {
     "q_conversion_time", "q_pivot_events", "q_melt_events", "q_event_paths",
     "q_cms_join_size", "q_scd2_build", "q_bitmap_overlap", "q_adaptive_bloom",
     "q_streak_islands", "q_ewma_daily", "q_seasonal_profile", "q_ab_lift",
-    "q_pit_join", "q_twap")
+    "q_pit_join", "q_twap", "q_session_concurrency")
 
   private val Repl = 10
   // larger than any planted-twin id offset (max is 9_000_000 + base ids,

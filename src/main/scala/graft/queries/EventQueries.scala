@@ -740,8 +740,55 @@ object EventQueries {
     }
   }
 
+  /** SESSION CONCURRENCY — how many user sessions are simultaneously open
+    * in each hour: the load/capacity metric an ops dashboard heads with,
+    * and the INTERVAL-OVERLAP aggregation pattern (a session [start, end)
+    * counts in every hour it overlaps). Sessions are the same half-open
+    * 10-minute-gap windows as q_window_session.
+    *
+    * Shape at 100 TB: the sweep-line formulation would need one global
+    * time order; instead each session expands to the hour buckets it
+    * overlaps (a per-row `sequence` bounded by session DURATION — minutes,
+    * for a 10-minute-gap session — never by corpus size) and one hash
+    * aggregation counts per bucket: the q_window_sliding expansion idiom
+    * applied to variable intervals. End is exclusive, so a session ending
+    * exactly on the hour does not count in it (the -1 microsecond). */
+  val sessionConcurrency: Q = Q(
+    "q_session_concurrency",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN LAG(ts) OVER w IS NULL
+      |                OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, MIN(ts) AS s_start,
+      |         MAX(ts) + INTERVAL 10 MINUTE AS s_end
+      |  FROM (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |        FROM flagged)
+      |  GROUP BY user_id, sid),
+      |hours AS (
+      |  SELECT unnest(generate_series(date_trunc('hour', s_start),
+      |           date_trunc('hour', s_end - INTERVAL 1 MICROSECOND),
+      |           INTERVAL 1 HOUR)) AS wstart
+      |  FROM sessions)
+      |SELECT wstart, COUNT(*) AS n_concurrent
+      |FROM hours GROUP BY wstart ORDER BY wstart""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(explode(sequence(
+        date_trunc("hour", col("w.start")),
+        date_trunc("hour", col("w.end") - expr("INTERVAL 1 MICROSECOND")),
+        expr("INTERVAL 1 HOUR"))).as("wstart"))
+      .groupBy("wstart").agg(count(lit(1)).as("n_concurrent"))
+      .orderBy("wstart")
+  }
+
   val all: Seq[Q] =
     Seq(jsonExtract, windowTumbling, windowSliding, windowSession, eventFunnel,
       retentionCohorts, sessionTrajectories, hllDistinct, bloomPrune,
-      cmsHeavy, kmvDistinct, cdcMerge, cmsJoinSize)
+      cmsHeavy, kmvDistinct, cdcMerge, cmsJoinSize, sessionConcurrency)
 }

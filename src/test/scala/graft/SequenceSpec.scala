@@ -195,6 +195,22 @@ class SequenceSpec extends SparkSpec {
       (2L, 1L, 1L, 3000000L / 7L)))
   }
 
+  test("session concurrency: spans count per hour, exclusive end excluded") {
+    // user 1: continuous 5-min cadence 00:10-02:20 -> ONE session
+    // [00:10, 02:30) overlapping hours 0, 1, 2; user 2: single event at
+    // 00:50 -> session [00:50, 01:00) ends EXACTLY on the hour -> hour 0 only
+    val dir = writeEvents(
+      (0 until 27).map(i =>
+        Row(i.toLong, 1L, at(10 + i * 5), "view", 1.0, "{}")) :+
+        Row(100L, 2L, at(50), "view", 1.0, "{}"))
+    val got = graft.queries.EventQueries.sessionConcurrency.build(spark, dir)
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toSeq
+    assert(got == Seq(
+      "2024-01-01 00:00:00.0" -> 2L,
+      "2024-01-01 01:00:00.0" -> 1L,
+      "2024-01-01 02:00:00.0" -> 1L))
+  }
+
   test("sequence queries run end-to-end on real testdata") {
     assert(SequenceQueries.eventTransitions.build(spark, sf).count() > 0)
     assert(SequenceQueries.ohlcBars.build(spark, sf).count() > 0)
