@@ -501,7 +501,73 @@ object GraphQueries {
     reach.orderBy("node")
   }
 
+  /** RECIPROCAL BEST MATCH — the item pairs that are each other's #1
+    * co-purchase partner by lift: the mutual/reciprocal-nearest-neighbor
+    * criterion, the high-precision matching rule entity-resolution and
+    * image-dedup pipelines use (a one-way best match can be a hub
+    * artifact; a MUTUAL one almost never is). Built from the same
+    * symmetrized lift table as q_recommend_topk: keep each node's rank-1
+    * partner, join the table to itself on the reversed pair, emit each
+    * mutual pair once (src < rec).
+    *
+    * Shape at 100 TB: rank-1 per node via one bounded window (partition =
+    * node, frame bounded by graph degree), then ONE keyed self-equi-join
+    * on the reversed pair — |nodes| rows against |nodes| rows, nothing
+    * quadratic. Deterministic: lift ties break on the smaller partner id,
+    * the same total order both engines sort. */
+  val mutualBestMatch: Q = Q(
+    "q_mutual_best_match",
+    s"""WITH $basketsCte,
+      |$pairCte,
+      |nb AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM b),
+      |item AS (SELECT pk, COUNT(*) AS ni FROM b GROUP BY pk),
+      |r AS (SELECT p.p1, p.p2, p.nij, i1.ni AS n1, i2.ni AS n2, nb.n_baskets
+      |      FROM pair p JOIN item i1 ON i1.pk = p.p1
+      |                  JOIN item i2 ON i2.pk = p.p2, nb
+      |      WHERE p.nij >= 2),
+      |sym AS (SELECT p1 AS src, p2 AS rec, nij,
+      |               nij * n_baskets * 1000000 // (n1 * n2) AS lift_ppm FROM r
+      |        UNION ALL
+      |        SELECT p2, p1, nij,
+      |               nij * n_baskets * 1000000 // (n1 * n2) FROM r),
+      |best AS (SELECT src, rec, nij, lift_ppm FROM (
+      |           SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+      |                     ORDER BY lift_ppm DESC, rec) AS rnk FROM sym)
+      |         WHERE rnk = 1)
+      |SELECT a.src AS p1, a.rec AS p2, a.nij,
+      |       a.lift_ppm AS lift_1to2_ppm, m.lift_ppm AS lift_2to1_ppm
+      |FROM best a JOIN best m ON m.src = a.rec AND m.rec = a.src
+      |WHERE a.src < a.rec
+      |ORDER BY p1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = baskets(s, dir)
+    val nb = b.agg(countDistinct(col("ok")).as("n_baskets"))
+    val item = b.groupBy(col("pk")).agg(count(lit(1)).as("ni"))
+    val r = pairCounts(b).filter(col("nij") >= 2)
+      .join(broadcast(item.as("i1")), col("p1") === col("i1.pk"))
+      .join(broadcast(item.as("i2")), col("p2") === col("i2.pk"))
+      .crossJoin(nb)
+      .select(col("p1"), col("p2"), col("nij"),
+        expr("nij * n_baskets * 1000000 DIV (i1.ni * i2.ni)").as("lift_ppm"))
+      .localCheckpoint(false)
+    val sym = r.select(col("p1").as("src"), col("p2").as("rec"),
+        col("nij"), col("lift_ppm"))
+      .unionAll(r.select(col("p2").as("src"), col("p1").as("rec"),
+        col("nij"), col("lift_ppm")))
+    val w = Window.partitionBy("src").orderBy(col("lift_ppm").desc, col("rec"))
+    val best = sym.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1).drop("rnk")
+      .localCheckpoint(false) // referenced by both join sides
+    best.as("a")
+      .join(best.as("m"),
+        col("m.src") === col("a.rec") && col("m.rec") === col("a.src"))
+      .filter(col("a.src") < col("a.rec"))
+      .select(col("a.src").as("p1"), col("a.rec").as("p2"), col("a.nij"),
+        col("a.lift_ppm").as("lift_1to2_ppm"), col("m.lift_ppm").as("lift_2to1_ppm"))
+      .orderBy("p1")
+  }
+
   val all: Seq[Q] =
     Seq(basketRules, triangleCount, pageRank, kCore, graphComponents,
-      degreeHistogram, recommendTopk, bfsHops)
+      degreeHistogram, recommendTopk, bfsHops, mutualBestMatch)
 }

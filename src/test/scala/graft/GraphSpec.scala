@@ -113,6 +113,18 @@ class GraphSpec extends SparkSpec {
     assert(rows == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("mutual best match: only reciprocal rank-1 pairs survive") {
+    // bests on the crafted graph: 1<->2 (lift 1.125M both ways) and
+    // 3<->4 (1.0M both ways, 3 preferring its pendant over the triangle);
+    // 1-3 and 2-3 are one-way-at-best and must not appear
+    val rows = GraphQueries.mutualBestMatch.build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(rows == Seq(
+      (1L, 2L, 2L, 1125000L, 1125000L),
+      (3L, 4L, 2L, 1000000L, 1000000L)))
+  }
+
   test("graph queries run end-to-end on real testdata") {
     val tri = GraphQueries.triangleCount.build(spark, sf).collect()
     assert(tri.head.getAs[Long]("n_triangles") > 0)
