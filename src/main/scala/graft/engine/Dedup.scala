@@ -31,6 +31,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** One pointer-jumping compression step over a (id, comp, chg) label
+    * frame: every label is replaced by its label's label
+    * (`comp <- comp[comp]`), folding any change into `chg`. The join key
+    * on the probe side is the LABEL — near the fixpoint every member of a
+    * component shares one label value, a deliberate hot key whose skewed
+    * shuffle partition AQE splits and replicates (the build side is one
+    * row per key). Package-private so DedupSpec can pin that AQE
+    * skew-join posture on the engine's exact join shape (the way DppSpec
+    * pins dynamic partition pruning) instead of a lookalike. */
+  private[graft] def compressStep(labels: DataFrame): DataFrame = {
+    val l2 = labels.select(col("id").as("__cid"), col("comp").as("__cc"))
+    labels.join(l2, col("comp") === col("__cid"), "left")
+      .select(col("id"),
+        coalesce(col("__cc"), col("comp")).as("comp"),
+        (col("chg") ||
+          coalesce(col("__cc"), col("comp")) < col("comp")).as("chg"))
+  }
+
   /** @param edges two-column DataFrame of undirected pairs (ids).
     *   Duplicate pairs are tolerated (a min aggregate cannot change) but
     *   each copy is re-shuffled through the propagation join every round —
@@ -98,14 +116,7 @@ object Dedup {
     // (they originate as ids in the seed), so the lookup always hits; the
     // left join + coalesce is belt-and-braces. `chg` folds the jump's
     // changes into the incoming flag.
-    def compress(labels: DataFrame): DataFrame = {
-      val l2 = labels.select(col("id").as("__cid"), col("comp").as("__cc"))
-      labels.join(l2, col("comp") === col("__cid"), "left")
-        .select(col("id"),
-          coalesce(col("__cc"), col("comp")).as("comp"),
-          (col("chg") ||
-            coalesce(col("__cc"), col("comp")) < col("comp")).as("chg"))
-    }
+    def compress(labels: DataFrame): DataFrame = compressStep(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {

@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.engine.Tables.t
 import graft.functions.Text
 
@@ -99,7 +98,7 @@ object AuditQueries {
     val li = t(s, dir, "lineitem")
       .groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_lines"),
-        sum(charge.cast(DecimalType(38, 6))).cast(DoubleType).as("computed_total"))
+        graft.engine.Det.dsum(charge).as("computed_total"))
     t(s, dir, "orders")
       .join(li, col("l_orderkey") === col("o_orderkey"), "left")
       .select(col("o_orderkey"),
@@ -120,6 +119,15 @@ object AuditQueries {
     * computed integer operands (the q_kmv_distinct determinism pattern —
     * both operands stay under 2^53 while conversions < ~9e7 per arm; past
     * that, promote the numerator to DECIMAL(38,0) before the division).
+    * Same headroom rule for lift_ppm: its numerator
+    * `conv_treat * n_control * 1000000` stays in BIGINT while
+    * conv_treat * n_control < ~9.2e12 (e.g. 3e6 conversions x 3e6 users
+    * per arm) — past that, promote to DECIMAL(38,0) in BOTH engines
+    * before the integer division (with ANSI off, Spark would silently
+    * wrap; DuckDB would error). Zero-conversion edge: conv_control = 0
+    * makes lift_ppm NULL (division by zero under integer DIV) and an
+    * empty arm makes its rate NULL — NULL here means "no readout", the
+    * q_basket_rules convention, and both engines agree on it.
     *
     * Shape at 100 TB: one distinct + one filtered distinct on the user
     * key (map-side combined), one broadcast-joined membership flag, then

@@ -508,7 +508,67 @@ object ProfileQueries {
     }
   }
 
+  /** GROUPED PERCENTILES + threshold gate — per (lang, source) cell of the
+    * corpus: exact interpolated p25/p50/p75/p90 of document length, the
+    * IQR, and the count of docs above the cell's own p90 — the per-cohort
+    * length profile a curation run reads to set PER-GROUP gates (a global
+    * quantile over a mixed corpus hides that one crawl's p90 is another's
+    * p50; q_length_quantiles profiles per-lang only). The join-back count
+    * demonstrates the two-pass threshold-gate pattern: compute bounded
+    * per-group thresholds, broadcast them, stream the corpus once against
+    * them.
+    *
+    * Determinism: Spark's exact `percentile` and DuckDB's `quantile_cont`
+    * share the same linear-interpolation tree (the q_length_quantiles
+    * precedent), so the doubles hash-match; iqr is one subtraction of two
+    * such doubles; the gate compares a stored integer against the double
+    * threshold — exact in both engines.
+    *
+    * Shape at 100 TB: exact-percentile state is a per-group value→count
+    * map (bounded by the distinct length domain); the thresholds table is
+    * one row per (lang, source) cell — bounded by the dimension product,
+    * so the join-back is a broadcast hash join against the full scan, and
+    * the outlier count map-side combines. For unbounded value domains the
+    * engine's q_quantile_sketch histogram is the swap-in. */
+  val groupQuantiles: Q = Q(
+    "q_group_quantiles",
+    """WITH q AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         quantile_cont(n_chars, 0.25) AS p25,
+      |         quantile_cont(n_chars, 0.5) AS p50,
+      |         quantile_cont(n_chars, 0.75) AS p75,
+      |         quantile_cont(n_chars, 0.9) AS p90
+      |  FROM documents GROUP BY lang, source),
+      |o AS (
+      |  SELECT d.lang, d.source, CAST(COUNT(*) AS BIGINT) AS n_above_p90
+      |  FROM documents d JOIN q ON q.lang = d.lang AND q.source = d.source
+      |  WHERE d.n_chars > q.p90 GROUP BY d.lang, d.source)
+      |SELECT q.lang, q.source, q.n_docs, q.p25, q.p50, q.p75, q.p90,
+      |       q.p75 - q.p25 AS iqr,
+      |       COALESCE(o.n_above_p90, 0) AS n_above_p90
+      |FROM q LEFT JOIN o ON o.lang = q.lang AND o.source = q.source
+      |ORDER BY q.lang, q.source""".stripMargin) { (s, dir) =>
+    val d = t(s, dir, "documents").select(col("lang"), col("source"), col("n_chars"))
+    val q = d.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        percentile(col("n_chars"), lit(0.25)).as("p25"),
+        percentile(col("n_chars"), lit(0.5)).as("p50"),
+        percentile(col("n_chars"), lit(0.75)).as("p75"),
+        percentile(col("n_chars"), lit(0.9)).as("p90"))
+    val above = d
+      .join(broadcast(q.select(col("lang"), col("source"), col("p90"))),
+        Seq("lang", "source"))
+      .filter(col("n_chars") > col("p90"))
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_above_p90"))
+    q.join(above, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("p25"), col("p50"), col("p75"), col("p90"),
+        (col("p75") - col("p25")).as("iqr"),
+        coalesce(col("n_above_p90"), lit(0L)).as("n_above_p90"))
+      .orderBy("lang", "source")
+  }
+
   val all: Seq[Q] =
     Seq(tableProfile, zorderLayout, anomalyZscore, driftChisq, winsorize,
-      sourceHhi, skyline, keySkewReport)
+      sourceHhi, skyline, keySkewReport, groupQuantiles)
 }

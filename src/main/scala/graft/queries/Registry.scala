@@ -10,7 +10,7 @@ object Registry {
       CorpusQueries.all ++ CurationQueries.all ++ ClassifyQueries.all ++
       GraphQueries.all ++ ProfileQueries.all ++ SequenceQueries.all ++
       LakehouseQueries.all ++ AuditQueries.all
-  // (Graph/Profile/Sequence/LakehouseQueries are the round-10 additions)
+  // (Graph/Profile/Sequence/Lakehouse/AuditQueries are the round-10 additions)
 
   def queries = all.map(q => q.name -> q.build).toMap
   def oracleSql = all.flatMap(q => q.oracle.map(q.name -> _)).toMap

@@ -223,7 +223,9 @@ private[streaming] class StreakProcessor
     var s = if (st.exists()) st.get()
       else StreakState(Long.MinValue, 0L, 0L, 0L, 0L)
     val before = s
-    rows.toSeq.map(e => Streams.micros(e.ts) / 86400000000L).sorted.foreach { d =>
+    // floorDiv, not /: pre-epoch micros must floor (match batch date_trunc)
+    rows.toSeq.map(e => Math.floorDiv(Streams.micros(e.ts), 86400000000L))
+      .sorted.foreach { d =>
       if (s.activeDays == 0L)
         s = StreakState(d, 1L, 1L, 1L, 1L)
       else if (d == s.lastDay + 1L)

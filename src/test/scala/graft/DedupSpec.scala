@@ -87,4 +87,45 @@ class DedupSpec extends SparkSpec {
       .select("count").as[Long].collect().toSeq
     assert(clusters.length == 5 && clusters.forall(_ == 3L))
   }
+
+  test("compressStep: AQE skew-replicates the near-fixpoint hot label key") {
+    // The Dedup scaladoc claims the compression join's deliberate hot key
+    // (near the fixpoint every member of a component shares ONE label) is
+    // handled by AQE skew-join splitting, not by a single straggler task.
+    // Pin that the way DppSpec pins DPP: build the exact near-fixpoint
+    // label frame (one component, every node already at the min label),
+    // run the engine's own compressStep, and read the skew flag off the
+    // executed adaptive plan. Thresholds are lowered so the 200k-row hot
+    // partition counts as skewed at test scale; production defaults fire
+    // at the 256MB partitions a 100-TB run produces.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffled join
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // comp must be DATA-DEPENDENT (pmod(id, 1) == 0 for every row):
+      // a literal 0 label constant-folds the equi-join condition away and
+      // the plan degenerates to a broadcast instead of the keyed shuffle
+      // the production loop runs
+      val labels = spark.range(200000).select(
+        col("id"), pmod(col("id"), lit(1L)).as("comp"), lit(false).as("chg"))
+      val out = Dedup.compressStep(labels)
+      // semantics first (this action also finalizes the adaptive plan):
+      // at the fixpoint the jump is a no-op
+      val rows = out.collect()
+      assert(rows.length == 200000 &&
+        rows.forall(r => r.getLong(1) == 0L && !r.getBoolean(2)))
+      // plan evidence: the executed join carries the AQE skew flag
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"no AQE skew-join flag in executed plan:\n${plan.take(1200)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
