@@ -99,7 +99,8 @@ object ScaleProbe {
     "q_neardup_verify", "q_bpe_pairs", "q_winnow_pairs",
     "q_dedup_canonical", "q_oov_rate", "q_stratified_sample",
     "q_quantile_sketch", "q_incremental_dedup", "q_keyword_search",
-    "q_split_leakage", "q_collocation_lift")
+    "q_split_leakage", "q_collocation_lift", "q_source_hhi",
+    "q_group_quantiles")
 
   /** Queries that read ONLY the embeddings table (replicated input #2). */
   private val EmbQueries = Seq(
@@ -120,6 +121,27 @@ object ScaleProbe {
     "q_cms_join_size", "q_scd2_build", "q_bitmap_overlap", "q_adaptive_bloom",
     "q_streak_islands", "q_ewma_daily", "q_seasonal_profile", "q_ab_lift",
     "q_pit_join", "q_twap", "q_session_concurrency")
+
+  /** Queries that read the STAR-SCHEMA tables (lineitem / orders / part /
+    * supplier / customer — replicated input #4): the graph family (the
+    * part co-occurrence graph is built from lineitem baskets), the
+    * warehouse audits, and the lineitem/part profile queries — the
+    * round-10 families the probe previously had no coverage for.
+    * [[scaledStar]] strides EVERY key (order, part, supplier, customer)
+    * by the same Stride, so each replica is a disjoint, FK-INTACT copy of
+    * the base workload: the co-occurrence graph becomes Repl disjoint
+    * copies of the base graph (component/PageRank/k-core structure
+    * preserved per replica — never wired together through shared part
+    * ids), the FK audit finds exactly Repl x the base orphans, and the
+    * reconciliation join stays within-replica. q_key_skew_report reads
+    * the replicated events table from the same scaled dir, so all three
+    * of its key reports see 10x data. */
+  private val StarQueries = Seq(
+    "q_basket_rules", "q_triangle_count", "q_pagerank", "q_kcore",
+    "q_graph_components", "q_degree_histogram", "q_recommend_topk",
+    "q_bfs_hops", "q_mutual_best_match",
+    "q_fk_integrity", "q_order_reconcile",
+    "q_table_profile", "q_zorder_layout", "q_skyline", "q_key_skew_report")
 
   private val Repl = 10
   // larger than any planted-twin id offset (max is 9_000_000 + base ids,
@@ -150,6 +172,15 @@ object ScaleProbe {
     * path, whose per-query candidates are label-cell-bounded so its natural
     * growing batch is already the linear production form. */
   private val StressEmbRepl = 500
+  /** Star-family stress: 50x the sf0.1 star schema (~30M lineitem rows)
+    * through the most iterative round-10 shapes — the graph family's
+    * label-propagation components and degree-bounded best-match windows,
+    * plus the keyed fact-vs-rollup reconciliation join. The direct
+    * larger-scale datapoint for the families whose 10x factors are the
+    * newest (the r10 verdict's ask). */
+  private val StressStarRepl = 50
+  private val StressStarQueries =
+    Seq("q_graph_components", "q_mutual_best_match", "q_order_reconcile")
   /** Per-replica label stride: every replica's labels live in
     * [r*LabelStride, (r+1)*LabelStride). scaledEmbeddings asserts the base
     * label space fits under it, so replica disjointness is ENFORCED rather
@@ -198,6 +229,29 @@ object ScaleProbe {
         (col("label") + lit(r * LabelStride))
           .cast(base.schema("label").dataType).as("label"))
     }.reduce(_ unionAll _)
+  }
+
+  /** Star-schema tables replicated with EVERY key strided by the same
+    * Stride (see [[StarQueries]]): FK edges stay intact within a replica
+    * and no key is shared across replicas. region/nation pass through
+    * verbatim — their small fixed key domains (c_nationkey/s_nationkey)
+    * are not strided, so nation-keyed joins still resolve. */
+  private[graft] def scaledStar(spark: SparkSession, sfDir: String,
+      repl: Int): Seq[(String, DataFrame)] = {
+    def strided(tbl: String, keys: Seq[String]): DataFrame = {
+      val base = engine.Tables.t(spark, sfDir, tbl)
+      (0 until repl).map { r =>
+        keys.foldLeft(base)((d, k) => d.withColumn(k, col(k) + lit(r * Stride)))
+      }.reduce(_ unionAll _)
+    }
+    Seq(
+      "lineitem" -> strided("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      "orders" -> strided("orders", Seq("o_orderkey", "o_custkey")),
+      "part" -> strided("part", Seq("p_partkey")),
+      "supplier" -> strided("supplier", Seq("s_suppkey")),
+      "customer" -> strided("customer", Seq("c_custkey")),
+      "region" -> engine.Tables.t(spark, sfDir, "region"),
+      "nation" -> engine.Tables.t(spark, sfDir, "nation"))
   }
 
   /** Events replicated with strided user_id/event_id, timestamps kept.
@@ -297,6 +351,9 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
     scaledEvents(spark, sfDir, Repl)
       .write.mode("overwrite").parquet(s"$scaledDir/events.parquet")
+    scaledStar(spark, sfDir, Repl).foreach { case (tbl, df) =>
+      df.write.mode("overwrite").parquet(s"$scaledDir/$tbl.parquet")
+    }
 
     val queries = SparkEntry.queries
     // a failing query must not abort the probe and discard the completed
@@ -324,7 +381,7 @@ object ScaleProbe {
       median((1 to SteadyIters).map(_ => timeOnce(name, dir)))
     }
 
-    val rows = (DocQueries ++ EmbQueries ++ EvQueries).map { q =>
+    val rows = (DocQueries ++ EmbQueries ++ EvQueries ++ StarQueries).map { q =>
       val b = bench(q, sfDir)
       val s = bench(q, scaledDir)
       val factor = s / b
@@ -445,13 +502,22 @@ object ScaleProbe {
         ("ann_ivf_learned", dir => noop(fixedBatchIvf(spark, dir))),
         ("q_ann_int8", runQ("q_ann_int8")))
         .flatMap { case (n, thunk) => measure(n, thunk) }
+      // star schema at 50x (~30M lineitem rows): the iterative graph
+      // shapes and the keyed reconciliation join at real volume
+      scaledStar(spark, sfDir, StressStarRepl).foreach { case (tbl, df) =>
+        df.write.mode("overwrite").parquet(s"$stressDir/$tbl.parquet")
+      }
+      val nLineitem = spark.read.parquet(s"$stressDir/lineitem.parquet").count()
+      val starEntries = StressStarQueries.flatMap(q => measure(q, runQ(q)))
       s""","stress":{"replication":$StressRepl,"docs":$nDocs,""" +
         s""""events":$nEvents,"embeddings_replication":$StressEmbRepl,""" +
         s""""vectors":$nVectors,""" +
+        s""""star_replication":$StressStarRepl,"lineitem_rows":$nLineitem,""" +
         s""""failed":[${stressFailed.map("\"" + _ + "\"").mkString(",")}],""" +
         entries.mkString(""""queries":{""", ",", "}") +
         evEntries.mkString(""","events_queries":{""", ",", "}") +
-        embEntries.mkString(""","embeddings_queries":{""", ",", "}}")
+        embEntries.mkString(""","embeddings_queries":{""", ",", "}") +
+        starEntries.mkString(""","star_queries":{""", ",", "}}")
     }
 
     val json = s"""{"replication":$Repl,"sf":"$sfDir","steady_iters":$SteadyIters,""" +

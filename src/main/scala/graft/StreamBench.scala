@@ -102,7 +102,8 @@ object StreamBench {
           name == "bloom_words" || name == "cms_registers" ||
           name == "transitions" || name == "anomaly" ||
           name == "ohlc" || name == "streaks" ||
-          name == "pit_lookup") s"$work/events"
+          name == "pit_lookup" || name == "concurrency" ||
+          name == "scd2_apply") s"$work/events"
         else if (name == "semantic_hits") s"$work/vecs"
         else s"$work/docs"
       val t0 = System.nanoTime()
@@ -154,6 +155,18 @@ object StreamBench {
         streaming.Streams.pitLookup(
           df.select(col("user_id"), col("ts"), col("event_id"),
             col("event_type"), col("value")).as[streaming.PitInput]).toDF()),
+      // chained stateful pair: per-user session closer -> per-hour count
+      run("concurrency", nEvents, mode = "update")(df =>
+        streaming.Streams.sessionConcurrency(
+          df.select(col("user_id"), col("ts"), col("event_id"))
+            .as[streaming.ConcInput])),
+      run("scd2_apply", nEvents)(df =>
+        streaming.Streams.scd2Apply(
+          df.filter(col("event_type").isin("signup", "purchase", "error"))
+            .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+              when(col("event_type") === "error", "delete")
+                .otherwise("upsert").as("op"))
+            .as[streaming.Scd2Input]).toDF()),
       run("hist_registers", nDocs, mode = "complete")(df =>
         streaming.Streams.histRegisters(
           df.select(col("source"),

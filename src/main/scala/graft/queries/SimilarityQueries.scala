@@ -386,16 +386,40 @@ object SimilarityQueries {
        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** Correctness-gate-scoped memo for the shared candidate pipeline: FIVE
+    * dedup-family queries (minhash_neardup, dedup_components,
+    * dedup_canonical, neardup_verify, incremental family) declare the
+    * same planted-twin MinHash candidate frame and recompute it per query
+    * in a Verify run (~3.4s each at sf0.1). [[graft.Verify]] flips
+    * [[shareCtes]] on, and the (planted, pairs) frames are then built
+    * ONCE per (session, dir) and pinned with an eager localCheckpoint —
+    * results are bit-identical (a checkpoint only cuts lineage; the rows
+    * are whatever the declared plan produced), and the DECLARED plans are
+    * untouched for every other caller: Bench and library users never set
+    * the flag, so they keep the honest per-query cost. Keyed by session
+    * too, so test sessions never leak frames across restarts. */
+  @volatile var shareCtes: Boolean = false
+  private val pipeMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
   /** Spark pipeline [[minhashPairCtes]] mirrors: (planted docs, candidate
     * pairs). Per-row HOF signatures (shuffle-free; slot-equal to the
     * aggregation path by SimilaritySpec). */
   private def minhashPlantedAndPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val planted = plantedDocs(s, dir)
-    val sig = Similarity.withMinhashSignature(planted, "text", k = MinhashK)
-      .drop("text")
-    val pairs = Similarity.lshCandidatePairs(sig, "doc_id", k = MinhashK,
-      bands = MinhashBands, bandKey = cols => concat_ws(",", cols: _*))
-    (planted, pairs)
+    def build(): (DataFrame, DataFrame) = {
+      val planted = plantedDocs(s, dir)
+      val sig = Similarity.withMinhashSignature(planted, "text", k = MinhashK)
+        .drop("text")
+      val pairs = Similarity.lshCandidatePairs(sig, "doc_id", k = MinhashK,
+        bands = MinhashBands, bandKey = cols => concat_ws(",", cols: _*))
+      (planted, pairs)
+    }
+    if (!shareCtes) build()
+    else pipeMemo.getOrElseUpdate((s, dir), {
+      val (planted, pairs) = build()
+      (planted.localCheckpoint(eager = true),
+        pairs.localCheckpoint(eager = true))
+    })
   }
 
   /** MinHash+LSH near-dup candidates over documents (8 bands x 2 rows on a

@@ -244,6 +244,134 @@ private[streaming] class StreakProcessor
   }
 }
 
+/** Event for the streaming concurrency counter: (user, ts), plus the
+  * event_id that makes in-batch order total; `event_id < 0` marks a FLUSH
+  * control row — it closes the user's open session without opening a new
+  * one (the end-of-log signal a batch query gets for free by seeing the
+  * whole log; a real deployment emits it from a session-timeout timer). */
+final case class ConcInput(user_id: Long, ts: java.sql.Timestamp,
+    event_id: Long)
+
+/** One overlapped hour bucket (epoch micros of the hour start) emitted
+  * when a session CLOSES — the unit the downstream chained aggregation
+  * counts into q_session_concurrency's per-hour totals. */
+final case class HourDelta(wstart_us: Long)
+
+/** The user's open session: [startUs, lastUs + gap) once closed. */
+private final case class ConcState(startUs: Long, lastUs: Long)
+
+/** Streaming SESSION-CONCURRENCY stage 1: the per-user half of
+  * q_session_concurrency's interval-overlap aggregation. Maintains the
+  * same half-open gap sessions as [[SessionProcessor]] (ONE small state
+  * object per user), and when a session closes — a new event at gap
+  * distance, or a flush row — emits the hour buckets
+  * [date_trunc(h, start), date_trunc(h, end - 1us)] the closed interval
+  * overlaps (bounded by session DURATION, never by corpus size — the
+  * batch query's `sequence` expansion, incrementalized). Stage 2 is a
+  * plain streaming aggregation counting deltas per hour: chained
+  * stateful operators, session -> tumble ([[Streams.sessionConcurrency]]).
+  * In-order per-user arrival gives bit-equality with the batch query
+  * (StreamingSpec proves it across a micro-batch split); late rows need
+  * the batch path, as with any aggregation without retraction. */
+private[streaming] class ConcurrencySessionProcessor(gapUs: Long)
+    extends StatefulProcessor[Long, ConcInput, HourDelta] {
+  private val HourUs = 3600L * 1000 * 1000
+  @transient private var st: ValueState[ConcState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[ConcState]("conc",
+      Encoders.product[ConcState], TTLConfig.NONE)
+
+  /** Hour starts overlapped by [startUs, endUs): floor semantics hold for
+    * pre-epoch times via floorDiv (the StreakProcessor lesson). */
+  private def hours(startUs: Long, endUs: Long): Seq[HourDelta] = {
+    val first = Math.floorDiv(startUs, HourUs)
+    val last = Math.floorDiv(endUs - 1, HourUs)
+    (first to last).map(h => HourDelta(h * HourUs))
+  }
+
+  override def handleInputRows(user: Long, rows: Iterator[ConcInput],
+      timers: TimerValues): Iterator[HourDelta] = {
+    val out = Seq.newBuilder[HourDelta]
+    var s = if (st.exists()) st.get() else null
+    // total in-batch order (ts, event_id) — the batch window's sort key
+    rows.toSeq.sortBy(r => (Streams.micros(r.ts), r.event_id)).foreach { r =>
+      val tUs = Streams.micros(r.ts)
+      val flush = r.event_id < 0
+      if (s == null) {
+        if (!flush) s = ConcState(tUs, tUs)
+      } else if (flush || tUs - s.lastUs >= gapUs) {
+        out ++= hours(s.startUs, s.lastUs + gapUs)
+        s = if (flush) null else ConcState(tUs, tUs)
+      } else if (tUs > s.lastUs) {
+        s = ConcState(s.startUs, tUs)
+      } // tUs <= lastUs inside the gap: same-instant repeat — no-op
+    }
+    if (s != null) st.update(s) else st.clear()
+    out.result().iterator
+  }
+}
+
+/** A CDC change row arriving at the streaming SCD2 maintainer — op is
+  * already mapped (upsert/delete), exactly q_scd2_build's change stream. */
+final case class Scd2Input(user_id: Long, event_id: Long,
+    ts: java.sql.Timestamp, value: Double, op: String)
+
+/** One SCD Type 2 version row — q_scd2_build's columns in epoch-micros
+  * form. A version is emitted OPEN (valid_to None, is_current true) when
+  * it becomes current and again CLOSED when superseded; per (user,
+  * version) the closed emission is final, so the table's last word per
+  * version bit-matches the batch LEAD window ([[Streams.scd2Apply]]). */
+final case class Scd2Version(user_id: Long, version: Long, op: String,
+    value: Double, valid_from_us: Long, valid_to_us: Option[Long],
+    is_current: Boolean)
+
+/** The key's current open version — four fields of state per key. */
+private final case class Scd2State(version: Long, tsUs: Long, op: String,
+    value: Double)
+
+/** Streaming SCD TYPE 2 APPLY: the write side of the versioned-dimension
+  * story — q_scd2_build derives the full version history from a complete
+  * change log; this maintains the SAME table incrementally as changes
+  * arrive (the upsert path a lakehouse MERGE runs on each micro-batch),
+  * with [[PitProcessor]] as the matching read side. State is ONE open
+  * version per key; each arriving change closes it (emitting the final,
+  * immutable closed row — valid_to = the successor's ts, exactly the
+  * batch LEAD) and opens the next. The open version is (re-)emitted once
+  * per batch it changes in, so the sink always holds the current row too.
+  * In-order per-user arrival gives bit-equality with q_scd2_build across
+  * any micro-batch split (StreamingSpec); out-of-order changes need the
+  * batch rebuild, as with any SCD2 maintainer without retraction. */
+private[streaming] class Scd2Processor
+    extends StatefulProcessor[Long, Scd2Input, Scd2Version] {
+  @transient private var st: ValueState[Scd2State] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Scd2State]("scd2",
+      Encoders.product[Scd2State], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[Scd2Input],
+      timers: TimerValues): Iterator[Scd2Version] = {
+    val out = Seq.newBuilder[Scd2Version]
+    var s = if (st.exists()) st.get() else null
+    var changed = false
+    rows.toSeq.sortBy(r => (Streams.micros(r.ts), r.event_id)).foreach { r =>
+      val tUs = Streams.micros(r.ts)
+      if (s != null)
+        out += Scd2Version(user, s.version, s.op, s.value, s.tsUs,
+          Some(tUs), is_current = false)
+      s = Scd2State(if (s == null) 1L else s.version + 1L, tUs, r.op, r.value)
+      changed = true
+    }
+    if (changed) {
+      st.update(s)
+      out += Scd2Version(user, s.version, s.op, s.value, s.tsUs, None,
+        is_current = true)
+    }
+    out.result().iterator
+  }
+}
+
 /** Mixed change/probe event for the streaming PIT lookup (events-table
   * shaped; signup/purchase = upsert, error = delete, view = probe). */
 final case class PitInput(user_id: Long, ts: java.sql.Timestamp,
@@ -893,6 +1021,36 @@ object Streams {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new StreakProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming SESSION CONCURRENCY: q_session_concurrency as CHAINED
+    * stateful operators — stage 1 closes per-user gap sessions and
+    * expands each closed interval into the hour buckets it overlaps
+    * ([[ConcurrencySessionProcessor]], transformWithState); stage 2 is a
+    * plain streaming aggregation counting buckets per hour. Run in
+    * `update` output mode: each hour's count rises as sessions close into
+    * it, and the last update per hour equals the batch answer once every
+    * session is closed (flush rows, event_id < 0, close the stragglers).
+    * Requires the RocksDB state store provider (as [[sessionizeTws]]). */
+  def sessionConcurrency(events: Dataset[ConcInput],
+      gapMs: Long = 10L * 60 * 1000): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new ConcurrencySessionProcessor(gapMs * 1000L),
+        TimeMode.None(), OutputMode.Append())
+      .groupBy(col("wstart_us"))
+      .agg(count(lit(1)).as("n_concurrent"))
+  }
+
+  /** Streaming SCD2 APPLY (see [[Scd2Processor]]): maintains
+    * q_scd2_build's versioned dimension incrementally — closed version
+    * rows are final; the open row per key is re-emitted as it changes.
+    * Requires the RocksDB state store provider (as [[sessionizeTws]]). */
+  def scd2Apply(changes: Dataset[Scd2Input]): Dataset[Scd2Version] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.user_id)
+      .transformWithState(new Scd2Processor,
         TimeMode.None(), OutputMode.Append())
   }
 

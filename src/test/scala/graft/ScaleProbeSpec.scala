@@ -136,4 +136,31 @@ class ScaleProbeSpec extends SparkSpec {
     assert(ranges.distinct.size == 1, s"$ranges")
     ev.unpersist()
   }
+
+  test("star replicas: FK-intact per replica, every key disjoint") {
+    val star = ScaleProbe.scaledStar(spark, sf, repl).toMap
+    val li = star("lineitem").cache()
+    val baseLi = Tables.t(spark, sf, "lineitem")
+    val n = baseLi.count()
+    val slices = replicaSlices(li, "l_orderkey")
+    assert(li.count() == repl * n && slices.map(_.count()).forall(_ == n))
+    // every key column is strided in step: a replica's lineitem only
+    // references ITS replica's orders/parts — the graph and the audits
+    // see repl independent copies, never a cross-replica edge
+    assert(li.filter(
+      (col("l_orderkey") / lit(stride)).cast("long") =!=
+        (col("l_partkey") / lit(stride)).cast("long")).count() == 0)
+    // FK-intactness transfers exactly: orphan rows scale by repl
+    def orphans(l: DataFrame, o: DataFrame): Long =
+      l.join(o.select("o_orderkey"),
+        l("l_orderkey") === col("o_orderkey"), "left_anti").count()
+    val baseOrphans = orphans(baseLi, Tables.t(spark, sf, "orders"))
+    assert(orphans(li, star("orders")) == repl * baseOrphans,
+      s"orphans must scale exactly ${repl}x the base $baseOrphans")
+    // part domain is replicated too (disjoint graphs), keeping dtypes
+    assert(star("part").count() ==
+      repl * Tables.t(spark, sf, "part").count())
+    assert(star("part").schema == Tables.t(spark, sf, "part").schema)
+    li.unpersist()
+  }
 }

@@ -996,6 +996,104 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionConcurrency: chained session->tumble counts bit-match q_session_concurrency") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, expr, max => fmax}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = graft.queries.EventQueries.sessionConcurrency.build(spark, sf)
+        .select(expr("unix_micros(wstart)"), col("n_concurrent"))
+        .as[(Long, Long)].collect().toMap
+      val events = graft.engine.Tables.t(spark, sf, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .orderBy("ts", "event_id")
+        .as[graft.streaming.ConcInput].collect()
+      // split INSIDE the time range so open sessions straddle the boundary
+      val (b1, b2) = events.splitAt(events.length / 2)
+      // flush rows close every user's final open session — the batch
+      // query sees the whole log, so its last sessions are "closed" too
+      val flushTs = new Timestamp(events.map(_.ts.getTime).max + 3600 * 1000L)
+      val flush = events.map(_.user_id).distinct
+        .map(u => graft.streaming.ConcInput(u, flushTs, -1L))
+      val in = MemoryStream[graft.streaming.ConcInput]
+      val q = Streams.sessionConcurrency(in.toDS())
+        .writeStream.format("memory").queryName("conc")
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(flush.toIndexedSeq)
+        q.processAllAvailable()
+        // update mode re-emits an hour's count each time it grows: the
+        // final (max) update per hour is the closed-log answer
+        val streamed = spark.table("conc")
+          .groupBy("wstart_us").agg(fmax("n_concurrent"))
+          .as[(Long, Long)].collect().toMap
+        assert(streamed == batch,
+          s"stream-only: ${(streamed.toSet diff batch.toSet).take(3)}, " +
+            s"batch-only: ${(batch.toSet diff streamed.toSet).take(3)}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("scd2Apply: streamed version table bit-matches q_scd2_build across a split") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, expr, when}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = graft.queries.LakehouseQueries.scd2Build.build(spark, sf)
+        .select(col("user_id"), col("version"), col("op"), col("value"),
+          expr("unix_micros(valid_from)"), expr("unix_micros(valid_to)"),
+          col("is_current"))
+        .as[(Long, Long, String, Double, Long, Option[Long], Boolean)]
+        .collect().toSet
+      // the same change stream q_scd2_build versions, in its window order
+      val changes = graft.engine.Tables.t(spark, sf, "events")
+        .filter(col("event_type").isin("signup", "purchase", "error"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          when(col("event_type") === "error", "delete")
+            .otherwise("upsert").as("op"))
+        .orderBy("ts", "event_id")
+        .as[graft.streaming.Scd2Input].collect()
+      val (b1, b2) = changes.splitAt(changes.length / 2)
+      val in = MemoryStream[graft.streaming.Scd2Input]
+      val q = Streams.scd2Apply(in.toDS())
+        .writeStream.format("memory").queryName("scd2")
+        .outputMode("append").start()
+      try {
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+        // a version is emitted open and (if superseded) once more closed;
+        // the closed emission is final — per (user, version) prefer it
+        val streamed = spark.table("scd2")
+          .as[(Long, Long, String, Double, Long, Option[Long], Boolean)]
+          .collect()
+          .groupBy(r => (r._1, r._2))
+          .map { case (_, rows) => rows.find(_._6.isDefined).getOrElse(rows.head) }
+          .toSet
+        assert(streamed == batch,
+          s"stream-only: ${(streamed diff batch).take(3)}, " +
+            s"batch-only: ${(batch diff streamed).take(3)}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("the same transform runs in batch mode (unified API)") {
     val batch = Seq(evAt(1, "10:05", 2.0), evAt(1, "10:20", 3.0), evAt(2, "11:05", 7.0))
       .toDF()
