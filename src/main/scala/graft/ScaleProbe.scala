@@ -100,7 +100,7 @@ object ScaleProbe {
     "q_dedup_canonical", "q_oov_rate", "q_stratified_sample",
     "q_quantile_sketch", "q_incremental_dedup", "q_keyword_search",
     "q_split_leakage", "q_collocation_lift", "q_source_hhi",
-    "q_group_quantiles")
+    "q_group_quantiles", "q_mode_per_group")
 
   /** Queries that read ONLY the embeddings table (replicated input #2). */
   private val EmbQueries = Seq(
@@ -120,7 +120,8 @@ object ScaleProbe {
     "q_conversion_time", "q_pivot_events", "q_melt_events", "q_event_paths",
     "q_cms_join_size", "q_scd2_build", "q_bitmap_overlap", "q_adaptive_bloom",
     "q_streak_islands", "q_ewma_daily", "q_seasonal_profile", "q_ab_lift",
-    "q_pit_join", "q_twap", "q_session_concurrency")
+    "q_pit_join", "q_twap", "q_session_concurrency", "q_mad_robust",
+    "q_hist_equiwidth", "q_rfm_segments")
 
   /** Queries that read the STAR-SCHEMA tables (lineitem / orders / part /
     * supplier / customer — replicated input #4): the graph family (the

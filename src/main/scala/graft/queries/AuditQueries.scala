@@ -193,5 +193,96 @@ object AuditQueries {
             * n_control * n_treat""").cast("double")).as("chi2"))
   }
 
-  val all: Seq[Q] = Seq(fkIntegrity, orderReconcile, abLift)
+  /** RFM SEGMENTATION — every purchasing user scored on Recency /
+    * Frequency / Monetary quartiles (the classic CRM/marketing
+    * segmentation a warehouse recomputes nightly): days since last
+    * purchase as of the log's end, purchase count, and exact spend in
+    * cents, each cut at the population's own p25/p50/p75 into a 1-4
+    * score, composed into the 111-444 RFM cell. Recency scores INVERTED
+    * (recent = high), the standard convention.
+    *
+    * Determinism: recency is integer epoch-day arithmetic; spend sums
+    * integer cents (no float sum at all); the quartile thresholds
+    * interpolate over integers (Spark `percentile` == DuckDB
+    * `quantile_cont`), and each score is 1 + three exact long-vs-double
+    * comparisons — so every output column is an integer.
+    *
+    * Shape at 100 TB: one map-side-combined per-user aggregation of the
+    * purchase slice, one 1-row anchor broadcast, one 1-row threshold
+    * broadcast joined back — the raw event stream is scanned twice
+    * (anchor + slice), never shuffled wide. */
+  val rfmSegments: Q = Q(
+    "q_rfm_segments",
+    """WITH p AS (
+      |  SELECT user_id, MAX(ts) AS last_ts, CAST(COUNT(*) AS BIGINT) AS freq,
+      |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |a AS (SELECT MAX(ts) AS anchor FROM events),
+      |m AS (
+      |  SELECT user_id,
+      |         (epoch_us(a.anchor) - epoch_us(p.last_ts)) // 86400000000 AS recency_days,
+      |         freq, monetary_cents
+      |  FROM p, a),
+      |q AS (
+      |  SELECT quantile_cont(recency_days, 0.25) AS r25,
+      |         quantile_cont(recency_days, 0.5) AS r50,
+      |         quantile_cont(recency_days, 0.75) AS r75,
+      |         quantile_cont(freq, 0.25) AS f25,
+      |         quantile_cont(freq, 0.5) AS f50,
+      |         quantile_cont(freq, 0.75) AS f75,
+      |         quantile_cont(monetary_cents, 0.25) AS m25,
+      |         quantile_cont(monetary_cents, 0.5) AS m50,
+      |         quantile_cont(monetary_cents, 0.75) AS m75
+      |  FROM m)
+      |SELECT m.user_id, m.recency_days, m.freq, m.monetary_cents,
+      |       CAST(1 + (CASE WHEN m.recency_days < q.r75 THEN 1 ELSE 0 END)
+      |              + (CASE WHEN m.recency_days < q.r50 THEN 1 ELSE 0 END)
+      |              + (CASE WHEN m.recency_days < q.r25 THEN 1 ELSE 0 END) AS BIGINT) AS r_score,
+      |       CAST(1 + (CASE WHEN m.freq > q.f25 THEN 1 ELSE 0 END)
+      |              + (CASE WHEN m.freq > q.f50 THEN 1 ELSE 0 END)
+      |              + (CASE WHEN m.freq > q.f75 THEN 1 ELSE 0 END) AS BIGINT) AS f_score,
+      |       CAST(1 + (CASE WHEN m.monetary_cents > q.m25 THEN 1 ELSE 0 END)
+      |              + (CASE WHEN m.monetary_cents > q.m50 THEN 1 ELSE 0 END)
+      |              + (CASE WHEN m.monetary_cents > q.m75 THEN 1 ELSE 0 END) AS BIGINT) AS m_score
+      |FROM m, q ORDER BY m.user_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(col("ts")).as("last_ts"),
+        count(lit(1)).as("freq"),
+        sum(round(col("value") * 100).cast("long")).cast("long")
+          .as("monetary_cents"))
+    val anchor = ev.agg(max(col("ts")).as("anchor"))
+    val m = p.crossJoin(broadcast(anchor)) // 1-row anchor
+      .select(col("user_id"),
+        expr("(unix_micros(anchor) - unix_micros(last_ts)) DIV 86400000000")
+          .as("recency_days"),
+        col("freq"), col("monetary_cents"))
+    val q = m.agg(
+      percentile(col("recency_days"), lit(0.25)).as("r25"),
+      percentile(col("recency_days"), lit(0.5)).as("r50"),
+      percentile(col("recency_days"), lit(0.75)).as("r75"),
+      percentile(col("freq"), lit(0.25)).as("f25"),
+      percentile(col("freq"), lit(0.5)).as("f50"),
+      percentile(col("freq"), lit(0.75)).as("f75"),
+      percentile(col("monetary_cents"), lit(0.25)).as("m25"),
+      percentile(col("monetary_cents"), lit(0.5)).as("m50"),
+      percentile(col("monetary_cents"), lit(0.75)).as("m75"))
+    def score(x: String, lo: String, mid: String, hi: String,
+        invert: Boolean): org.apache.spark.sql.Column = {
+      def hit(c: String) =
+        when(if (invert) col(x) < col(c) else col(x) > col(c), 1L).otherwise(0L)
+      lit(1L) + (if (invert) hit(hi) + hit(mid) + hit(lo)
+                 else hit(lo) + hit(mid) + hit(hi))
+    }
+    m.crossJoin(broadcast(q)) // 1-row thresholds
+      .select(col("user_id"), col("recency_days"), col("freq"),
+        col("monetary_cents"),
+        score("recency_days", "r25", "r50", "r75", invert = true).as("r_score"),
+        score("freq", "f25", "f50", "f75", invert = false).as("f_score"),
+        score("monetary_cents", "m25", "m50", "m75", invert = false).as("m_score"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(fkIntegrity, orderReconcile, abLift, rfmSegments)
 }

@@ -568,7 +568,145 @@ object ProfileQueries {
       .orderBy("lang", "source")
   }
 
+  /** MEDIAN ABSOLUTE DEVIATION (robust scale) per event_type — median,
+    * MAD, and the count of 3-MAD outliers: the robust-statistics
+    * companion to q_winsorize (percentile clipping) and q_anomaly_zscore
+    * (trailing mean/sigma). Mean/stddev move with the outliers they are
+    * supposed to find; median/MAD have a 50% breakdown point, which is
+    * why a data-quality monitor alerts on MAD, not sigma.
+    *
+    * Determinism: values quantize to integer cents (the q_winsorize
+    * convention) before the exact interpolated median (Spark `percentile`
+    * == DuckDB `quantile_cont`); each deviation is one IEEE subtraction +
+    * abs of identical doubles; the second-pass MAD interpolates over
+    * those identical doubles; the outlier gate compares against one IEEE
+    * product (3 * mad). Every compared number is bit-equal by
+    * construction.
+    *
+    * Shape at 100 TB: two keyed aggregation passes (median, then MAD of
+    * deviations) + one broadcast join-back of the bounded per-type
+    * threshold table — same posture as q_winsorize; the unbounded-domain
+    * swap-in is the q_quantile_sketch histogram. */
+  val madRobust: Q = Q(
+    "q_mad_robust",
+    """WITH v AS (SELECT event_type,
+      |                  CAST(ROUND(value * 100) AS BIGINT) AS x FROM events),
+      |m AS (SELECT event_type, quantile_cont(x, 0.5) AS med
+      |      FROM v GROUP BY event_type),
+      |d AS (SELECT v.event_type, v.x, m.med,
+      |             ABS(CAST(v.x AS DOUBLE) - m.med) AS dev
+      |      FROM v JOIN m ON m.event_type = v.event_type),
+      |s AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      |      FROM d GROUP BY event_type)
+      |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       MIN(d.med) AS med, MIN(s.mad) AS mad,
+      |       CAST(SUM(CASE WHEN d.dev > 3 * s.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_outliers,
+      |       MAX(d.dev) AS max_dev
+      |FROM d JOIN s ON s.event_type = d.event_type
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin) { (s, dir) =>
+    val v = t(s, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("x"))
+    val m = v.groupBy(col("event_type").as("mtype"))
+      .agg(percentile(col("x"), lit(0.5)).as("med"))
+    val d = v.join(broadcast(m), col("event_type") === col("mtype"))
+      .select(col("event_type"), col("med"),
+        abs(col("x").cast("double") - col("med")).as("dev"))
+    val mad = d.groupBy(col("event_type").as("stype"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    d.join(broadcast(mad), col("event_type") === col("stype"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("med")).as("med"), min(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        max(col("dev")).as("max_dev"))
+      .orderBy("event_type")
+  }
+
+  /** EQUI-WIDTH HISTOGRAM — per event_type, the value distribution in 10
+    * equal-width buckets over the type's own [min, max] range: the
+    * DESCRIBE-style distribution profile next to q_table_profile's
+    * min/max and q_quantile_sketch's log-spaced buckets (equi-width is
+    * what a BI tool draws; log-spaced is what an unbounded domain needs).
+    *
+    * Determinism: bucket edges derive from integer-cent min/max; the
+    * bucket index is floor((x - min) * 10 / span) in PURE INTEGER
+    * arithmetic (no double division — a one-ulp edge disagreement would
+    * move a row across a bucket), clamped so x = max lands in bucket 9.
+    *
+    * Shape at 100 TB: one bounded min/max aggregation, broadcast back,
+    * one map-side-combined (type, bucket) count — ≤ 10 rows per type. */
+  val histEquiwidth: Q = Q(
+    "q_hist_equiwidth",
+    """WITH v AS (SELECT event_type,
+      |                  CAST(ROUND(value * 100) AS BIGINT) AS x FROM events),
+      |r AS (SELECT event_type, MIN(x) AS lo, MAX(x) AS hi
+      |      FROM v GROUP BY event_type),
+      |b AS (SELECT v.event_type,
+      |             LEAST((v.x - r.lo) * 10 // GREATEST(r.hi - r.lo, 1), 9) AS bucket,
+      |             r.lo, r.hi
+      |      FROM v JOIN r ON r.event_type = v.event_type)
+      |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+      |       CAST(COUNT(*) AS BIGINT) AS n,
+      |       MIN(lo) AS lo_cents, MIN(hi) AS hi_cents
+      |FROM b GROUP BY event_type, bucket
+      |ORDER BY event_type, bucket""".stripMargin) { (s, dir) =>
+    val v = t(s, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("x"))
+    val r = v.groupBy(col("event_type").as("rtype"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    v.join(broadcast(r), col("event_type") === col("rtype"))
+      .select(col("event_type"),
+        least(expr("(x - lo) * 10 DIV GREATEST(hi - lo, 1)"), lit(9L))
+          .cast("long").as("bucket"),
+        col("lo"), col("hi"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("lo")).as("lo_cents"), min(col("hi")).as("hi_cents"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** EXACT MODE per group — each language's modal source with its count
+    * and exact-ppm share: the most-frequent-value profile (pandas
+    * `.mode()`, SQL `mode()`) done deterministically — engines disagree
+    * on mode() tie-breaks, so the engine spells the tie out: highest
+    * count first, then lexicographically smallest value, via a bounded
+    * per-group rank window over the (lang, source) count table.
+    *
+    * Shape at 100 TB: the count table is bounded by the value domain per
+    * group (sources, not rows); the window ranks those bounded rows only
+    * — never raw data. */
+  val modePerGroup: Q = Q(
+    "q_mode_per_group",
+    """WITH c AS (SELECT lang, source, COUNT(*) AS n
+      |           FROM documents GROUP BY lang, source),
+      |t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY lang),
+      |r AS (SELECT lang, source, n,
+      |             ROW_NUMBER() OVER (PARTITION BY lang
+      |                                ORDER BY n DESC, source) AS rk
+      |      FROM c)
+      |SELECT r.lang, r.source AS modal_source, CAST(r.n AS BIGINT) AS n,
+      |       r.n * 1000000 // t.tot AS share_ppm
+      |FROM r JOIN t ON t.lang = r.lang
+      |WHERE r.rk = 1 ORDER BY r.lang""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = t(s, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("lang").as("tlang"))
+      .agg(sum(col("n")).cast("long").as("tot"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("source"))
+    c.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(broadcast(tot), col("lang") === col("tlang"))
+      .select(col("lang"), col("source").as("modal_source"),
+        col("n").cast("long").as("n"),
+        expr("n * 1000000 DIV tot").as("share_ppm"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] =
     Seq(tableProfile, zorderLayout, anomalyZscore, driftChisq, winsorize,
-      sourceHhi, skyline, keySkewReport, groupQuantiles)
+      sourceHhi, skyline, keySkewReport, groupQuantiles, madRobust,
+      histEquiwidth, modePerGroup)
 }
