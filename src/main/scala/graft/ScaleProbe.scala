@@ -84,7 +84,7 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   /** Queries that read ONLY the documents table (replicated input #1). */
-  private val DocQueries = Seq(
+  private[graft] val DocQueries = Seq(
     "q_dedup_exact", "q_text_stats", "q_lang_id", "q_doc_profile",
     "q_jaccard_neardup", "q_media_meta", "q_token_counts",
     "q_fingerprint_rolling", "q_train_split", "q_shuffle_order",
@@ -103,14 +103,14 @@ object ScaleProbe {
     "q_group_quantiles", "q_mode_per_group")
 
   /** Queries that read ONLY the embeddings table (replicated input #2). */
-  private val EmbQueries = Seq(
+  private[graft] val EmbQueries = Seq(
     "q_cosine_topk", "q_ann_ivf", "q_ann_lsh", "q_ann_int8",
     "q_ann_ivf_learned", "q_ann_recall", "q_embed_neardup",
     "q_quantize_roundtrip", "q_knn_classify", "q_ncm_classify",
     "q_semantic_decontaminate")
 
   /** Queries that read ONLY the events table (replicated input #3). */
-  private val EvQueries = Seq(
+  private[graft] val EvQueries = Seq(
     "q_json_extract", "q_window_tumbling", "q_window_sliding",
     "q_window_session", "q_event_funnel", "q_retention_cohorts",
     "q_session_trajectories", "q_hll_distinct", "q_bloom_prune",
@@ -137,12 +137,33 @@ object ScaleProbe {
     * reconciliation join stays within-replica. q_key_skew_report reads
     * the replicated events table from the same scaled dir, so all three
     * of its key reports see 10x data. */
-  private val StarQueries = Seq(
+  private[graft] val StarQueries = Seq(
     "q_basket_rules", "q_triangle_count", "q_pagerank", "q_kcore",
     "q_graph_components", "q_degree_histogram", "q_recommend_topk",
     "q_bfs_hops", "q_mutual_best_match",
     "q_fk_integrity", "q_order_reconcile",
     "q_table_profile", "q_zorder_layout", "q_skyline", "q_key_skew_report")
+
+  /** The remaining parquet surface — multi-table joins, the TPC-H-style
+    * relational core, the window/stat/pipeline kernels — probed against
+    * the SAME scaled dir (it holds every scaled table plus verbatim
+    * region/nation), so their factors measure the cross-family join
+    * paths the single-table lists cannot: fact-to-dim broadcast stars,
+    * shuffle joins whose BOTH sides grew 10x, as-of/range joins over the
+    * 10x event log, and the per-key SIR fold. With this list every
+    * declared query reading testdata parquet has a measured factor. */
+  private[graft] val MultiQueries = Seq(
+    "q_filter_project", "q_pricing_summary", "q_topk_revenue",
+    "q_dedup_groupmax", "q_distinct", "q_count_distinct",
+    "q_scalar_lookup", "q_lookup_broadcast", "q_join_broadcast_star",
+    "q_join_shuffle", "q_join_semi", "q_join_anti", "q_setops",
+    "q_rollup", "q_cube", "q_grouping_sets", "q_range_join",
+    "q_asof_join", "q_asof_nearest", "q_window_lag", "q_window_cumsum",
+    "q_window_rank", "q_window_movavg", "q_first_last", "q_tail_slice",
+    "q_row_align_join", "q_interpolate", "q_impute_invariant",
+    "q_wrangle", "q_county_series", "q_active_fraction",
+    "q_cum_fraction", "q_death_rate_by_group", "q_estimator_slopes",
+    "q_mse_aligned", "q_r0_trajectory", "q_sir_simulate")
 
   private val Repl = 10
   // larger than any planted-twin id offset (max is 9_000_000 + base ids,
@@ -382,7 +403,8 @@ object ScaleProbe {
       median((1 to SteadyIters).map(_ => timeOnce(name, dir)))
     }
 
-    val rows = (DocQueries ++ EmbQueries ++ EvQueries ++ StarQueries).map { q =>
+    val rows = (DocQueries ++ EmbQueries ++ EvQueries ++ StarQueries ++
+      MultiQueries).map { q =>
       val b = bench(q, sfDir)
       val s = bench(q, scaledDir)
       val factor = s / b

@@ -137,6 +137,22 @@ class ScaleProbeSpec extends SparkSpec {
     ev.unpersist()
   }
 
+  test("probe lists cover every declared query, no duplicates or strays") {
+    // the completeness pin: a new registry query that is not placed into
+    // a probe family fails HERE, not silently ships without a measured
+    // scale factor (the scaled dir holds every table, so every
+    // parquet-reading query is probeable by construction)
+    val listed = ScaleProbe.DocQueries ++ ScaleProbe.EmbQueries ++
+      ScaleProbe.EvQueries ++ ScaleProbe.StarQueries ++
+      ScaleProbe.MultiQueries
+    assert(listed.distinct.size == listed.size,
+      s"duplicate probe entries: ${listed.diff(listed.distinct)}")
+    val all = graft.queries.Registry.all.map(_.name).toSet
+    assert(all == listed.toSet,
+      s"unprobed: ${(all diff listed.toSet).toSeq.sorted}; " +
+        s"unknown: ${(listed.toSet diff all).toSeq.sorted}")
+  }
+
   test("star replicas: FK-intact per replica, every key disjoint") {
     val star = ScaleProbe.scaledStar(spark, sf, repl).toMap
     val li = star("lineitem").cache()
