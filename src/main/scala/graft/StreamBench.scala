@@ -103,7 +103,7 @@ object StreamBench {
           name == "transitions" || name == "anomaly" ||
           name == "ohlc" || name == "streaks" ||
           name == "pit_lookup" || name == "concurrency" ||
-          name == "scd2_apply") s"$work/events"
+          name == "scd2_apply" || name == "bitmap_registers") s"$work/events"
         else if (name == "semantic_hits") s"$work/vecs"
         else s"$work/docs"
       val t0 = System.nanoTime()
@@ -139,6 +139,8 @@ object StreamBench {
         streaming.Streams.bloomWords(df, "user_id")),
       run("cms_registers", nEvents, mode = "complete")(df =>
         streaming.Streams.cmsRegisters(df, "user_id")),
+      run("bitmap_registers", nEvents, mode = "complete")(df =>
+        streaming.Streams.bitmapRegisters(df, "event_type", "user_id")),
       run("transitions", nEvents)(df =>
         streaming.Streams.eventTransitions(
           df.select(col("event_id"), col("user_id"), col("ts"),

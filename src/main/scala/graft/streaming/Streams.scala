@@ -662,6 +662,24 @@ object Streams {
     * stream in (bit_or is monotone, like the HLL register max — state
     * bounded BY THE SKETCH, no watermark). The word table broadcast
     * against a probe side is the pruning join the batch query grades. */
+  /** Streaming BITMAP register maintenance: the incremental build of
+    * q_bitmap_overlap's per-segment word table — each (segment, word_idx)
+    * row holds the BIT_OR of its members' bit masks, the exact audience
+    * bitmap an analytics store keeps per segment. BIT_OR is idempotent
+    * and commutative, so the complete-mode register table equals the
+    * batch words whatever the arrival order, batch split, or RE-DELIVERY
+    * (no upstream distinct needed — the property an exactly-once-free
+    * audience index needs; the sketch twins share it because max/min are
+    * idempotent too). Overlap queries then join the register table on
+    * word_idx exactly as the batch query does — the 64x-compressed join
+    * is what makes billion-user intersections cheap. */
+  def bitmapRegisters(keyed: DataFrame, segCol: String, keyCol: String): DataFrame = {
+    import graft.functions.Sketch
+    keyed
+      .groupBy(col(segCol).as("seg"), expr(s"$keyCol DIV 64").as("word_idx"))
+      .agg(bit_or(Sketch.bloomMask(col(keyCol))).as("w"))
+  }
+
   def bloomWords(keyed: DataFrame, keyCol: String): DataFrame = {
     import graft.functions.Sketch
     keyed

@@ -279,6 +279,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bitmapRegisters: streamed audience words bit-match the batch build") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, expr, bit_or}
+    val events = graft.engine.Tables.t(spark, sf, "events")
+    // batch words exactly as q_bitmap_overlap packs them (the DISTINCT is
+    // unnecessary under BIT_OR — idempotence absorbs duplicates)
+    val batch = events
+      .groupBy(col("event_type").as("seg"), expr("user_id DIV 64").as("word_idx"))
+      .agg(bit_or(graft.functions.Sketch.bloomMask(col("user_id"))).as("w"))
+      .as[(String, Long, Long)].collect().toSet
+    val rows = events.select(col("event_type"), col("user_id"))
+      .as[(String, Long)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[(String, Long)]
+    val q = Streams.bitmapRegisters(
+        in.toDF().toDF("event_type", "user_id"), "event_type", "user_id")
+      .writeStream.format("memory").queryName("bmregs")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("bmregs")
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"stream-only: ${(streamed diff batch).take(3)}, " +
+          s"batch-only: ${(batch diff streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("cmsRegisters: streamed counter bank bit-matches the batch build") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions.col
