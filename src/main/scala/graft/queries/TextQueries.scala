@@ -223,6 +223,59 @@ object TextQueries {
       .orderBy("kind")
   }
 
+  /** FRAME-SAMPLE PLAN — for every video item, the evenly-spaced frame
+    * indices (up to 8) and their byte offsets a frame extractor would
+    * decode: the SAMPLING HALF of video feature extraction as engine
+    * data, oracle-checked, with the decode half in
+    * [[graft.engine.Multimodal.sampleFrames]] (mapPartitions, real codec
+    * or documented stub — MultimodalSpec). Keeping the plan queryable is
+    * the 100-TB posture: the planner decides WHICH bytes to touch from
+    * metadata alone (duration -> frame count at 30fps, payload length ->
+    * stride), so the binary column is never scanned to plan its own
+    * decode.
+    *
+    * Determinism: pure integer arithmetic end to end — frame count, slot
+    * count, index striding (slot * n_frames DIV slots) and byte offsets
+    * (frame_idx * bytes-per-frame) are all integer DIV. */
+  val frameSample: Q = Q(
+    "q_frame_sample",
+    """WITH media AS (
+      |  SELECT doc_id AS media_id, encode(text) AS payload,
+      |         n_chars * 10 AS duration_ms
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (
+      |  SELECT media_id,
+      |         GREATEST(duration_ms * 30 // 1000, 1) AS n_frames,
+      |         octet_length(payload) AS n_bytes
+      |  FROM media),
+      |s AS (
+      |  SELECT media_id, n_frames, n_bytes,
+      |         LEAST(n_frames, 8) AS n_slots,
+      |         unnest(generate_series(0, LEAST(n_frames, 8) - 1)) AS slot
+      |  FROM f)
+      |SELECT media_id, CAST(slot AS BIGINT) AS slot,
+      |       CAST(slot * n_frames // n_slots AS BIGINT) AS frame_idx,
+      |       CAST((slot * n_frames // n_slots) * (n_bytes // n_frames) AS BIGINT)
+      |         AS byte_offset,
+      |       CAST(n_frames AS BIGINT) AS n_frames
+      |FROM s ORDER BY media_id, slot""".stripMargin) { (s, dir) =>
+    val media = graft.engine.Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      .filter(col("kind") === "video")
+      .select(col("media_id"),
+        greatest(expr("duration_ms * 30 DIV 1000"), lit(1L)).as("n_frames"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("n_slots", least(col("n_frames"), lit(8L)))
+    media
+      .select(col("media_id"), col("n_frames"), col("n_bytes"), col("n_slots"),
+        explode(sequence(lit(0L), col("n_slots") - 1)).as("slot"))
+      .select(col("media_id"), col("slot"),
+        expr("slot * n_frames DIV n_slots").as("frame_idx"),
+        (expr("slot * n_frames DIV n_slots") *
+          expr("n_bytes DIV n_frames")).as("byte_offset"),
+        col("n_frames"))
+      .orderBy("media_id", "slot")
+  }
+
   /** Token counting both ways (brief: whitespace + a BPE-ish regex): the
     * regex count tallies alpha runs, digit runs, and single symbols — the
     * pre-merge granularity a BPE tokenizer starts from. */
@@ -643,5 +696,5 @@ object TextQueries {
     Seq(dedupExact, textStats, langId, docProfile, jaccardNearDup, mediaMeta,
       tokenCounts, fingerprintRolling, winnowFingerprint, trainSplit,
       shuffleOrder, packShards, chunkDocs, dedupNormalized, labelMismatch,
-      incrementalDedup)
+      incrementalDedup, frameSample)
 }
