@@ -100,7 +100,8 @@ object ScaleProbe {
     "q_dedup_canonical", "q_oov_rate", "q_stratified_sample",
     "q_quantile_sketch", "q_incremental_dedup", "q_keyword_search",
     "q_split_leakage", "q_collocation_lift", "q_source_hhi",
-    "q_group_quantiles", "q_mode_per_group", "q_frame_sample")
+    "q_group_quantiles", "q_mode_per_group", "q_frame_sample",
+    "q_fuzzy_blocklist")
 
   /** Queries that read ONLY the embeddings table (replicated input #2). */
   private[graft] val EmbQueries = Seq(

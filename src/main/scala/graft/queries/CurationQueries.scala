@@ -285,6 +285,72 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** FUZZY BLOCKLIST MATCH — tokens within edit distance 1 of a blocklist
+    * term (but not equal: exact hits are q_blocklist_scrub's job): the
+    * typo-and-evasion catcher ("sp4rk", "dat") every content filter needs
+    * beside its exact list. Per flagged doc: occurrence count and the
+    * sorted distinct offending tokens.
+    *
+    * Shape at 100 TB: the edit-distance work runs on the DISTINCT
+    * VOCABULARY x blocklist (a broadcast nested-loop whose fan-out is
+    * bounded by the blocklist size — never corpus rows x list), and the
+    * resulting hit-token table (tiny) broadcast-joins back onto the token
+    * stream: the corpus itself is touched by equi-join only. This is the
+    * canonical fuzzy-join decomposition — block/dedupe first, verify on
+    * the bounded set, equi-join the verdicts back.
+    *
+    * Determinism: the engine's codegen'd Levenshtein matches DuckDB's
+    * `levenshtein` exactly (the q_neardup_verify precedent); counts are
+    * integers and the token list is sorted before joining. The synthetic
+    * corpus contains no natural typos, so every 25th doc gets a PLANTED
+    * twin (+3_000_000, the q_minhash_neardup convention — the offset is
+    * under the probe's replica stride) carrying three near-miss tokens;
+    * matches exist at every scale and the oracle checks them. */
+  val fuzzyBlocklist: Q = Q(
+    "q_fuzzy_blocklist",
+    """WITH planted AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS doc_id, text || ' sparkk dat queri' AS text
+      |  FROM documents WHERE doc_id % 25 = 0),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM planted),
+      |vocab AS (SELECT DISTINCT tok FROM tok),
+      |bl AS (SELECT unnest(['spark', 'join', 'query', 'data']) AS term),
+      |hits AS (
+      |  SELECT v.tok FROM vocab v JOIN bl b
+      |    ON levenshtein(v.tok, b.term) <= 1 AND v.tok <> b.term
+      |  GROUP BY v.tok),
+      |d AS (
+      |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_fuzzy_hits,
+      |         array_to_string(list_sort(list(DISTINCT t.tok)), ',') AS hit_tokens
+      |  FROM tok t JOIN hits h ON h.tok = t.tok GROUP BY t.doc_id),
+      |n AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |      FROM planted)
+      |SELECT n.doc_id, n.n_tokens, d.n_fuzzy_hits, d.hit_tokens
+      |FROM n JOIN d ON d.doc_id = n.doc_id
+      |ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val docs = base.unionAll(base.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 3000000).as("doc_id"),
+        concat(col("text"), lit(" sparkk dat queri")).as("text")))
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val bl = Blocklist.toDF("term")
+    val hits = tok.select("tok").distinct()
+      .crossJoin(broadcast(bl)) // vocab x bounded blocklist, then verify
+      .filter(call_function("graft_levenshtein", col("tok"), col("term")) <= 1 &&
+        col("tok") =!= col("term"))
+      .select("tok").distinct()
+    val perDoc = tok.join(broadcast(hits), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fuzzy_hits"),
+        array_join(sort_array(collect_set(col("tok"))), ",").as("hit_tokens"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_fuzzy_hits"), col("hit_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** END-TO-END CURATION REPORT: the composed filter pipeline a corpus
     * actually runs — every gate evaluated per document in priority order
     * (benchmark contamination > length > repetition > blocklist), one
@@ -723,5 +789,5 @@ object CurationQueries {
   val all: Seq[Q] =
     Seq(substringDedup, sourceCap, lmScore, blocklistScrub, piiScrub,
       curationReport, curriculumOrder, corpusDiff, budgetMixture,
-      pipelineE2e, shardManifest, stratifiedSample)
+      pipelineE2e, shardManifest, stratifiedSample, fuzzyBlocklist)
 }
