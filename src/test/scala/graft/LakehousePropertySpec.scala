@@ -143,6 +143,65 @@ class LakehousePropertySpec extends SparkSpec {
     }
   }
 
+  /** Spark's exact-percentile interpolation tree (Percentile.scala):
+    * pos = (n-1)*p; lower + (higher - lower) * fraction — the same tree
+    * DuckDB's quantile_cont uses, reproduced here literally so the naive
+    * form is an independent third implementation. */
+  private def interp(sorted: IndexedSeq[Long], p: Double): Double = {
+    val pos = (sorted.length - 1) * p
+    val lo = math.floor(pos).toInt
+    val hi = math.ceil(pos).toInt
+    sorted(lo) + (sorted(hi) - sorted(lo)) * (pos - lo)
+  }
+
+  test("mad robust == naive median/MAD fold on random logs") {
+    for (_ <- 1 to 3) {
+      val log = randomLog(400)
+      val dir = logDir(log)
+      val naive = log.groupBy(_._4).map { case (tpe, rows) =>
+        val xs = rows.map(r => math.round(r._5 * 100)).toIndexedSeq.sorted
+        val med = interp(xs, 0.5)
+        val devs = xs.map(x => math.abs(x.toDouble - med)).sorted
+        val mad = devs.length match {
+          case n =>
+            val pos = (n - 1) * 0.5; val lo = math.floor(pos).toInt
+            devs(lo) + (devs(math.ceil(pos).toInt) - devs(lo)) * (pos - lo)
+        }
+        tpe -> (xs.length.toLong, med, mad,
+          devs.count(_ > 3 * mad).toLong, devs.max)
+      }
+      val got = graft.queries.ProfileQueries.madRobust.build(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+            r.getDouble(5))).toMap
+      assert(got.keySet == naive.keySet)
+      got.foreach { case (k, (n, med, mad, out, mx)) =>
+        val (nn, nmed, nmad, nout, nmx) = naive(k)
+        assert(n == nn && out == nout, s"$k counts: ($n,$out) != ($nn,$nout)")
+        assert(math.abs(med - nmed) < 1e-9 && math.abs(mad - nmad) < 1e-9 &&
+          math.abs(mx - nmx) < 1e-9, s"$k stats differ")
+      }
+    }
+  }
+
+  test("equi-width histogram == naive integer bucketing on random logs") {
+    for (_ <- 1 to 3) {
+      val log = randomLog(400)
+      val dir = logDir(log)
+      val naive = log.groupBy(_._4).flatMap { case (tpe, rows) =>
+        val xs = rows.map(r => math.round(r._5 * 100))
+        val lo = xs.min; val hi = xs.max; val span = math.max(hi - lo, 1L)
+        xs.groupBy(x => math.min((x - lo) * 10 / span, 9L))
+          .map { case (b, g) => (tpe, b) -> (g.size.toLong, lo, hi) }
+      }
+      val got = graft.queries.ProfileQueries.histEquiwidth.build(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got == naive, s"only-got: ${(got.toSet diff naive.toSet).take(3)} " +
+        s"only-naive: ${(naive.toSet diff got.toSet).take(3)}")
+    }
+  }
+
   test("skyline == naive quadratic dominance filter on random parts") {
     val dir = Files.createTempDirectory("lh-prop-sky").toString
     val parts = (1 to 300).map { i =>
