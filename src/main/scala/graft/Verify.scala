@@ -27,7 +27,7 @@ object Verify {
     // sets this, so measured per-query costs stay honest)
     queries.SimilarityQueries.shareCtes = true
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    try SparkEntry.queries
       .filter { case (name, _) => subset.isEmpty || subset(name) }
       .foreach { case (name, fn) =>
       System.err.println(s"[verify] running $name")
@@ -36,7 +36,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-    }
+    } finally queries.SimilarityQueries.resetShared()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -178,6 +178,11 @@ object CurationQueries {
     * blocklists are thousands of terms: still broadcast-trivial). */
   val Blocklist = Seq("spark", "join", "query", "data")
 
+  /** [[Blocklist]] as a DuckDB array literal, interpolated into the
+    * q_blocklist_scrub / q_fuzzy_blocklist oracle SQL so editing the list
+    * can never silently diverge the oracle from the engine. */
+  private val BlocklistSql = Blocklist.mkString("['", "', '", "']")
+
   /** PII patterns — alternation-free character-class regexes, so Java
     * regex (Spark, leftmost-greedy) and RE2 (DuckDB, leftmost-longest)
     * produce identical matches and the scrub is oracle-checkable. Real
@@ -256,11 +261,11 @@ object CurationQueries {
     * the operator is embarrassingly parallel at any corpus size. */
   val blocklistScrub: Q = Q(
     "q_blocklist_scrub",
-    """WITH d AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
       |m AS (SELECT doc_id, len(tk) AS n_tokens,
-      |             len(list_filter(tk, x -> list_contains(['spark','join','query','data'], x))) AS n_hits,
+      |             len(list_filter(tk, x -> list_contains($BlocklistSql, x))) AS n_hits,
       |             array_to_string(list_transform(tk,
-      |               x -> CASE WHEN list_contains(['spark','join','query','data'], x)
+      |               x -> CASE WHEN list_contains($BlocklistSql, x)
       |                         THEN '[X]' ELSE x END), ' ') AS scrubbed_text
       |      FROM d)
       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -308,14 +313,14 @@ object CurationQueries {
     * matches exist at every scale and the oracle checks them. */
   val fuzzyBlocklist: Q = Q(
     "q_fuzzy_blocklist",
-    """WITH planted AS (
+    s"""WITH planted AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 3000000 AS doc_id, text || ' sparkk dat queri' AS text
       |  FROM documents WHERE doc_id % 25 = 0),
       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM planted),
       |vocab AS (SELECT DISTINCT tok FROM tok),
-      |bl AS (SELECT unnest(['spark', 'join', 'query', 'data']) AS term),
+      |bl AS (SELECT unnest($BlocklistSql) AS term),
       |hits AS (
       |  SELECT v.tok FROM vocab v JOIN bl b
       |    ON levenshtein(v.tok, b.term) <= 1 AND v.tok <> b.term

@@ -422,6 +422,15 @@ object SimilarityQueries {
     })
   }
 
+  /** Undo [[shareCtes]] and drop every memoized frame. [[graft.Verify]]
+    * calls this in a `finally` so a Bench or library caller in the same
+    * JVM after a Verify run measures the honest declared plans, and the
+    * memo's session/DataFrame references don't outlive the gate. */
+  def resetShared(): Unit = {
+    shareCtes = false
+    pipeMemo.clear()
+  }
+
   /** MinHash+LSH near-dup candidates over documents (8 bands x 2 rows on a
     * 16-slot signature), with planted near-identical twins so candidates
     * exist at every scale. Fully oracle-checked: slot hashes are 4-char hex

@@ -305,7 +305,10 @@ private[streaming] class ConcurrencySessionProcessor(gapUs: Long)
         s = if (flush) null else ConcState(tUs, tUs)
       } else if (tUs > s.lastUs) {
         s = ConcState(s.startUs, tUs)
-      } // tUs <= lastUs inside the gap: same-instant repeat — no-op
+      } // tUs <= lastUs: a same-instant repeat, or a CROSS-BATCH
+        // out-of-order event (in-batch rows are sorted, so only a prior
+        // batch can produce tUs < lastUs) — intentionally ignored, per the
+        // documented in-order input requirement of the batch path.
     }
     if (s != null) st.update(s) else st.clear()
     out.result().iterator
