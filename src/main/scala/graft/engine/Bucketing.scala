@@ -17,14 +17,12 @@ import org.apache.spark.sql.DataFrame
   */
 object Bucketing {
 
-  /** Persist `df` bucketed+sorted by `key` as a managed table. */
+  /** Persist `df` bucketed+sorted by `key` as a managed table (single-key
+    * convenience over [[Sinks.writeBucketed]], which adds multi-key,
+    * explicit sortCols, external paths, and the one-file-per-bucket
+    * repartition that sorted bucket scans require). */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .mode("overwrite")
-      .format("parquet")
-      .saveAsTable(table)
+    Sinks.writeBucketed(df, table, buckets, Seq(key))
 
   /** True when the physical plan of `df` contains no shuffle exchange —
     * the property bucketed joins buy. */

@@ -152,6 +152,39 @@ object Multimodal {
     }
   }
 
+  /** PLAN-DRIVEN decode: the composition of the two halves the engine
+    * proves separately — q_frame_sample (TextQueries) computes WHICH frames
+    * and byte ranges to touch from metadata alone, and this decodes exactly
+    * those ranges and nothing else. `plan` must carry
+    * (media_id, frame_idx, byte_offset); each planned row becomes one
+    * decoded [[FrameFeatures]] from the `frameBytes` window at its offset
+    * (real codec when the window is a complete PPM, documented stub
+    * otherwise — same dispatch as [[decode]]).
+    *
+    * Shape at 100 TB: the plan is tiny next to the payload column (≤8 rows
+    * per item) and joins back by media_id equi-join; only planned (item,
+    * frame) pairs ever reach the decoder, and on a byte-range-capable
+    * store only those windows would be fetched at all. */
+  def decodePlanned(media: Dataset[MediaItem], plan: DataFrame,
+      frameBytes: Int, dim: Int): Dataset[FrameFeatures] = {
+    require(frameBytes > 0, s"frameBytes must be positive (got $frameBytes)")
+    import media.sparkSession.implicits._
+    media.toDF().select(col("media_id"), col("payload"))
+      .join(plan.select(col("media_id"), col("frame_idx").cast("int"),
+        col("byte_offset").cast("int")), "media_id")
+      .select(col("media_id"), col("frame_idx"), col("byte_offset"),
+        col("payload"))
+      .as[(Long, Int, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, idx, off, payload) =>
+          val start = math.min(math.max(off, 0), payload.length)
+          val end = math.min(payload.length.toLong, start.toLong + frameBytes).toInt
+          FrameFeatures(id, idx,
+            decode(java.util.Arrays.copyOfRange(payload, start, end), dim))
+        }
+      }
+  }
+
   /** Frame sampling for "video". A payload that parses as a
     * concatenated-P6 container ([[Codecs.decodePpmFrames]]) is decoded
     * frame by frame: keep every `stride`-th DECODED frame, grid-pooled

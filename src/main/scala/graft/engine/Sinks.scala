@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
 
 /** Sink helpers (SURVEY.md §2.1 S6 extensions) for the file-layout concerns
   * that only matter at scale:
@@ -15,8 +16,59 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   *    future reads with a filter on the partition column scan only matching
   *    directories (partition pruning — the `PartitionFilters` line in
   *    `.explain`, complementing the `PushedFilters` the audit tracks).
+  *  - **Bucketed layout**: `writeBucketed` persists a table hash-bucketed
+  *    (and optionally sorted) by its hot join key. Two tables bucketed on
+  *    the same key with the same bucket count join with ZERO exchange on
+  *    either side — at 100 TB this converts every downstream fact/fact
+  *    join on that key from a full shuffle into a local zip of bucket
+  *    pairs, and with matching `sortCols` (one file per bucket) the
+  *    sort-merge join needs no Sort either (BucketJoinSpec pins both on
+  *    the executed plan).
+  *  - **Range-sorted layout**: `writeRangeSorted` lays data out range-
+  *    partitioned and sorted within files, so every file covers a narrow
+  *    value band and the parquet footer min/max statistics let a range
+  *    predicate skip whole files/row-groups (SortedLayoutSpec proves the
+  *    skip on scan metrics — the value-range complement of hive partition
+  *    pruning).
   */
 object Sinks {
+
+  /** Persist `df` as a parquet table hash-bucketed by `keys` into
+    * `nBuckets` buckets, sorted inside each bucket file by `sortCols`
+    * (default: the bucket keys). The frame is pre-repartitioned by the
+    * same keys into `nBuckets` partitions, which aligns write tasks with
+    * bucket ids (both sides hash with Murmur3), so each bucket lands in
+    * EXACTLY ONE file — the layout sorted bucket scans require, and the
+    * posture that avoids the tasks×buckets small-file explosion at scale.
+    *
+    * `path = Some(p)` makes it an external table at `p`; `None` writes to
+    * the session warehouse. Readers go through `spark.table(table)` — the
+    * bucket metadata lives in the catalog, not the files. */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
+      keys: Seq[String], sortCols: Seq[String] = Nil,
+      path: Option[String] = None,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(keys.nonEmpty, "need at least one bucket key")
+    val sorts = if (sortCols.nonEmpty) sortCols else keys
+    val w0 = df.repartition(nBuckets, keys.map(col): _*)
+      .write.mode(mode).format("parquet")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(sorts.head, sorts.tail: _*)
+    path.fold(w0)(p => w0.option("path", p)).saveAsTable(table)
+  }
+
+  /** Range-partitioned, file-sorted parquet write: `nFiles` range splits
+    * on `sortCols`, rows sorted within each split. Each output file then
+    * covers one narrow `sortCols` band, so the min/max statistics in the
+    * parquet footers make range predicates skip every non-overlapping
+    * file/row-group at read time. */
+  def writeRangeSorted(df: DataFrame, path: String, nFiles: Int,
+      sortCols: Seq[String], mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(sortCols.nonEmpty, "need at least one sort column")
+    df.repartitionByRange(nFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(mode).parquet(path)
+  }
 
   /** Parquet write with an upper bound on rows per file. */
   def writeSized(df: DataFrame, path: String, maxRecordsPerFile: Long,

@@ -94,6 +94,64 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).payload.sameElements(junk) && out(2L).width == 7 && out(2L).height == 9)
   }
 
+  test("q_frame_sample plan drives decodePlanned end to end on testdata") {
+    // the PLAN half: q_frame_sample's declared query — frame indices and
+    // byte offsets computed from metadata alone
+    val plan = graft.queries.TextQueries.frameSample.build(spark, sf).cache()
+    val planRows = plan.count()
+    assert(planRows > 0)
+    // the DECODE half touches exactly the planned (item, frame) pairs
+    val decoded = Multimodal.decodePlanned(media, plan, frameBytes = 256,
+      dim = 16).cache()
+    assert(decoded.count() == planRows,
+      "decoder must emit one row per planned frame, nothing more")
+    val unmatched = decoded.toDF().select(col("media_id"), col("frame_idx"))
+      .exceptAll(plan.select(col("media_id"), col("frame_idx").cast("int")))
+    assert(unmatched.isEmpty, "decoded a frame the plan never asked for")
+    assert(decoded.filter(size(col("feature")) =!= 16).isEmpty)
+    // deterministic across runs
+    val a = decoded.orderBy("media_id", "frame_idx").limit(5).collect()
+    val b = Multimodal.decodePlanned(media, plan, frameBytes = 256, dim = 16)
+      .orderBy("media_id", "frame_idx").limit(5).collect()
+    a.lazyZip(b).foreach { (x, y) =>
+      assert(x.media_id == y.media_id && x.frame_idx == y.frame_idx &&
+        x.feature.sameElements(y.feature))
+    }
+  }
+
+  test("decodePlanned at q_frame_sample offsets recovers the true P6 frames") {
+    import graft.engine.Codecs
+    import graft.engine.Codecs.Raster
+    // ten fixed-size 4x4 frames, each a distinct gray level -> every frame
+    // is exactly 59 bytes ("P6\n4 4\n255\n" header + 48 rgb bytes)
+    def gray(v: Int) = Raster(4, 4, Array.fill(48)(v.toByte))
+    val frames = (0 until 10).map(i => gray(20 * i + 15))
+    val container = Codecs.encodePpmFrames(frames)
+    val frameSize = Codecs.encodePpm(frames.head).length
+    assert(container.length == 10 * frameSize)
+    // q_frame_sample's integer arithmetic for this item: n_frames = 10
+    // (duration_ms = 334 -> 334*30 DIV 1000), n_bytes DIV n_frames = the
+    // exact per-frame size, 8 slots over 10 frames
+    val nFrames = 334L * 30 / 1000
+    assert(nFrames == 10)
+    val planned = (0 until 8).map { slot =>
+      val idx = slot * 10 / 8
+      (1L, idx, idx * (container.length / 10))
+    }
+    val plan = planned.toDF("media_id", "frame_idx", "byte_offset")
+    val items = Seq(MediaItem(1L, "video", container, 4, 4, 0, 334L)).toDS()
+    val got = Multimodal.decodePlanned(items, plan, frameBytes = frameSize,
+        dim = 16).collect().map(f => f.frame_idx -> f.feature).toMap
+    assert(got.keySet == planned.map(_._2).toSet)
+    // the planned byte windows land on true frame boundaries, so the
+    // decoder's output IS the real per-frame luma grid
+    for ((idx, feat) <- got) {
+      val want = java.util.Arrays.copyOf(
+        Codecs.grayFeatures(frames(idx), 4), 16)
+      assert(feat.sameElements(want), s"frame $idx decoded off-plan")
+    }
+  }
+
   test("sampleFrames: every stride-th fixed-size chunk becomes a row") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2, dim = 8)
       .cache()
