@@ -55,7 +55,24 @@ object Bench {
         require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
         args.toSeq
       } else queries.keys.toSeq
-    val coldAll = names.map(n => n -> once(n)).toMap
+    // per-query shuffle-WRITE bytes, measured once on the cold pass (bytes
+    // are plan-determined and stable across runs, unlike wall time): the
+    // scale-killer ledger — a query whose walls hide a regression on
+    // local[32] still shows a >2x bytes jump between rounds
+    // (BenchCoverageSpec flags it against the previous round's artifact).
+    // The tracker is read between shuffle-free sentinel jobs so async
+    // listener delivery can't bleed one query's stages into the next.
+    val tracker = new ScaleProbe.ShuffleTracker
+    spark.sparkContext.addSparkListener(tracker)
+    val shuffleBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val coldAll = names.map { n =>
+      ScaleProbe.sentinelJob(spark)
+      tracker.reset()
+      val t = once(n)
+      ScaleProbe.sentinelJob(spark)
+      shuffleBytes(n) = tracker.writeBytes
+      n -> t
+    }.toMap
     val SteadyIters = 3
     val runs = (1 to SteadyIters).map(_ => names.map(n => n -> once(n)).toMap)
     def median(xs: Seq[Double]): Double = {
@@ -77,6 +94,8 @@ object Bench {
     val mins = okNames.map(n => n -> runs.map(_(n)).min)
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val shuf = okNames.map(n => s"\"" + n + "\":" + shuffleBytes.getOrElse(n, 0L))
+      .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = med.map(_._2).sum
@@ -84,7 +103,7 @@ object Bench {
     // declared/errored make partial runs self-describing (ADVICE r8): a
     // consumer of BENCH.json can see 62-timed-of-90-declared instead of
     // mistaking an error-truncated run for a complete, gate-passing bench
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"min":${jmap(mins)},"spread":${jmap(spread)},"iters":$SteadyIters,"errors":$errs,"declared":${queries.size},"timed":${okNames.size},"errored":${errors.size},"cold_total":$coldTotal,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"min":${jmap(mins)},"spread":${jmap(spread)},"shuffle_bytes":$shuf,"iters":$SteadyIters,"errors":$errs,"declared":${queries.size},"timed":${okNames.size},"errored":${errors.size},"cold_total":$coldTotal,"sf":"$sfDir"}"""
     println(json)
     // the driver captures only a stdout tail (r5 truncated 8 of 60 entries
     // and the whole spread map) — the FULL object lands in the repo as the

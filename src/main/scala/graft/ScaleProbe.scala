@@ -101,7 +101,7 @@ object ScaleProbe {
     "q_quantile_sketch", "q_incremental_dedup", "q_keyword_search",
     "q_split_leakage", "q_collocation_lift", "q_source_hhi",
     "q_group_quantiles", "q_mode_per_group", "q_frame_sample",
-    "q_fuzzy_blocklist")
+    "q_fuzzy_blocklist", "q_bm25_search", "q_bpe_train", "q_quality_score")
 
   /** Queries that read ONLY the embeddings table (replicated input #2). */
   private[graft] val EmbQueries = Seq(
@@ -143,7 +143,8 @@ object ScaleProbe {
     "q_graph_components", "q_degree_histogram", "q_recommend_topk",
     "q_bfs_hops", "q_mutual_best_match",
     "q_fk_integrity", "q_order_reconcile",
-    "q_table_profile", "q_zorder_layout", "q_skyline", "q_key_skew_report")
+    "q_table_profile", "q_zorder_layout", "q_skyline", "q_key_skew_report",
+    "q_bucket_join")
 
   /** The remaining parquet surface — multi-table joins, the TPC-H-style
     * relational core, the window/stat/pipeline kernels — probed against

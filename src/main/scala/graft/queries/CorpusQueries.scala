@@ -563,6 +563,120 @@ object CorpusQueries {
       .limit(50)
   }
 
+  /** BPE MERGE TRAINING — the iterative fixed point q_bpe_pairs only
+    * samples once: N rounds of (count adjacent symbol pairs, pick the top
+    * pair, merge it greedily left-to-right everywhere, re-count), exactly
+    * the Sennrich BPE trainer loop, producing the learned merge table.
+    * Output: one row per round — (round, left_sym, right_sym, pair_count).
+    *
+    * The scale story is the REAL one: BPE training state is
+    * VOCAB-bounded, not corpus-bounded. The corpus contributes only
+    * through the word-frequency aggregation (one scan + one keyed
+    * aggregation); every merge round then runs over the top-`VocabCap`
+    * word/frequency table (a few thousand symbol rows at ANY corpus
+    * size), with word-partitioned windows and a 1-row broadcast of the
+    * round's winning pair — the same iterative posture as
+    * Dedup.components (per-round lazy localCheckpoint to keep lineage
+    * linear in rounds).
+    *
+    * Greedy left-to-right merging is resolved with the gaps-and-islands
+    * idiom: among a word's matching positions, consecutive runs share an
+    * island (pos - row_number), and even offsets within the island merge
+    * — "aaaa" under (a,a) becomes "aa aa", never "a aa a". Everything is
+    * integer counts with (count DESC, pair ASC) total-order tie-breaks,
+    * so a fixed small N unrolls exactly in DuckDB (the oracle mirrors the
+    * same three rounds CTE by CTE); BpeTrainSpec pins the merge sequence
+    * on a crafted corpus including the overlapping-run case. */
+  val bpeTrain: Q = {
+    val rounds = 3
+    val vocabCap = 200
+    def roundCte(i: Int): String = {
+      val prev = if (i == 1) "syms0" else s"syms${i - 1}"
+      s"""p$i AS (
+        |  SELECT word, freq, pos, sym,
+        |         LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        |  FROM $prev),
+        |cnt$i AS (
+        |  SELECT sym AS l, nxt AS r, CAST(SUM(freq) AS BIGINT) AS pc
+        |  FROM p$i WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+        |top$i AS (SELECT l, r, pc FROM cnt$i ORDER BY pc DESC, l, r LIMIT 1),
+        |mk$i AS (
+        |  SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+        |         CASE WHEN p.sym = t.l AND p.nxt = t.r THEN 1 ELSE 0 END AS m
+        |  FROM p$i p CROSS JOIN top$i t),
+        |g$i AS (
+        |  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY pos) AS grp
+        |  FROM mk$i),
+        |k$i AS (
+        |  SELECT *, CASE WHEN m = 1 AND
+        |           (pos - MIN(pos) OVER (PARTITION BY word, m, grp)) % 2 = 0
+        |         THEN 1 ELSE 0 END AS kept
+        |  FROM g$i),
+        |d$i AS (
+        |  SELECT *, LAG(kept) OVER (PARTITION BY word ORDER BY pos) AS pk
+        |  FROM k$i),
+        |syms$i AS (
+        |  SELECT word, freq,
+        |         ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+        |         CASE WHEN kept = 1 THEN sym || nxt ELSE sym END AS sym
+        |  FROM d$i WHERE COALESCE(pk, 0) = 0)""".stripMargin
+    }
+    val merged = (1 to rounds)
+      .map(i => s"SELECT $i AS round, l AS left_sym, r AS right_sym, pc AS pair_count FROM top$i")
+      .mkString("\n|UNION ALL\n|")
+    Q(
+      "q_bpe_train",
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |vc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok
+        |       WHERE len(word) >= 2 GROUP BY word),
+        |vocab AS (SELECT word, freq FROM vc ORDER BY freq DESC, word LIMIT $vocabCap),
+        |chs AS (SELECT word, freq,
+        |               unnest(generate_series(1, len(word))) AS pos FROM vocab),
+        |syms0 AS (SELECT word, freq, pos, substring(word, pos, 1) AS sym FROM chs),
+        |${(1 to rounds).map(roundCte).mkString(",\n|")}
+        |$merged
+        |ORDER BY round""".stripMargin) { (s, dir) =>
+      val vocab = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word")).limit(vocabCap)
+      var syms = vocab
+        .select(col("word"), col("freq"),
+          explode(sequence(lit(1), length(col("word")))).as("pos"))
+        .withColumn("sym", expr("substring(word, pos, 1)"))
+      val byPos = Window.partitionBy("word").orderBy("pos")
+      val merges = (1 to rounds).map { i =>
+        val p = syms.withColumn("nxt", lead(col("sym"), 1).over(byPos))
+        val top = p.filter(col("nxt").isNotNull)
+          .groupBy(col("sym").as("l"), col("nxt").as("r"))
+          .agg(sum(col("freq")).as("pc"))
+          .orderBy(col("pc").desc, col("l"), col("r")).limit(1)
+        val mk = p.crossJoin(broadcast(top)) // 1-row winning pair
+          .withColumn("m",
+            when(col("sym") === col("l") && col("nxt") === col("r"), 1)
+              .otherwise(0))
+        val g = mk.withColumn("grp", col("pos") -
+          row_number().over(Window.partitionBy("word", "m").orderBy("pos")))
+        val k = g.withColumn("kept",
+          when(col("m") === 1 &&
+            (col("pos") - min(col("pos"))
+              .over(Window.partitionBy("word", "m", "grp"))) % 2 === 0, 1)
+            .otherwise(0))
+        val d = k.withColumn("pk", lag(col("kept"), 1).over(byPos))
+        syms = d.filter(coalesce(col("pk"), lit(0)) === 0)
+          .select(col("word"), col("freq"),
+            row_number().over(byPos).as("pos"),
+            when(col("kept") === 1, concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym"))
+          .localCheckpoint(eager = false) // linear lineage across rounds
+        top.select(lit(i).as("round"), col("l").as("left_sym"),
+          col("r").as("right_sym"), col("pc").as("pair_count"))
+      }
+      merges.reduce(_ unionAll _).orderBy("round")
+    }
+  }
+
   /** Out-of-vocabulary RATE per document against the corpus top-100
     * vocabulary — the tokenizer-coverage audit run before committing to a
     * vocab: a rising OOV rate on new data means the tokenizer fragments
@@ -652,6 +766,86 @@ object CorpusQueries {
     }
   }
 
+  /** BM25 RETRIEVAL — the q_keyword_search inverted-index shape upgraded
+    * with document-length normalization (k1 = 1.2, b = 0.75): long
+    * documents no longer win just by repeating a term, which is what makes
+    * BM25 the ranking real retrieval-quality filtering uses. Per (doc,
+    * term): score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*len/avg_len)).
+    *
+    * Determinism (the integer-rational convention): with k1 = 6/5 and
+    * b = 3/4 the per-term factor reduces to the single exact fraction
+    *   tf_norm = (22 * tf * L_tot) / (10*tf*L_tot + (3*L_tot + 9*len*N))
+    * whose numerator and denominator are exact BIGINTs, each well under
+    * 2^53 (L_tot tokens ~3e8 at a 10x probe -> numerator ~7e12, denominator
+    * ~3e12; headroom to ~2e4x corpus before the double mantissa clips), so
+    * ONE IEEE division of exactly-representable operands is bit-identical
+    * in both engines (the q_kmv/q_ab_lift pattern). idf stays
+    * q_keyword_search's integer 2^20 DIV df; the per-doc sum of the double
+    * scores goes through DECIMAL(38,6) ([[graft.engine.Det.dsum]]) so
+    * addend order cannot leak in.
+    *
+    * Shape at 100 TB: tokenize-and-filter prunes the explode to the 4-term
+    * set in one scan; tf is a keyed aggregation; df (4 rows) and the 1-row
+    * corpus stats broadcast back; doc lengths come map-side from the same
+    * scan; the final top-k is TakeOrdered — per-partition heaps, no global
+    * sort. */
+  val bm25Search: Q = {
+    val terms = Seq("spark", "query", "join", "window")
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    Q(
+      "q_bm25_search",
+      s"""WITH dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS doc_len
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(SUM(doc_len) AS BIGINT) AS l_tot,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        |  WHERE tok IN $termList GROUP BY doc_id, tok),
+        |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |         CAST((1048576 // d.df) AS DOUBLE) *
+        |           (CAST(22 * t.tf * s.l_tot AS DOUBLE) /
+        |            CAST(10 * t.tf * s.l_tot + 3 * s.l_tot + 9 * dl.doc_len * s.n_docs AS DOUBLE))
+        |           AS term_score
+        |  FROM tf t JOIN df d ON d.tok = t.tok
+        |            JOIN dl ON dl.doc_id = t.doc_id, stats s)
+        |SELECT doc_id,
+        |       CAST(SUM(CAST(term_score AS DECIMAL(38,6))) AS DOUBLE) AS score,
+        |       CAST(COUNT(*) AS BIGINT) AS n_terms
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val dl = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("doc_len"))
+      val stats = dl.agg(sum(col("doc_len")).as("l_tot"),
+        count(lit(1)).as("n_docs"))
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfT), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats)) // 1-row corpus stats
+        .withColumn("term_score",
+          expr("1048576 DIV df").cast("double") *
+            ((lit(22L) * col("tf") * col("l_tot")).cast("double") /
+              (lit(10L) * col("tf") * col("l_tot") + lit(3L) * col("l_tot") +
+                lit(9L) * col("doc_len") * col("n_docs")).cast("double")))
+        .groupBy("doc_id")
+        .agg(graft.engine.Det.dsum(col("term_score")).as("score"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }
+  }
+
   /** COLLOCATION MINING — document-level co-occurrence lift over the
     * df-ranked top-100 vocabulary: which token pairs appear in the same
     * document far more often than independence predicts (lift =
@@ -713,5 +907,5 @@ object CorpusQueries {
   val all: Seq[Q] =
     Seq(decontaminate, semanticDecontaminate, mixSample, repetitionQuality,
       vocabTopk, tfidfKeywords, lengthQuantiles, quantileSketch, bpePairs,
-      oovRate, keywordSearch, collocationLift)
+      oovRate, keywordSearch, collocationLift, bm25Search, bpeTrain)
 }

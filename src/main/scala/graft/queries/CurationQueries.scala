@@ -791,8 +791,78 @@ object CurationQueries {
       .select(col("lang"), col("doc_id"), col("h"), col("rk"))
   }
 
+  /** LEARNED QUALITY-CLASSIFIER INFERENCE — the model-based filter stage
+    * every production corpus pipeline runs between the Gopher-style rules
+    * (q_repetition_quality) and dedup: a linear scorer (the fastText /
+    * logistic-regression shape) applied as an in-row dot product of a
+    * fixed WEIGHT VECTOR with per-document features. Here the weights are
+    * a literal array (at real scale: a broadcast variable holding the
+    * trained coefficients — same plan, the weights never shuffle); the
+    * features are the in-row integer signals the engine already computes
+    * elsewhere: type/token ratio, capped length, mean token length, and
+    * stopword density, all in exact ppm fixed point.
+    *
+    * Determinism: features are integer ppm (`x * 1000000 DIV y`), weights
+    * are integer, and the dot product is an in-row integer fold — no float
+    * anywhere, so the score and verdict are bit-identical across engines.
+    * Score magnitude is bounded by ~1e9 « BIGINT. Threshold 340e6 was
+    * calibrated to split the corpus near the median (a trained model's
+    * operating point would land the same way).
+    *
+    * Shape at 100 TB: zero shuffles before the presentation sort — every
+    * feature and the score are computed per row over the projected token
+    * array; inference is embarrassingly parallel at any corpus size. */
+  val qualityScore: Q = {
+    // [type/token ppm, capped length, mean-token-length ppm, stopword ppm]
+    val weights = Seq(600L, 500000L, 20L, -900L)
+    val wArr = weights.mkString("array(", "L, ", "L)")
+    Q(
+      "q_quality_score",
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |         CAST(len(tk) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_distinct(tk)) * 1000000 // len(tk) AS BIGINT) AS distinct_ppm,
+        |         CAST(list_sum(list_transform(tk, t -> len(t))) * 1000000 // len(tk) AS BIGINT) AS wlen_ppm,
+        |         CAST(len(list_filter(tk, t -> t IN ('a', 'the'))) * 1000000 // len(tk) AS BIGINT) AS stop_ppm
+        |  FROM tk),
+        |s AS (
+        |  SELECT doc_id, n_tokens, distinct_ppm, wlen_ppm, stop_ppm,
+        |         CAST(${weights(0)} * distinct_ppm + ${weights(1)} * LEAST(n_tokens, 80)
+        |              + ${weights(2)} * wlen_ppm + (${weights(3)}) * stop_ppm AS BIGINT) AS score
+        |  FROM f)
+        |SELECT doc_id, n_tokens, distinct_ppm, wlen_ppm, stop_ppm, score,
+        |       CASE WHEN score >= 340000000 THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val f = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tokens"),
+          expr("CAST(size(array_distinct(tk)) AS BIGINT) * 1000000 DIV size(tk)")
+            .as("distinct_ppm"),
+          expr("aggregate(tk, 0L, (a, x) -> a + length(x)) * 1000000 DIV size(tk)")
+            .as("wlen_ppm"),
+          expr("CAST(size(filter(tk, x -> x IN ('a', 'the'))) AS BIGINT) * 1000000 DIV size(tk)")
+            .as("stop_ppm"))
+      // the model: features zipped with the (broadcast-literal) weight
+      // vector, folded in-row — integer dot product, no UDF, no shuffle
+      val scored = f.withColumn("score",
+        expr(s"""aggregate(
+          zip_with(
+            array(distinct_ppm, least(n_tokens, 80L), wlen_ppm, stop_ppm),
+            $wArr,
+            (fv, wv) -> fv * wv),
+          0L, (acc, x) -> acc + x)"""))
+      scored.select(col("doc_id"), col("n_tokens"), col("distinct_ppm"),
+          col("wlen_ppm"), col("stop_ppm"), col("score"),
+          when(col("score") >= 340000000L, "keep").otherwise("drop").as("verdict"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(substringDedup, sourceCap, lmScore, blocklistScrub, piiScrub,
       curationReport, curriculumOrder, corpusDiff, budgetMixture,
-      pipelineE2e, shardManifest, stratifiedSample, fuzzyBlocklist)
+      pipelineE2e, shardManifest, stratifiedSample, fuzzyBlocklist,
+      qualityScore)
 }

@@ -439,5 +439,50 @@ object LakehouseQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(scd2Build, bitmapOverlap, adaptiveBloom, pitJoin, twap)
+  /** BUCKETED-LAYOUT JOIN — the declared-query face of
+    * [[graft.engine.Sinks.writeBucketed]]: both join sides are persisted
+    * hash-bucketed on the join key (one sorted file per bucket), read back
+    * through the catalog, and joined — at which point the fact/fact join
+    * stage plans with ZERO shuffle exchange on either side
+    * (BucketJoinSpec pins zero-Exchange AND zero-Sort on the executed
+    * plan; the 5-row segment rollup after it is the only exchange in the
+    * query). At 100 TB this is the single biggest shuffle eliminator a
+    * lakehouse layout offers: every repeated join on the bucketed key
+    * becomes a local zip of bucket pairs.
+    *
+    * The oracle sees only the ANSWER (a plain join over the same parquet),
+    * so correctness-gates that the bucketed write+read round-trip loses
+    * and invents nothing. Tables land under /tmp as external tables,
+    * suffixed by the input dir so scale probes never read a stale layout.
+    *
+    * Determinism: integer count plus [[graft.engine.Det.dsum]] decimal
+    * revenue; 5 segment rows ordered by name. */
+  val bucketJoin: Q = Q(
+    "q_bucket_join",
+    """SELECT c_mktsegment,
+      |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val suffix = java.lang.Integer.toUnsignedString(dir.hashCode, 16)
+    val (oTbl, cTbl) = (s"orders_bkt_$suffix", s"customer_bkt_$suffix")
+    graft.engine.Sinks.writeBucketed(
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      oTbl, nBuckets = 8, keys = Seq("o_custkey"),
+      path = Some(s"/tmp/graft_bkt/$oTbl"))
+    graft.engine.Sinks.writeBucketed(
+      t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+      cTbl, nBuckets = 8, keys = Seq("c_custkey"),
+      path = Some(s"/tmp/graft_bkt/$cTbl"))
+    s.table(oTbl)
+      .join(s.table(cTbl), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.engine.Det.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  val all: Seq[Q] = Seq(scd2Build, bitmapOverlap, adaptiveBloom, pitJoin, twap,
+    bucketJoin)
 }

@@ -44,4 +44,42 @@ class BenchCoverageSpec extends AnyFunSuite {
       assert(tree.get("declared").asInt == registered.size,
         "BENCH.json 'declared' disagrees with Registry.all size")
   }
+
+  test("per-query shuffle bytes did not silently blow up since last round") {
+    val cur = new ObjectMapper().readTree(
+      Files.readString(Paths.get("BENCH.json")))
+    assert(cur.has("shuffle_bytes"),
+      "BENCH.json predates the shuffle-bytes ledger — refresh the full bench")
+    // compare against the last COMMITTED BENCH.json (the driver's
+    // BENCH_rNN.json is a truncated stdout capture, not the artifact);
+    // bytes are plan-determined, so a >2x jump on >4 MiB of growth is a
+    // plan regression (a new shuffle, a lost broadcast, a lost
+    // partial-agg) even when local[32] wall time hides it. After the
+    // refreshed bench is committed HEAD equals the working tree and the
+    // diff is vacuous — the check bites exactly in the
+    // refresh-then-commit window, and in any later round's run.
+    val prior =
+      try {
+        val p = new ProcessBuilder("git", "show", "HEAD:BENCH.json").start()
+        val out = new String(p.getInputStream.readAllBytes())
+        p.waitFor()
+        if (p.exitValue == 0) Some(new ObjectMapper().readTree(out))
+        else None
+      } catch { case _: Exception => None }
+    prior.filter(_.has("shuffle_bytes")) match {
+      case None => // first ledger-bearing round: nothing to diff yet
+      case Some(prev) =>
+        val prevB = prev.get("shuffle_bytes")
+        val curB = cur.get("shuffle_bytes")
+        val blown = prevB.fieldNames.asScala
+          .filter(curB.has(_))
+          .map(n => (n, prevB.get(n).asLong, curB.get(n).asLong))
+          .filter { case (_, p, c) => c > 2 * p && c - p > (4L << 20) }
+          .toSeq
+        assert(blown.isEmpty,
+          "shuffle bytes regressed >2x vs the last round's artifact " +
+            "(new shuffle / lost broadcast?): " +
+            blown.map { case (n, p, c) => s"$n: $p -> $c" }.mkString("; "))
+    }
+  }
 }

@@ -167,6 +167,32 @@ class CorpusSpec extends SparkSpec {
     assert(top == want)
   }
 
+  test("bm25: exact hand recompute; length normalization ranks short over long") {
+    val dir = corpusDir(Seq(
+      (0L, "spark aa"),             // tf(spark)=1, len 2
+      (1L, "spark aa bb cc"),       // tf(spark)=1, len 4
+      (2L, "spark spark query aa"), // tf(spark)=2, tf(query)=1, len 4
+      (3L, "aa bb")))               // no query terms -> absent
+    val got = CorpusQueries.bm25Search.build(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L), "term-free docs must not appear")
+    // the engine's exact pipeline: one IEEE division of exact integer
+    // operands per term, each addend rounded to DECIMAL(38,6) (HALF_UP)
+    // before the order-free sum — recomputed literally here
+    val (n, lTot) = (4L, 12L)
+    def term(tf: Long, df: Long, len: Long): BigDecimal = {
+      val v = (1048576L / df).toDouble *
+        ((22.0 * tf * lTot) / (10.0 * tf * lTot + 3.0 * lTot + 9.0 * len * n).toDouble)
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    assert(got(0L) == ((term(1, 3, 2).toDouble, 1L)))
+    assert(got(1L) == ((term(1, 3, 4).toDouble, 1L)))
+    assert(got(2L) == (((term(2, 3, 4) + term(1, 1, 4)).toDouble, 2L)))
+    // the BM25 point vs plain tf-idf: same tf, shorter doc scores higher
+    assert(got(0L)._1 > got(1L)._1,
+      "length normalization must rank the shorter same-tf doc first")
+  }
+
   test("collocation lift: perfect pair lifts above independence, rare pair cut") {
     val dir = corpusDir(
       (1L to 8L).map(i => i -> "alpha beta x") ++

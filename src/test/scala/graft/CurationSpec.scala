@@ -280,4 +280,34 @@ class CurationSpec extends SparkSpec {
     assert(got.count(_._1 == "starved") == k, "starved stratum must still yield k rows")
     assert(got.count(_._1 == "tiny") == 3, "undersized stratum yields all its rows")
   }
+
+  test("quality score: exact integer dot product; repetition/stopword docs drop") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "s"),   // varied, no stopwords
+      (1L, "aa aa aa aa", "s"),              // degenerate repetition
+      (2L, "the the the the a a a a", "s"))  // pure stopword density
+    val dir = corpusDir(docs)
+    val got = CurationQueries.qualityScore.build(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getString(6))).toMap
+    // literal recompute of the declared features and weight vector
+    def expect(text: String) = {
+      val tk = text.split(" ")
+      val nT = tk.length.toLong
+      val distinct = tk.distinct.length * 1000000L / nT
+      val wlen = tk.map(_.length.toLong).sum * 1000000L / nT
+      val stop = tk.count(t => t == "a" || t == "the") * 1000000L / nT
+      val score = 600L * distinct + 500000L * math.min(nT, 80L) +
+        20L * wlen - 900L * stop
+      (nT, distinct, wlen, stop, score,
+        if (score >= 340000000L) "keep" else "drop")
+    }
+    for ((id, text, _) <- docs)
+      assert(got(id) == expect(text), s"doc $id")
+    // the classifier's point: the varied doc clears the operating point,
+    // the repetition and stopword degenerates fall below it
+    assert(got(0L)._6 == "keep" && got(1L)._6 == "drop" && got(2L)._6 == "drop")
+    assert(got(2L)._5 < got(1L)._5 && got(1L)._5 < got(0L)._5)
+  }
 }
