@@ -57,6 +57,39 @@ object Sinks {
     path.fold(w0)(p => w0.option("path", p)).saveAsTable(table)
   }
 
+  /** SMALL-FILE COMPACTION — the OPTIMIZE primitive every lakehouse table
+    * layer runs: rewrite a directory that has accreted many small files
+    * (streaming sinks, frequent small appends) into the minimum number of
+    * row-bounded files, then atomically swap it in. At 100 TB the
+    * motivation is metadata pressure and per-file open cost on every
+    * future scan; the rewrite itself is one repartition-to-target job.
+    *
+    * The swap here is a filesystem delete+rename (correct on a quiesced
+    * table; a production TABLE FORMAT would instead commit the rewrite as
+    * a metadata swap so readers never observe the gap — this is the
+    * file-level primitive underneath that commit). Returns the number of
+    * files written. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxRecordsPerFile: Long): Int = {
+    require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val nFiles = math.max(1L, (n + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt
+    val tmp = path.stripSuffix("/") + ".compacting"
+    df.repartition(nFiles)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staged = new org.apache.hadoop.fs.Path(tmp)
+    val fs = target.getFileSystem(conf)
+    fs.delete(target, true)
+    if (!fs.rename(staged, target))
+      throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+    nFiles
+  }
+
   /** Range-partitioned, file-sorted parquet write: `nFiles` range splits
     * on `sortCols`, rows sorted within each split. Each output file then
     * covers one narrow `sortCols` band, so the min/max statistics in the

@@ -95,4 +95,41 @@ class BucketJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS orders_bj")
     }
   }
+
+  test("point predicate on the bucket key scans exactly one bucket file") {
+    // a bare point lookup has no join/agg whose distribution bucketing
+    // would serve, so the DisableUnnecessaryBucketedScan rule turns the
+    // bucketed scan (and with it, bucket PRUNING) off; force it on — a
+    // production point-lookup path on a bucketed table would do the same
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val customer = Tables.t(spark, sf, "customer")
+        .select("c_custkey", "c_mktsegment")
+      Sinks.writeBucketed(customer, "customer_bp", 8, Seq("c_custkey"))
+      val key = customer.orderBy("c_custkey").limit(1)
+        .collect().head.getLong(0)
+      val q = spark.table("customer_bp").filter(col("c_custkey") === key)
+      q.collect()
+      // bucket pruning: the scan lists 1 of 8 buckets, and since
+      // writeBucketed lands one file per bucket, reads exactly one file
+      val scan = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      assert(scan.toString.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning missing from scan:\n${scan.toString.take(500)}")
+      // numFiles is recorded from the pre-prune listing, so the proof that
+      // only the key's bucket was READ is the scan's emitted rows: one
+      // bucket's worth (~1/8 of the table), not the whole table — parquet
+      // min/max can't do this (hashing spreads the key range over every
+      // bucket file; a plain scan of the same data emits all rows)
+      val total = customer.count()
+      val scanRows = scan.metrics("numOutputRows").value
+      assert(scanRows <= total / 4 && scanRows > 0,
+        s"bucket-pruned scan emitted $scanRows of $total rows — no pruning?")
+      assert(q.count() == customer.filter(col("c_custkey") === key).count())
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS customer_bp")
+    }
+  }
 }
