@@ -99,6 +99,7 @@ object StreamBench {
         build: DataFrame => DataFrame): (String, String) = {
       val in = if (name == "funnel" || name == "session_tws" ||
           name == "session_traj" || name == "hll_registers" ||
+          name == "hll_group_regs" ||
           name == "bloom_words" || name == "cms_registers" ||
           name == "transitions" || name == "anomaly" ||
           name == "ohlc" || name == "streaks" ||
@@ -135,6 +136,8 @@ object StreamBench {
           gapMs = 30L * 60 * 1000).toDF()),
       run("hll_registers", nEvents, mode = "complete")(df =>
         streaming.Streams.hllRegisters(df, "user_id")),
+      run("hll_group_regs", nEvents, mode = "complete")(df =>
+        streaming.Streams.hllGroupRegisters(df, "event_type", "user_id")),
       run("bloom_words", nEvents, mode = "complete")(df =>
         streaming.Streams.bloomWords(df, "user_id")),
       run("cms_registers", nEvents, mode = "complete")(df =>

@@ -563,6 +563,124 @@ object CorpusQueries {
       .limit(50)
   }
 
+  /** BPE training/encoding round count and training-vocabulary cap shared
+    * by q_bpe_train and q_bpe_encode (the two halves of the tokenizer
+    * loop), so the merges the encoder applies are BY CONSTRUCTION the ones
+    * the trainer learned. */
+  private val BpeRounds = 3
+  private val BpeVocabCap = 200
+
+  /** One DuckDB CTE chain for training round `i`: count adjacent pairs of
+    * syms(i-1) (frequency-weighted), pick the top pair top$i, and merge it
+    * greedily left-to-right (gaps-and-islands; see q_bpe_train's scaladoc)
+    * into syms$i. Shared by the q_bpe_train and q_bpe_encode oracles. */
+  private def bpeRoundCte(i: Int): String = {
+    val prev = if (i == 1) "syms0" else s"syms${i - 1}"
+    s"""p$i AS (
+      |  SELECT word, freq, pos, sym,
+      |         LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      |  FROM $prev),
+      |cnt$i AS (
+      |  SELECT sym AS l, nxt AS r, CAST(SUM(freq) AS BIGINT) AS pc
+      |  FROM p$i WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+      |top$i AS (SELECT l, r, pc FROM cnt$i ORDER BY pc DESC, l, r LIMIT 1),
+      |mk$i AS (
+      |  SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+      |         CASE WHEN p.sym = t.l AND p.nxt = t.r THEN 1 ELSE 0 END AS m
+      |  FROM p$i p CROSS JOIN top$i t),
+      |g$i AS (
+      |  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY pos) AS grp
+      |  FROM mk$i),
+      |k$i AS (
+      |  SELECT *, CASE WHEN m = 1 AND
+      |           (pos - MIN(pos) OVER (PARTITION BY word, m, grp)) % 2 = 0
+      |         THEN 1 ELSE 0 END AS kept
+      |  FROM g$i),
+      |d$i AS (
+      |  SELECT *, LAG(kept) OVER (PARTITION BY word ORDER BY pos) AS pk
+      |  FROM k$i),
+      |syms$i AS (
+      |  SELECT word, freq,
+      |         ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+      |         CASE WHEN kept = 1 THEN sym || nxt ELSE sym END AS sym
+      |  FROM d$i WHERE COALESCE(pk, 0) = 0)""".stripMargin
+  }
+
+  /** The shared training SQL prefix: corpus -> frequency-weighted top-cap
+    * vocabulary -> initial per-character symbol streams. */
+  private def bpeTrainPrefixSql: String =
+    s"""tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |vc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok
+      |       WHERE len(word) >= 2 GROUP BY word),
+      |vocab AS (SELECT word, freq FROM vc ORDER BY freq DESC, word LIMIT $BpeVocabCap),
+      |chs AS (SELECT word, freq,
+      |               unnest(generate_series(1, len(word))) AS pos FROM vocab),
+      |syms0 AS (SELECT word, freq, pos, substring(word, pos, 1) AS sym FROM chs)""".stripMargin
+
+  /** Applying round `i`'s learned pair top$i to the full-vocabulary symbol
+    * stream esyms(i-1) — the ENCODE twin of [[bpeRoundCte]]: identical
+    * gaps-and-islands merge, no freq column (encoding is per distinct
+    * word), the pair comes from training rather than a re-count. */
+  private def bpeEncRoundCte(i: Int): String = {
+    val prev = if (i == 1) "esyms0" else s"esyms${i - 1}"
+    s"""ep$i AS (
+      |  SELECT word, pos, sym,
+      |         LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      |  FROM $prev),
+      |emk$i AS (
+      |  SELECT p.word, p.pos, p.sym, p.nxt,
+      |         CASE WHEN p.sym = t.l AND p.nxt = t.r THEN 1 ELSE 0 END AS m
+      |  FROM ep$i p CROSS JOIN top$i t),
+      |eg$i AS (
+      |  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY pos) AS grp
+      |  FROM emk$i),
+      |ek$i AS (
+      |  SELECT *, CASE WHEN m = 1 AND
+      |           (pos - MIN(pos) OVER (PARTITION BY word, m, grp)) % 2 = 0
+      |         THEN 1 ELSE 0 END AS kept
+      |  FROM eg$i),
+      |ed$i AS (
+      |  SELECT *, LAG(kept) OVER (PARTITION BY word ORDER BY pos) AS pk
+      |  FROM ek$i),
+      |esyms$i AS (
+      |  SELECT word,
+      |         ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+      |         CASE WHEN kept = 1 THEN sym || nxt ELSE sym END AS sym
+      |  FROM ed$i WHERE COALESCE(pk, 0) = 0)""".stripMargin
+  }
+
+  /** One greedy left-to-right merge of the 1-row pair frame `top`
+    * (columns l, r) over a (word, pos, sym, carry...) symbol frame —
+    * the Spark twin of [[bpeRoundCte]]/[[bpeEncRoundCte]]'s merge half:
+    * matching positions island by (pos - row_number), even offsets within
+    * an island merge ("aaaa" under (a,a) -> "aa aa"), the right half of a
+    * merged pair drops via a lag on kept. Carry columns pass through
+    * untouched; lineage is cut per round with a lazy localCheckpoint (the
+    * Dedup.components posture — linear in rounds, not exponential). */
+  private def applyBpeMerge(
+      syms: DataFrame, top: DataFrame, carry: Seq[String]): DataFrame = {
+    val byPos = Window.partitionBy("word").orderBy("pos")
+    val p = syms.withColumn("nxt", lead(col("sym"), 1).over(byPos))
+    val mk = p.crossJoin(broadcast(top.select("l", "r"))) // 1-row pair
+      .withColumn("m",
+        when(col("sym") === col("l") && col("nxt") === col("r"), 1)
+          .otherwise(0))
+    val g = mk.withColumn("grp", col("pos") -
+      row_number().over(Window.partitionBy("word", "m").orderBy("pos")))
+    val k = g.withColumn("kept",
+      when(col("m") === 1 &&
+        (col("pos") - min(col("pos"))
+          .over(Window.partitionBy("word", "m", "grp"))) % 2 === 0, 1)
+        .otherwise(0))
+    val d = k.withColumn("pk", lag(col("kept"), 1).over(byPos))
+    d.filter(coalesce(col("pk"), lit(0)) === 0)
+      .select(col("word") +: carry.map(col) :+
+        row_number().over(byPos).as("pos") :+
+        when(col("kept") === 1, concat(col("sym"), col("nxt")))
+          .otherwise(col("sym")).as("sym"): _*)
+      .localCheckpoint(eager = false)
+  }
+
   /** BPE MERGE TRAINING — the iterative fixed point q_bpe_pairs only
     * samples once: N rounds of (count adjacent symbol pairs, pick the top
     * pair, merge it greedily left-to-right everywhere, re-count), exactly
@@ -588,93 +706,115 @@ object CorpusQueries {
     * same three rounds CTE by CTE); BpeTrainSpec pins the merge sequence
     * on a crafted corpus including the overlapping-run case. */
   val bpeTrain: Q = {
-    val rounds = 3
-    val vocabCap = 200
-    def roundCte(i: Int): String = {
-      val prev = if (i == 1) "syms0" else s"syms${i - 1}"
-      s"""p$i AS (
-        |  SELECT word, freq, pos, sym,
-        |         LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-        |  FROM $prev),
-        |cnt$i AS (
-        |  SELECT sym AS l, nxt AS r, CAST(SUM(freq) AS BIGINT) AS pc
-        |  FROM p$i WHERE nxt IS NOT NULL GROUP BY sym, nxt),
-        |top$i AS (SELECT l, r, pc FROM cnt$i ORDER BY pc DESC, l, r LIMIT 1),
-        |mk$i AS (
-        |  SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
-        |         CASE WHEN p.sym = t.l AND p.nxt = t.r THEN 1 ELSE 0 END AS m
-        |  FROM p$i p CROSS JOIN top$i t),
-        |g$i AS (
-        |  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY pos) AS grp
-        |  FROM mk$i),
-        |k$i AS (
-        |  SELECT *, CASE WHEN m = 1 AND
-        |           (pos - MIN(pos) OVER (PARTITION BY word, m, grp)) % 2 = 0
-        |         THEN 1 ELSE 0 END AS kept
-        |  FROM g$i),
-        |d$i AS (
-        |  SELECT *, LAG(kept) OVER (PARTITION BY word ORDER BY pos) AS pk
-        |  FROM k$i),
-        |syms$i AS (
-        |  SELECT word, freq,
-        |         ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
-        |         CASE WHEN kept = 1 THEN sym || nxt ELSE sym END AS sym
-        |  FROM d$i WHERE COALESCE(pk, 0) = 0)""".stripMargin
-    }
-    val merged = (1 to rounds)
+    val merged = (1 to BpeRounds)
       .map(i => s"SELECT $i AS round, l AS left_sym, r AS right_sym, pc AS pair_count FROM top$i")
       .mkString("\n|UNION ALL\n|")
     Q(
       "q_bpe_train",
-      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-        |vc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok
-        |       WHERE len(word) >= 2 GROUP BY word),
-        |vocab AS (SELECT word, freq FROM vc ORDER BY freq DESC, word LIMIT $vocabCap),
-        |chs AS (SELECT word, freq,
-        |               unnest(generate_series(1, len(word))) AS pos FROM vocab),
-        |syms0 AS (SELECT word, freq, pos, substring(word, pos, 1) AS sym FROM chs),
-        |${(1 to rounds).map(roundCte).mkString(",\n|")}
+      s"""WITH $bpeTrainPrefixSql,
+        |${(1 to BpeRounds).map(bpeRoundCte).mkString(",\n|")}
         |$merged
         |ORDER BY round""".stripMargin) { (s, dir) =>
-      val vocab = t(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) >= 2)
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-        .orderBy(col("freq").desc, col("word")).limit(vocabCap)
-      var syms = vocab
-        .select(col("word"), col("freq"),
-          explode(sequence(lit(1), length(col("word")))).as("pos"))
-        .withColumn("sym", expr("substring(word, pos, 1)"))
-      val byPos = Window.partitionBy("word").orderBy("pos")
-      val merges = (1 to rounds).map { i =>
-        val p = syms.withColumn("nxt", lead(col("sym"), 1).over(byPos))
-        val top = p.filter(col("nxt").isNotNull)
-          .groupBy(col("sym").as("l"), col("nxt").as("r"))
-          .agg(sum(col("freq")).as("pc"))
-          .orderBy(col("pc").desc, col("l"), col("r")).limit(1)
-        val mk = p.crossJoin(broadcast(top)) // 1-row winning pair
-          .withColumn("m",
-            when(col("sym") === col("l") && col("nxt") === col("r"), 1)
-              .otherwise(0))
-        val g = mk.withColumn("grp", col("pos") -
-          row_number().over(Window.partitionBy("word", "m").orderBy("pos")))
-        val k = g.withColumn("kept",
-          when(col("m") === 1 &&
-            (col("pos") - min(col("pos"))
-              .over(Window.partitionBy("word", "m", "grp"))) % 2 === 0, 1)
-            .otherwise(0))
-        val d = k.withColumn("pk", lag(col("kept"), 1).over(byPos))
-        syms = d.filter(coalesce(col("pk"), lit(0)) === 0)
-          .select(col("word"), col("freq"),
-            row_number().over(byPos).as("pos"),
-            when(col("kept") === 1, concat(col("sym"), col("nxt")))
-              .otherwise(col("sym")).as("sym"))
-          .localCheckpoint(eager = false) // linear lineage across rounds
-        top.select(lit(i).as("round"), col("l").as("left_sym"),
+      val (_, tops) = bpeTrainedMerges(t(s, dir, "documents"))
+      tops.zipWithIndex.map { case (top, i0) =>
+        top.select(lit(i0 + 1).as("round"), col("l").as("left_sym"),
           col("r").as("right_sym"), col("pc").as("pair_count"))
-      }
-      merges.reduce(_ unionAll _).orderBy("round")
+      }.reduce(_ unionAll _).orderBy("round")
     }
+  }
+
+  /** Run the [[BpeRounds]] training rounds over `docs`' frequency-weighted
+    * top-[[BpeVocabCap]] vocabulary; returns (final symbol frame, the
+    * per-round winning-pair frames in merge order — each 1 row (l, r, pc),
+    * lazily checkpointed so downstream consumers re-execute only the
+    * bounded vocab aggregation, not each other). Shared by q_bpe_train
+    * (which emits the pairs) and q_bpe_encode (which applies them). */
+  private def bpeTrainedMerges(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(BpeVocabCap)
+    var syms = vocab
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("pos"))
+      .withColumn("sym", expr("substring(word, pos, 1)"))
+    val byPos = Window.partitionBy("word").orderBy("pos")
+    val tops = (1 to BpeRounds).map { _ =>
+      val p = syms.withColumn("nxt", lead(col("sym"), 1).over(byPos))
+      val top = p.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("l"), col("nxt").as("r"))
+        .agg(sum(col("freq")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r")).limit(1)
+        .localCheckpoint(eager = false)
+      syms = applyBpeMerge(syms, top, carry = Seq("freq"))
+      top
+    }
+    (syms, tops)
+  }
+
+  /** BPE ENCODING — the apply half of the tokenizer loop q_bpe_train
+    * trains: the [[BpeRounds]] learned merges, applied IN LEARNED ORDER to
+    * the corpus's full distinct-word vocabulary, then joined back onto the
+    * token stream for a per-document readout of (words, characters, BPE
+    * tokens, compression in exact ppm). Train -> encode -> count is
+    * exactly the loop a tokenizer ships through before a training run, and
+    * the compression column is the fertility audit run on every corpus
+    * snapshot.
+    *
+    * Shape at 100 TB: encoding state is VOCAB-bounded, never
+    * corpus-bounded — the corpus is touched exactly twice (once to build
+    * the distinct-word vocabulary, once for the final per-doc join-back),
+    * and each merge round runs over the word/symbol table with
+    * word-partitioned windows and a 1-row broadcast of that round's pair.
+    * The join-back is a keyed equi-join on the word (heavy-tailed but
+    * hash-partitioned; vocabulary grows ~Heaps-law sublinearly), and the
+    * per-doc rollup takes map-side partials. Every count is integer;
+    * saved_ppm is integer DIV — bit-identical cross-engine. */
+  val bpeEncode: Q = Q(
+    "q_bpe_encode",
+    s"""WITH $bpeTrainPrefixSql,
+      |${(1 to BpeRounds).map(bpeRoundCte).mkString(",\n|")},
+      |dtk AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |dtok AS (SELECT doc_id, word FROM dtk WHERE word <> ''),
+      |evc AS (SELECT DISTINCT word FROM dtok),
+      |echs AS (SELECT word,
+      |                unnest(generate_series(1, len(word))) AS pos FROM evc),
+      |esyms0 AS (SELECT word, pos, substring(word, pos, 1) AS sym FROM echs),
+      |${(1 to BpeRounds).map(bpeEncRoundCte).mkString(",\n|")},
+      |enc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sym
+      |        FROM esyms$BpeRounds GROUP BY word),
+      |d AS (
+      |  SELECT t.doc_id, COUNT(*) AS n_words, SUM(len(t.word)) AS n_chars,
+      |         SUM(e.n_sym) AS n_bpe
+      |  FROM dtok t JOIN enc e ON e.word = t.word GROUP BY t.doc_id)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |       CAST(n_chars AS BIGINT) AS n_chars,
+      |       CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+      |       CAST((n_chars - n_bpe) * 1000000 // n_chars AS BIGINT) AS saved_ppm
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val (_, tops) = bpeTrainedMerges(docs)
+    val dtok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    var esyms = dtok.select("word").distinct()
+      .select(col("word"),
+        explode(sequence(lit(1), length(col("word")))).as("pos"))
+      .withColumn("sym", expr("substring(word, pos, 1)"))
+    tops.foreach { top => esyms = applyBpeMerge(esyms, top, carry = Nil) }
+    val enc = esyms.groupBy("word").agg(count(lit(1)).as("n_sym"))
+    dtok.join(enc, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_chars"),
+        sum(col("n_sym")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        expr("(n_chars - n_bpe_tokens) * 1000000 DIV n_chars").as("saved_ppm"))
+      .orderBy("doc_id")
   }
 
   /** Out-of-vocabulary RATE per document against the corpus top-100
@@ -907,5 +1047,6 @@ object CorpusQueries {
   val all: Seq[Q] =
     Seq(decontaminate, semanticDecontaminate, mixSample, repetitionQuality,
       vocabTopk, tfidfKeywords, lengthQuantiles, quantileSketch, bpePairs,
-      oovRate, keywordSearch, collocationLift, bm25Search, bpeTrain)
+      oovRate, keywordSearch, collocationLift, bm25Search, bpeTrain,
+      bpeEncode)
 }

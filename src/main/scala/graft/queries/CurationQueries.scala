@@ -860,9 +860,89 @@ object CurationQueries {
     }
   }
 
+  /** N-GRAM NOVELTY — per-document fraction of its distinct token 8-grams
+    * appearing for the FIRST time at that document (first occurrence =
+    * minimum doc id over the corpus, crawl order): the new-information
+    * rate a recurring-crawl pipeline tracks per snapshot — a novelty
+    * collapse means the crawl is re-fetching what the corpus already
+    * holds, the complement of q_corpus_diff's id-level diff and
+    * q_incremental_dedup's whole-doc verdicts at SPAN granularity.
+    * Redundancy is planted so the operator has signal: every 10th doc
+    * re-enters verbatim under a shifted id (novelty exactly 0 — all its
+    * grams first occurred at the original), and every 31st gets the
+    * corpus's first text spliced on (novelty = only the ≤7 grams crossing
+    * the splice boundary).
+    *
+    * Shape at 100 TB: one explode into the distinct-per-doc 8-gram stream
+    * (md5 keys, the q_decontaminate recipe), then TWO keyed aggregations —
+    * first-occurrence is min(doc_id) per gram (map-side combinable, so a
+    * boilerplate gram appearing in millions of docs still ships one slim
+    * row per map task — no hot-key blowup), and the per-doc rollup after
+    * the gram-keyed equi-join takes map-side partials too. No windows, no
+    * pairwise compares. */
+  val ngramNovelty: Q = Q(
+    "q_ngram_novelty",
+    """WITH corpus AS (SELECT doc_id, text FROM documents),
+      |b0 AS (SELECT text AS btext FROM documents ORDER BY doc_id LIMIT 1),
+      |planted AS (
+      |  SELECT doc_id, text FROM corpus
+      |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM corpus
+      |            WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT c.doc_id + 3000000 AS doc_id,
+      |                   c.text || ' ' || b0.btext AS text
+      |            FROM corpus c CROSS JOIN b0 WHERE c.doc_id % 31 = 5),
+      |tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM planted),
+      |ng AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(tk) - 6),
+      |           i -> md5(array_to_string(tk[i:i+7], ' ')))) AS ngs
+      |  FROM tk),
+      |ex AS (SELECT doc_id, unnest(ngs) AS k FROM ng),
+      |f AS (SELECT k, MIN(doc_id) AS first_doc FROM ex GROUP BY k),
+      |d AS (
+      |  SELECT e.doc_id, COUNT(*) AS n_ngrams,
+      |         SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS n_novel
+      |  FROM ex e JOIN f USING (k) GROUP BY e.doc_id)
+      |SELECT t.doc_id,
+      |       CAST(COALESCE(d.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+      |       CAST(COALESCE(d.n_novel, 0) AS BIGINT) AS n_novel,
+      |       CAST(COALESCE(d.n_novel, 0) AS DOUBLE) / COALESCE(d.n_ngrams, 1)
+      |         AS novelty
+      |FROM tk t LEFT JOIN d USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val b0 = docs.orderBy("doc_id").limit(1).select(col("text").as("btext"))
+    val planted = docs
+      .unionAll(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionAll(docs.filter(col("doc_id") % 31 === 5)
+        .crossJoin(broadcast(b0)) // 1-row splice source
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" "), col("btext")).as("text")))
+    val tk = planted.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val ex = tk
+      .select(col("doc_id"), explode(Text.ngramMd5Keys(col("tk"), 8)).as("k"))
+      // feeds the first-occurrence aggregation AND the join-back — one
+      // tokenize+hash pass, not two
+      .localCheckpoint(eager = false)
+    val f = ex.groupBy("k").agg(min(col("doc_id")).as("first_doc"))
+    val d = ex.join(f, Seq("k"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    tk.select("doc_id").join(d, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") /
+          coalesce(col("n_ngrams"), lit(1L))).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(substringDedup, sourceCap, lmScore, blocklistScrub, piiScrub,
       curationReport, curriculumOrder, corpusDiff, budgetMixture,
       pipelineE2e, shardManifest, stratifiedSample, fuzzyBlocklist,
-      qualityScore)
+      qualityScore, ngramNovelty)
 }

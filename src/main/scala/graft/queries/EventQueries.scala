@@ -363,6 +363,98 @@ object EventQueries {
     }
   }
 
+  /** PER-GROUP HLL — q_hll_distinct's register tower run per key, the
+    * form a 100-TB pipeline actually deploys: "distinct users per event
+    * type / per day / per source" in ONE pass, where an exact
+    * count(DISTINCT) per group would shuffle every (group, user) pair.
+    * The registers are MERGEABLE state (max per (group, bucket)), so the
+    * aggregation takes map-side partials and the shuffle carries at most
+    * 256 register rows per group per map task — constant in the data,
+    * linear only in group cardinality. The same register frame also
+    * merges ACROSS groups or days without rescanning (max of maxes),
+    * which is what makes sketch columns materializable in a rollup table;
+    * [[graft.streaming.Streams.hllRegisters]] is the streaming maintainer
+    * of exactly this state.
+    *
+    * Determinism: identical tower to q_hll_distinct (md5-32 hash, integer
+    * rank ladder, exact-dyadic 2^-m table, <53-bit harmonic sums that
+    * cannot round and so cannot order-drift, literal m*ln(m/V) correction
+    * table) — per group, every column hash-matches DuckDB. The exact
+    * per-group distinct is computed only to GRADE the sketch. */
+  val hllByGroup: Q = {
+    import graft.functions.Sketch
+    val caseSql = (23 to 0 by -1)
+      .map(b => s"WHEN w >= ${1L << b} THEN ${24 - b}")
+      .mkString("CASE ", " ", " ELSE 25 END")
+    val invSql = Sketch.HllInvStrings.map(_ + "::DOUBLE").mkString("[", ", ", "]")
+    val linSql = Sketch.HllLinearStrings.map(_ + "::DOUBLE").mkString("[", ", ", "]")
+    val AlphaM2 = Sketch.HllAlphaM2
+    Q(
+      "q_hll_by_group",
+      s"""WITH h AS (
+        |  SELECT event_type,
+        |         CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+        |  FROM events),
+        |rho AS (
+        |  SELECT event_type, hv % 256 AS bucket, hv // 256 AS w FROM h),
+        |ranked AS (
+        |  SELECT event_type, bucket, $caseSql AS r FROM rho),
+        |regs AS (
+        |  SELECT event_type, bucket, MAX(r) AS m FROM ranked
+        |  GROUP BY event_type, bucket),
+        |folded AS (
+        |  SELECT event_type, COUNT(*) AS n_buckets,
+        |         SUM(($invSql)[m]) AS s
+        |  FROM regs GROUP BY event_type),
+        |exact AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+        |  FROM events GROUP BY event_type),
+        |raw AS (
+        |  SELECT f.event_type, f.n_buckets, 256 - f.n_buckets AS zb,
+        |         CAST($AlphaM2 AS DOUBLE) / (f.s + (256 - f.n_buckets)) AS est
+        |  FROM folded f),
+        |corrected AS (
+        |  SELECT r.*, CASE WHEN r.zb > 0 AND r.est <= CAST(640.0 AS DOUBLE)
+        |                   THEN ($linSql)[CAST(r.zb AS INTEGER)]
+        |                   ELSE r.est END AS cest
+        |  FROM raw r)
+        |SELECT c.event_type,
+        |       CAST(c.n_buckets AS BIGINT) AS n_buckets,
+        |       CAST(c.zb AS BIGINT) AS zero_buckets,
+        |       c.est AS hll_estimate,
+        |       c.cest AS hll_corrected,
+        |       CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+        |       abs(c.cest - e.exact_distinct) / e.exact_distinct AS rel_err_corrected
+        |FROM corrected c JOIN exact e ON e.event_type = c.event_type
+        |ORDER BY c.event_type""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val hv = Sketch.hllHash(col("user_id"))
+      val rho = ev.select(col("event_type"), hv.as("hv"))
+        .select(col("event_type"),
+          Sketch.hllBucket(col("hv")).as("bucket"),
+          Sketch.hllRank(col("hv")).as("r"))
+      val regs = rho.groupBy("event_type", "bucket").agg(max(col("r")).as("m"))
+      val folded = regs.groupBy("event_type").agg(
+        count(lit(1)).as("n_buckets"),
+        sum(Sketch.hllInv(col("m"))).as("s"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      val est = Sketch.hllEstimate(col("s"), col("n_buckets"))
+      val zb = lit(Sketch.HllBuckets) - col("n_buckets")
+      val cest = Sketch.hllCorrected(est, zb)
+      folded.join(exact, Seq("event_type"))
+        .select(col("event_type"),
+          col("n_buckets").cast("long").as("n_buckets"),
+          zb.cast("long").as("zero_buckets"),
+          est.as("hll_estimate"),
+          cest.as("hll_corrected"),
+          col("exact_distinct").cast("long").as("exact_distinct"),
+          (abs(cest - col("exact_distinct")) / col("exact_distinct"))
+            .as("rel_err_corrected"))
+        .orderBy("event_type")
+    }
+  }
+
   /** BLOOM-FILTER membership pruning, fully oracle-checked — the other
     * sketch a 100-TB join planner lives on: build a 2048-bit / 3-hash
     * Bloom filter over the purchase-user set, probe EVERY user through
@@ -789,6 +881,7 @@ object EventQueries {
 
   val all: Seq[Q] =
     Seq(jsonExtract, windowTumbling, windowSliding, windowSession, eventFunnel,
-      retentionCohorts, sessionTrajectories, hllDistinct, bloomPrune,
-      cmsHeavy, kmvDistinct, cdcMerge, cmsJoinSize, sessionConcurrency)
+      retentionCohorts, sessionTrajectories, hllDistinct, hllByGroup,
+      bloomPrune, cmsHeavy, kmvDistinct, cdcMerge, cmsJoinSize,
+      sessionConcurrency)
 }

@@ -535,6 +535,57 @@ object SimilarityQueries {
       .orderBy("doc_id")
   }
 
+  /** DEDUP RUN REPORT — the cluster-size histogram every dedup pass emits
+    * before anyone trusts it: one row per duplicate-cluster size with the
+    * cluster count, the documents they hold, and the rows a
+    * keep-one-per-cluster policy would remove. The shape of this histogram
+    * is the primary health check on a 100-TB dedup run (a sudden mass in
+    * large clusters means boilerplate leaked past the df-cut; a flat
+    * all-singleton histogram means the candidate generation broke), and
+    * summing `n_removable` gives the corpus-level dedup ratio in one scan
+    * of the report.
+    *
+    * Shape at 100 TB: everything past the (shared) component fixpoint is
+    * two keyed aggregations — docs -> per-cluster size (map-side
+    * combined, one slim row per cluster), sizes -> per-size counts
+    * (output bounded by DISTINCT cluster sizes, a near-constant handful at
+    * any corpus scale). No windows, no joins against the corpus. */
+  val dedupStats: Q = Q(
+    "q_dedup_stats",
+    "WITH RECURSIVE " + minhashPairCtes + """,
+      |sym AS (
+      |  SELECT d1 AS a, d2 AS b FROM pairs
+      |  UNION
+      |  SELECT d2 AS a, d1 AS b FROM pairs),
+      |reach AS (
+      |  SELECT a AS id, b AS r FROM sym
+      |  UNION
+      |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+      |comp AS (SELECT id, LEAST(id, MIN(r)) AS cluster FROM reach GROUP BY id),
+      |asg AS (
+      |  SELECT p.doc_id, COALESCE(c.cluster, p.doc_id) AS cluster
+      |  FROM planted p LEFT JOIN comp c ON c.id = p.doc_id),
+      |sizes AS (SELECT cluster, COUNT(*) AS sz FROM asg GROUP BY cluster)
+      |SELECT CAST(sz AS BIGINT) AS cluster_size,
+      |       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      |       CAST(SUM(sz) AS BIGINT) AS n_docs,
+      |       CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+      |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin) { (s, dir) =>
+    val (planted, pairs) = minhashPlantedAndPairs(s, dir)
+    val comp = Dedup.components(pairs)
+      .withColumnRenamed("id", "doc_id").withColumnRenamed("comp", "cluster")
+    planted.select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .groupBy("cluster").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("sz") - 1).as("n_removable"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        col("n_docs"), col("n_removable"))
+      .orderBy("cluster_size")
+  }
+
   /** Near-dup VERIFICATION: the exact edit-distance check that turns the
     * banded MinHash CANDIDATE pairs (exactly q_minhash_neardup's — shared
     * CTEs) into verdicts — the candidate→verify contract of every LSH
@@ -854,6 +905,162 @@ object SimilarityQueries {
     }
   }
 
+  /** PRODUCT-QUANTIZATION ANN (PQ + ADC) — the memory-bounded index form
+    * past int8: the 64-dim vector splits into M = 4 subspaces of 16 dims;
+    * each subspace learns its own bounded codebook (hyperplane-LSH init
+    * cells + exact integer-ratio centroids, the q_ann_ivf_learned fit run
+    * per subspace) and every vector is ENCODED as its 4 nearest-centroid
+    * codes — 4 small ints standing in for 64 floats, the ~64x compression
+    * that lets a 100-TB index hold its entire store in executor memory.
+    * Search is asymmetric distance computation (ADC, Jégou et al. 2011):
+    * a query precomputes its distance to every centroid (M x cells = 16
+    * rows per query — a broadcast-scale lookup table by construction) and
+    * a candidate's approximate distance is the SUM of table lookups at its
+    * codes; the search pass scans CODES ONLY, never the vectors. The
+    * exact distance of each returned pair rides along (`dist_exact`) so
+    * the readout grades the quantization error in place.
+    *
+    * Determinism: centroids are exact integer ratios (order-independent
+    * fixed-point sums); subspace distances are sequential zip folds;
+    * the ADC sum folds the M per-subspace terms IN SUBSPACE ORDER
+    * (list(dist ORDER BY m) / sorted collect_list — a float sum in
+    * arbitrary order would be partition-layout-dependent); ranks break
+    * ties (dist, cell) and (adist, vec_id). Every column hash-matches.
+    *
+    * Shape at 100 TB: codebooks are bounded (M x 2^planes x subDim
+    * doubles) and broadcast; encoding is one scan with a ≤ 2^planes
+    * fan-out per (vector, subspace); the ADC join is code-equi-keyed
+    * against the broadcast query tables with map-side partial sums —
+    * per-query work is linear in CODES, zero full-vector reads until the
+    * bounded top-k join-back. */
+  val annPq: Q = {
+    val M = 4; val SubDim = 16; val Planes = 2
+    def cellSqlFor(m: Int): String = {
+      val signs = Vectors.planeSigns(Planes, SubDim, table = 20 + m)
+      signs.zipWithIndex.map { case (s, i) =>
+        val arr = s.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
+        s"""(CASE WHEN list_reduce(list_transform(list_zip(sv, [$arr]),
+           |        p -> p[1] * p[2]), (x, y) -> x + y) > 0
+           |      THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+      }.mkString(" +\n      ")
+    }
+    val cellCase = (0 until M)
+      .map(m => s"WHEN $m THEN (\n      ${cellSqlFor(m)})")
+      .mkString(s"CASE m\n      ", "\n      ", "\n      END")
+    Q(
+      "q_ann_pq",
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, m, list_slice(v, m * $SubDim + 1, m * $SubDim + $SubDim) AS sv
+        |  FROM e0 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) ms),
+        |b AS (
+        |  SELECT vec_id, m, sv,
+        |    $cellCase AS cell0
+        |  FROM sub),
+        |pos AS (
+        |  SELECT m, cell0, unnest(sv) AS x, generate_subscripts(sv, 1) AS pos FROM b),
+        |pp AS (
+        |  SELECT m, cell0, pos,
+        |         CAST(SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+        |         COUNT(*) AS n
+        |  FROM pos GROUP BY m, cell0, pos),
+        |cent AS (
+        |  SELECT m, cell0 AS cell,
+        |         list(CAST(sq AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) ORDER BY pos) AS cv
+        |  FROM pp GROUP BY m, cell0),
+        |sc0 AS (
+        |  SELECT s.vec_id, s.m, c.cell,
+        |         list_reduce(list_transform(list_zip(s.sv, c.cv),
+        |                                    p -> (p[1] - p[2]) * (p[1] - p[2])),
+        |                     (x, y) -> x + y) AS dist
+        |  FROM sub s JOIN cent c ON c.m = s.m),
+        |enc AS (
+        |  SELECT vec_id, m, cell AS code FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cell) AS rk
+        |    FROM sc0) WHERE rk = 1),
+        |qd AS (SELECT vec_id AS qid, m, cell, dist FROM sc0 WHERE vec_id % 50 = 0),
+        |adc AS (
+        |  SELECT q.qid, c.vec_id,
+        |         list_reduce(list(q.dist ORDER BY q.m), (x, y) -> x + y) AS adist
+        |  FROM enc c JOIN qd q ON q.m = c.m AND q.cell = c.code AND c.vec_id <> q.qid
+        |  GROUP BY q.qid, c.vec_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk
+        |  FROM adc),
+        |top AS (SELECT qid, vec_id, adist, rk FROM ranked WHERE rk <= 3)
+        |SELECT t.qid, t.vec_id, t.adist,
+        |       list_reduce(list_transform(list_zip(a.v, b.v),
+        |                                  p -> (p[1] - p[2]) * (p[1] - p[2])),
+        |                   (x, y) -> x + y) AS dist_exact,
+        |       t.rk
+        |FROM top t JOIN e0 a ON a.vec_id = t.qid
+        |           JOIN e0 b ON b.vec_id = t.vec_id
+        |ORDER BY t.qid, t.rk""".stripMargin) { (s, dir) =>
+      val e0 = t(s, dir, "embeddings")
+        .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+      val sub = e0.select(col("vec_id"), explode(array((0 until M).map(m =>
+          struct(lit(m).as("m"),
+            slice(col("v"), m * SubDim + 1, SubDim).as("sv"))): _*)).as("s"))
+        .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+      // per-subspace init cell: literal-sign LSH per m (plan-time signs,
+      // distinct namespace per subspace)
+      val cell0 = (0 until M).foldRight(
+          lit(null).cast("long"): org.apache.spark.sql.Column) {
+        (m, els) => when(col("m") === m,
+          Vectors.lshBucket(col("sv"), SubDim, Planes, table = 20 + m))
+          .otherwise(els)
+      }
+      val pos = sub.withColumn("cell0", cell0)
+        .select(col("m"), col("cell0"), posexplode(col("sv")).as(Seq("pos", "x")))
+      val pp = pos.groupBy("m", "cell0", "pos")
+        .agg(sum(floor(col("x") * lit(1e6) + lit(0.5)).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+      val cent = pp
+        .select(col("m"), col("cell0"),  col("pos"),
+          (col("sq").cast("double") / (col("n") * lit(1000000L)).cast("double")).as("c"))
+        .groupBy("m", "cell0")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("cv"))
+        .select(col("m"), col("cell0").as("cell"), col("cv"))
+      // subspace distances feed BOTH the encode argmin and the query
+      // tables — checkpoint once (the q_ann_ivf_learned lesson)
+      val sc0 = sub.join(broadcast(cent), Seq("m"))
+        .withColumn("dist",
+          aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x))
+        .select("vec_id", "m", "cell", "dist")
+        .localCheckpoint(eager = true)
+      val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("cell"))
+      val enc = sc0.withColumn("rk", row_number().over(wEnc))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("m"), col("cell").as("code"))
+      val qd = sc0.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("m").as("qm"),
+          col("cell").as("qcell"), col("dist"))
+      val adc = enc.join(broadcast(qd),
+          col("qm") === col("m") && col("qcell") === col("code") &&
+            col("vec_id") =!= col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("m"), col("dist")))),
+            x => x.getField("dist")),
+          lit(0.0), (acc, x) => acc + x).as("adist"))
+      val wQ = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+      val top = adc.withColumn("rk", row_number().over(wQ))
+        .filter(col("rk") <= 3)
+      // bounded (3 per query) join-back for the exact-distance grade
+      top.join(broadcast(top.select("qid").distinct()
+          .join(e0, col("qid") === col("vec_id"))
+          .select(col("qid"), col("v").as("qv"))), Seq("qid"))
+        .join(e0.select(col("vec_id"), col("v").as("bv")), Seq("vec_id"))
+        .select(col("qid"), col("vec_id"), col("adist"),
+          aggregate(zip_with(col("qv"), col("bv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x).as("dist_exact"),
+          col("rk"))
+        .orderBy("qid", "rk")
+    }
+  }
+
   /** ANN retrieval-quality EVALUATION: recall@3 of the cell-pruned IVF
     * search against exact brute-force truth, per query — the measurement
     * loop every production vector index runs on a sampled query set before
@@ -984,5 +1191,6 @@ object SimilarityQueries {
   val all: Seq[Q] =
     Seq(cosineTopK, annIvf, annIvfLearned, annInt8, annLsh, minhashNearDup,
       simhashNearDup, embedNearDup, dedupComponents, dedupCanonical,
-      nearDupVerify, winnowPairs, quantizeRoundtrip, annRecall, splitLeakage)
+      nearDupVerify, winnowPairs, quantizeRoundtrip, annRecall, splitLeakage,
+      annPq, dedupStats)
 }

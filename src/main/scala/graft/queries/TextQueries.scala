@@ -195,6 +195,100 @@ object TextQueries {
       .orderBy("d1", "d2")
   }
 
+  /** CONTAINMENT near-dup detection — the SUPERSET complement of
+    * q_jaccard_neardup: containment |A∩B| / min(|A|,|B|) fires when one
+    * document's (informative-) token set sits inside another's even though
+    * symmetric Jaccard stays low — the quote/excerpt/boilerplate-wrapper
+    * duplication mode (a short doc embedded in a long one) that
+    * Jaccard-thresholded dedup systematically misses. Same candidate
+    * machinery as Jaccard: (lang, n_chars%7) bucket + shared token keys
+    * the join, the df-cut bounds per-key fan-in at C(MaxDf,2), and a
+    * min-size floor (>= 5 kept tokens) keeps near-empty sets from scoring
+    * trivial 1.0s. `contained_doc` names the smaller side (ties -> lower
+    * id); jaccard rides along so the two signals read side by side.
+    *
+    * Shape at 100 TB: identical to q_jaccard_neardup — the pair space is
+    * bucket-bounded (keyed equi-join on the 8-byte token-bucket hash,
+    * never all-pairs), sizes and intersections are keyed aggregations
+    * with map-side partials, and the df-cut is the skew guard
+    * ([[graft.engine.Similarity.dropHotKeys]]). */
+  val containmentNearDup: Q = {
+    val minKept = 5
+    Q(
+      "q_containment_neardup",
+      s"""WITH docs2 AS (
+        |  SELECT doc_id, lang, n_chars % 7 AS lb, text FROM documents),
+        |tok0 AS (
+        |  SELECT doc_id, lang, lb, unnest(string_split(text, ' ')) AS tok
+        |  FROM docs2),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, lang, lb, tok FROM tok0
+        |  WHERE lang IS NOT NULL AND lb IS NOT NULL AND tok IS NOT NULL),
+        |kept AS (
+        |  SELECT doc_id, lang, lb, tok FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY lang, lb, tok) AS occ FROM tok)
+        |  WHERE occ <= $JaccardMaxDf),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM kept GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS it
+        |  FROM kept a JOIN kept b
+        |    ON a.lang = b.lang AND a.lb = b.lb AND a.tok = b.tok
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d1, d2, sa.nt AS na, sb.nt AS nb, it,
+        |         CAST(it AS DOUBLE) / least(sa.nt, sb.nt) AS containment,
+        |         CAST(it AS DOUBLE) / (sa.nt + sb.nt - it) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = d1
+        |  JOIN sizes sb ON sb.doc_id = d2
+        |  WHERE least(sa.nt, sb.nt) >= $minKept)
+        |SELECT d1, d2,
+        |       CASE WHEN na < nb OR (na = nb AND d1 < d2) THEN d1 ELSE d2 END
+        |         AS contained_doc,
+        |       CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |       CAST(it AS BIGINT) AS it, containment, jaccard
+        |FROM scored
+        |WHERE containment >= 0.9
+        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val docs2 = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), (col("n_chars") % 7).as("lb"),
+          col("text"))
+      // same 8-byte candidate key + null-drop discipline as
+      // q_jaccard_neardup (see the comment there)
+      val keyed = docs2
+        .select(col("doc_id"), col("lang"), col("lb"),
+          explode(Text.tokens(col("text"))).as("tok"))
+        .distinct()
+        .filter(col("lang").isNotNull && col("lb").isNotNull &&
+          col("tok").isNotNull)
+        .select(col("doc_id"),
+          xxhash64(col("lang"), col("lb"), col("tok")).as("k"))
+      val kept = graft.engine.Similarity.dropHotKeys(keyed, Seq("k"), JaccardMaxDf)
+      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val a = kept.select(col("doc_id").as("d1"), col("k"))
+      val b = kept.select(col("doc_id").as("d2"), col("k"))
+      val inter = a.join(b, Seq("k"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("it"))
+      val containment = col("it").cast("double") / least(col("na"), col("nb"))
+      val jaccard = col("it").cast("double") /
+        (col("na") + col("nb") - col("it"))
+      inter
+        .join(sizes.select(col("doc_id").as("d1"), col("nt").as("na")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("nt").as("nb")), "d2")
+        .filter(least(col("na"), col("nb")) >= minKept &&
+          containment >= 0.9)
+        .select(col("d1"), col("d2"),
+          when(col("na") < col("nb") ||
+            (col("na") === col("nb") && col("d1") < col("d2")), col("d1"))
+            .otherwise(col("d2")).as("contained_doc"),
+          col("na"), col("nb"), col("it"),
+          containment.as("containment"), jaccard.as("jaccard"))
+        .orderBy("d1", "d2")
+    }
+  }
+
   /** Multimodal plumbing check (graft.engine.Multimodal): media as opaque
     * binary payloads + typed metadata — the metadata aggregates here are the
     * oracle-checkable face of the binary column (decode itself is the
@@ -696,5 +790,5 @@ object TextQueries {
     Seq(dedupExact, textStats, langId, docProfile, jaccardNearDup, mediaMeta,
       tokenCounts, fingerprintRolling, winnowFingerprint, trainSplit,
       shuffleOrder, packShards, chunkDocs, dedupNormalized, labelMismatch,
-      incrementalDedup, frameSample)
+      incrementalDedup, frameSample, containmentNearDup)
 }

@@ -604,6 +604,26 @@ object Streams {
       .groupBy("bucket").agg(max(col("r")).as("m"))
   }
 
+  /** Streaming PER-GROUP HLL register maintenance — the incremental form
+    * of q_hll_by_group's register table: `groupBy(g, bucket).max(rank)`
+    * keeps at most [[graft.functions.Sketch.HllBuckets]] rows of state PER
+    * GROUP regardless of stream length (max is monotone — no watermark
+    * needed, state bounded BY THE SKETCH times group cardinality). Each
+    * group's estimate reads off its register slice with
+    * [[Streams.hllEstimateOf]]; registers also merge ACROSS groups with a
+    * plain max (the rollup property SketchSpec pins on the batch side).
+    * Single-sourced column logic (functions.Sketch) keeps stream registers
+    * bit-equal to the batch query's. */
+  def hllGroupRegisters(keyed: DataFrame, groupCol: String,
+      keyCol: String): DataFrame = {
+    import graft.functions.Sketch
+    keyed
+      .select(col(groupCol).as("g"), Sketch.hllHash(col(keyCol)).as("hv"))
+      .select(col("g"), Sketch.hllBucket(col("hv")).as("bucket"),
+        Sketch.hllRank(col("hv")).as("r"))
+      .groupBy("g", "bucket").agg(max(col("r")).as("m"))
+  }
+
   /** Fold a (bucket, m) register table — streamed or batch — into the raw
     * AND small-range-corrected HLL estimates, with the same exact-dyadic
     * and ln-table arithmetic as the batch oracle query. */

@@ -41,6 +41,39 @@ class BpeTrainSpec extends SparkSpec {
       (3, "aa", "aaa", 3L)), s"merge sequence was $got")
   }
 
+  test("encode applies the learned merges in order (crafted corpus)") {
+    // same corpus as the training pin, plus a 1-char word "x" (excluded
+    // from the TRAINING vocab by the len>=2 filter, but still encoded — as
+    // its single character). Learned merges: (a,a), (aa,a), (aa,aaa).
+    //   "aaaaa": [a a a a a] -> [aa aa a] -> [aa aaa] -> [aaaaa]  = 1 token
+    //   "bc":    no merge applies                                 = 2 tokens
+    //   "x":     1 symbol                                         = 1 token
+    // doc: 3x aaaaa + 2x bc + x -> n_words 6, n_chars 20,
+    // n_bpe 3*1 + 2*2 + 1 = 8, saved_ppm = 12000000 DIV 20 = 600000.
+    val dir = Files.createTempDirectory("graft_bpe_enc").toString
+    Seq((0L, "en", 24, "aaaaa aaaaa aaaaa bc bc x"))
+      .toDF("doc_id", "lang", "n_chars", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = graft.queries.CorpusQueries.bpeEncode.build(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq((0L, 6L, 20L, 8L, 600000L)), s"encode readout was $got")
+  }
+
+  test("encode invariants on the real corpus") {
+    val rows = graft.queries.CorpusQueries.bpeEncode.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nWords, nChars, nBpe) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // merging only ever shrinks the stream, never below one token/word
+      assert(nBpe <= nChars, s"doc ${r.getLong(0)}: n_bpe $nBpe > n_chars $nChars")
+      assert(nBpe >= nWords, s"doc ${r.getLong(0)}: n_bpe $nBpe < n_words $nWords")
+      assert(r.getLong(4) == (nChars - nBpe) * 1000000L / nChars)
+    }
+  }
+
   test("merges on the real corpus are distinct, positive, and re-derivable") {
     val rows = graft.queries.CorpusQueries.bpeTrain.build(spark, sf)
       .collect()

@@ -310,4 +310,33 @@ class CurationSpec extends SparkSpec {
     assert(got(0L)._6 == "keep" && got(1L)._6 == "drop" && got(2L)._6 == "drop")
     assert(got(2L)._5 < got(1L)._5 && got(1L)._5 < got(0L)._5)
   }
+
+  test("q_ngram_novelty: replicas score 0, splices only boundary grams, originals high") {
+    val rows = graft.queries.CurationQueries.ngramNovelty.build(spark, sf)
+      .select("doc_id", "n_ngrams", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, nov, frac) =>
+      assert(nov <= n, s"doc $id: n_novel $nov > n_ngrams $n")
+      if (n > 0) assert(frac == nov.toDouble / n)
+    }
+    val replicas = rows.filter(r => r._1 >= 1000000L && r._1 < 3000000L)
+    assert(replicas.nonEmpty, "plant broken: no replica docs")
+    replicas.foreach { case (id, _, nov, _) =>
+      assert(nov == 0L, s"replica $id claims $nov novel grams — its original precedes it")
+    }
+    val splices = rows.filter(_._1 >= 3000000L)
+    assert(splices.nonEmpty, "plant broken: no splice docs")
+    splices.foreach { case (id, _, nov, _) =>
+      // only grams crossing the splice boundary can be new: at most 7 for
+      // 8-grams (and the paste can collide with itself, so >= 0 is all
+      // the lower bound we assert)
+      assert(nov <= 7L, s"splice $id claims $nov novel grams > boundary bound 7")
+    }
+    // originals: the synthetic 31-word vocabulary makes 8-gram collisions
+    // across docs vanishingly rare — novelty stays high
+    val originals = rows.filter(_._1 < 1000000L)
+    assert(originals.count(_._4 > 0.9) > originals.length * 9 / 10,
+      "original docs should be overwhelmingly novel")
+  }
 }

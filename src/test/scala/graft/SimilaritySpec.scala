@@ -381,4 +381,44 @@ class SimilaritySpec extends SparkSpec {
       assert((sim >= 0.9) == (v == "duplicate"))
     }
   }
+
+  test("q_dedup_stats histogram is exactly the size distribution of q_dedup_components") {
+    val comp = graft.queries.SimilarityQueries.dedupComponents.build(spark, sf)
+      .select("cluster").as[Long].collect()
+    val expect = comp.groupBy(identity).view.mapValues(_.length.toLong).values
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap // size -> n_clusters
+    val got = graft.queries.SimilarityQueries.dedupStats.build(spark, sf)
+      .select("cluster_size", "n_clusters", "n_docs", "n_removable")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => r._1 -> r._2).toMap == expect,
+      s"histogram $got disagrees with components' own size distribution")
+    got.foreach { case (sz, nc, nd, nr) =>
+      assert(nd == sz * nc && nr == (sz - 1) * nc, s"row ($sz,$nc,$nd,$nr) inconsistent")
+    }
+    assert(got.map(_._3).sum == comp.length.toLong,
+      "histogram must account for every planted doc")
+  }
+
+  test("q_ann_pq: top-3 per query, sane distances, deterministic") {
+    val rows = graft.queries.SimilarityQueries.annPq.build(spark, sf)
+      .select("qid", "vec_id", "adist", "dist_exact", "rk")
+      .as[(Long, Long, Double, Double, Int)].collect().toSeq
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_._1)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_._5).sorted == Seq(1, 2, 3), s"query $qid ranks ${rs.map(_._5)}")
+      // rank order follows the ADC distance (ties broken by vec_id upstream)
+      val sorted = rs.sortBy(_._5)
+      assert(sorted.map(_._3) == sorted.map(_._3).sorted,
+        s"query $qid: adist not monotone in rank")
+      rs.foreach { r =>
+        assert(r._3 >= 0.0 && r._4 >= 0.0, s"negative distance on $r")
+        assert(r._2 != qid, "self-match must be excluded")
+      }
+    }
+    val again = graft.queries.SimilarityQueries.annPq.build(spark, sf)
+      .select("qid", "vec_id", "adist", "dist_exact", "rk")
+      .as[(Long, Long, Double, Double, Int)].collect().toSeq
+    assert(again == rows, "PQ search must be deterministic across builds")
+  }
 }

@@ -190,4 +190,37 @@ class SketchSpec extends SparkSpec {
     // 4x512 bank over ~150 users: collisions inflate by far less than 2x
     assert(est < 2 * exact, s"estimate $est implausibly far from $exact")
   }
+
+  test("per-group HLL: registers MERGE to the global sketch (max of maxes)") {
+    import graft.functions.Sketch
+    import org.apache.spark.sql.functions._
+    // the property that makes sketch columns materializable in a rollup
+    // table: folding the per-group register frames with max() must yield
+    // bit-identical registers to one global build over the union
+    val ev = graft.engine.Tables.t(spark, sf, "events")
+    val rho = ev.select(col("event_type"), Sketch.hllHash(col("user_id")).as("hv"))
+      .select(col("event_type"),
+        Sketch.hllBucket(col("hv")).as("bucket"),
+        Sketch.hllRank(col("hv")).as("r"))
+    val perGroup = rho.groupBy("event_type", "bucket").agg(max(col("r")).as("m"))
+    val merged = perGroup.groupBy("bucket").agg(max(col("m")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val global = rho.groupBy("bucket").agg(max(col("r")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged == global, "per-group registers must merge to the global sketch")
+  }
+
+  test("per-group HLL: every group's corrected estimate lands in band") {
+    val rows = graft.queries.EventQueries.hllByGroup.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (grp, exact) = (r.getString(0), r.getLong(5))
+      val relErr = r.getDouble(6)
+      // sf0.001 groups hold ~15 users — deep small-range regime, where the
+      // linear-counting correction is near-exact (same band as the global
+      // gate-regime test)
+      assert(relErr < 0.15, s"group $grp: corrected rel_err $relErr out of band")
+      assert(exact > 0)
+    }
+  }
 }

@@ -279,6 +279,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hllGroupRegisters: per-group streamed registers bit-match q_hll_by_group") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import graft.functions.Sketch
+    val batch = graft.queries.EventQueries.hllByGroup.build(spark, sf)
+      .select("event_type", "n_buckets", "hll_estimate", "hll_corrected")
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val pairs = graft.engine.Tables.t(spark, sf, "events")
+      .select(col("event_type"), col("user_id")).as[(String, Long)].collect()
+    val (b1, b2) = pairs.splitAt(pairs.length / 2)
+    val in = MemoryStream[(String, Long)]
+    val q = Streams.hllGroupRegisters(
+        in.toDF().toDF("event_type", "user_id"), "event_type", "user_id")
+      .writeStream.format("memory").queryName("hllgregs")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      val est = Sketch.hllEstimate(col("s"), col("n_buckets"))
+      val streamed = spark.table("hllgregs")
+        .groupBy("g")
+        .agg(count(lit(1)).as("n_buckets"), sum(Sketch.hllInv(col("m"))).as("s"))
+        .select(col("g"), col("n_buckets"), est.as("e"),
+          Sketch.hllCorrected(est, lit(Sketch.HllBuckets) - col("n_buckets")).as("c"))
+        .as[(String, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      assert(streamed == batch,
+        s"per-group streamed estimates $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("bitmapRegisters: streamed audience words bit-match the batch build") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, expr, bit_or}

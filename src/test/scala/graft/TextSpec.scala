@@ -127,4 +127,29 @@ class TextSpec extends SparkSpec {
       "graft_bpeish_count(s) != regexp_count(s, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')"))
     assert(cntMism.count() == 0, cntMism.collect().take(3).mkString(","))
   }
+
+  test("q_containment_neardup catches a subset doc that Jaccard misses") {
+    // short doc's 6 tokens all sit inside the long doc's 20 — the
+    // excerpt/quote duplication mode: containment 6/6 = 1.0 fires, while
+    // jaccard 6/20 = 0.3 stays far under q_jaccard_neardup's 0.8 gate.
+    // Same lang and same n_chars%7 bucket (14 and 7) so they are candidates.
+    val dir = java.nio.file.Files.createTempDirectory("contain-spec").toString
+    Seq(
+      (1L, "en", 14L, (1 to 20).map(i => f"w$i%02d").mkString(" ")),
+      (2L, "en", 7L, (1 to 6).map(i => f"w$i%02d").mkString(" ")))
+      .toDF("doc_id", "lang", "n_chars", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.containmentNearDup.build(spark, dir)
+      .select("d1", "d2", "contained_doc", "na", "nb", "it", "containment", "jaccard")
+      .collect()
+    assert(got.length == 1, s"expected exactly one pair, got ${got.toSeq}")
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 2L, 2L)))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((20L, 6L, 6L)))
+    assert(r.getDouble(6) == 1.0)
+    assert(r.getDouble(7) == 0.3)
+    // the complement claim: symmetric Jaccard does NOT flag this pair
+    val jac = graft.queries.TextQueries.jaccardNearDup.build(spark, dir).collect()
+    assert(jac.isEmpty, s"jaccard gate unexpectedly fired: ${jac.toSeq}")
+  }
 }
