@@ -103,14 +103,14 @@ object ScaleProbe {
     "q_group_quantiles", "q_mode_per_group", "q_frame_sample",
     "q_fuzzy_blocklist", "q_bm25_search", "q_bpe_train", "q_quality_score",
     "q_bpe_encode", "q_containment_neardup", "q_dedup_stats",
-    "q_ngram_novelty")
+    "q_ngram_novelty", "q_sparse_cosine", "q_rouge_overlap")
 
   /** Queries that read ONLY the embeddings table (replicated input #2). */
   private[graft] val EmbQueries = Seq(
     "q_cosine_topk", "q_ann_ivf", "q_ann_lsh", "q_ann_int8",
     "q_ann_ivf_learned", "q_ann_recall", "q_embed_neardup",
     "q_quantize_roundtrip", "q_knn_classify", "q_ncm_classify",
-    "q_semantic_decontaminate", "q_ann_pq")
+    "q_semantic_decontaminate", "q_ann_pq", "q_semdedup")
 
   /** Queries that read ONLY the events table (replicated input #3). */
   private[graft] val EvQueries = Seq(
@@ -124,7 +124,8 @@ object ScaleProbe {
     "q_cms_join_size", "q_scd2_build", "q_bitmap_overlap", "q_adaptive_bloom",
     "q_streak_islands", "q_ewma_daily", "q_seasonal_profile", "q_ab_lift",
     "q_pit_join", "q_twap", "q_session_concurrency", "q_mad_robust",
-    "q_hist_equiwidth", "q_rfm_segments", "q_hll_by_group")
+    "q_hist_equiwidth", "q_rfm_segments", "q_hll_by_group", "q_ks_drift",
+    "q_gini_by_type")
 
   /** Queries that read the STAR-SCHEMA tables (lineitem / orders / part /
     * supplier / customer — replicated input #4): the graph family (the

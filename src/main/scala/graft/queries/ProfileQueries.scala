@@ -705,8 +705,141 @@ object ProfileQueries {
       .orderBy("lang")
   }
 
+  /** TWO-SAMPLE KOLMOGOROV-SMIRNOV DRIFT GATE — the CDF-based companion to
+    * q_drift_chisq's bucket-mass chi-square: the same midpoint epoch split
+    * of the event stream, but the statistic is the max CDF gap, which is
+    * robust to WHERE bucket boundaries fall (a shift that moves mass within
+    * one coarse bucket is invisible to chi-square but moves the CDF).
+    * Values quantize to 256 fixed-width buckets (exact KS on the QUANTIZED
+    * distribution — the standard distributed form; quantization error is
+    * the operator's contract, as in q_drift_chisq), each epoch's CDF is an
+    * exact parts-per-million integer, and `ks_ppm = max |cdf1 - cdf2|` is
+    * all-integer and bit-identical across engines. The classical 5%
+    * critical value c(α)·sqrt((n1+n2)/(n1·n2)) rides along as a double
+    * (single sqrt/divide over exactly-representable integers — one IEEE
+    * tree, same in both engines) and `drifted` is the gate verdict.
+    *
+    * Shape at 100 TB: two map-side-combined aggregations ((type, bucket,
+    * epoch) counts, per-type totals broadcast back), then a per-type
+    * running sum over ≤ 256 bucket rows — a KEYED window with a hard
+    * per-key row bound. No global sort, no per-event window. */
+  val ksDrift: Q = Q(
+    "q_ks_drift",
+    """WITH b AS (SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS lo,
+      |                  CAST(MAX(epoch_us(ts)) AS BIGINT) AS hi FROM events),
+      |v AS (SELECT event_type,
+      |             LEAST(CAST(ROUND(value * 100) AS BIGINT) // 200, 255) AS bucket,
+      |             CASE WHEN epoch_us(ts) * 2 < lo + hi THEN 0 ELSE 1 END AS epoch
+      |      FROM events, b),
+      |c AS (SELECT event_type, bucket,
+      |             CAST(SUM(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |             CAST(SUM(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |      FROM v GROUP BY event_type, bucket),
+      |n AS (SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1,
+      |             CAST(SUM(c2) AS BIGINT) AS n2 FROM c GROUP BY event_type),
+      |cum AS (SELECT c.event_type, c.bucket, n.n1, n.n2,
+      |               SUM(c.c1) OVER (PARTITION BY c.event_type ORDER BY c.bucket) AS cum1,
+      |               SUM(c.c2) OVER (PARTITION BY c.event_type ORDER BY c.bucket) AS cum2
+      |        FROM c JOIN n ON n.event_type = c.event_type),
+      |d AS (SELECT event_type, n1, n2,
+      |             ABS(cum1 * 1000000 // n1 - cum2 * 1000000 // n2) AS gap_ppm
+      |      FROM cum)
+      |SELECT event_type, MIN(n1) AS n1, MIN(n2) AS n2,
+      |       CAST(MAX(gap_ppm) AS BIGINT) AS ks_ppm,
+      |       1358000.0 * sqrt(CAST(MIN(n1) + MIN(n2) AS DOUBLE)
+      |                        / (CAST(MIN(n1) AS DOUBLE) * CAST(MIN(n2) AS DOUBLE)))
+      |         AS thresh_ppm,
+      |       CAST(MAX(gap_ppm) AS DOUBLE) >
+      |       1358000.0 * sqrt(CAST(MIN(n1) + MIN(n2) AS DOUBLE)
+      |                        / (CAST(MIN(n1) AS DOUBLE) * CAST(MIN(n2) AS DOUBLE)))
+      |         AS drifted
+      |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+    val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"))
+    val v = ev.crossJoin(broadcast(b)) // 1-row epoch cut, the q_drift_chisq shape
+      .select(col("event_type"),
+        least(expr("CAST(ROUND(value * 100) AS BIGINT) DIV 200"), lit(255L))
+          .as("bucket"),
+        when(unix_micros(col("ts")) * 2 < col("lo") + col("hi"), 0L)
+          .otherwise(1L).as("epoch"))
+    val c = v.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(col("epoch") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("epoch") === 1, 1L).otherwise(0L)).as("c2"))
+    val n = c.groupBy(col("event_type").as("ntype"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+    val gaps = c.join(broadcast(n), col("event_type") === col("ntype"))
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .select(col("event_type"), col("n1"), col("n2"),
+        abs(expr("cum1 * 1000000 DIV n1") - expr("cum2 * 1000000 DIV n2"))
+          .as("gap_ppm"))
+    val thresh = lit(1358000.0) *
+      sqrt((min(col("n1")) + min(col("n2"))).cast("double") /
+        (min(col("n1")).cast("double") * min(col("n2")).cast("double")))
+    gaps.groupBy(col("event_type"))
+      .agg(min(col("n1")).as("n1"), min(col("n2")).as("n2"),
+        max(col("gap_ppm")).cast("long").as("ks_ppm"),
+        thresh.as("thresh_ppm"),
+        (max(col("gap_ppm")).cast("double") > thresh).as("drifted"))
+      .orderBy("event_type")
+  }
+
+  /** GINI CONCENTRATION of per-user spend within each event type — the
+    * inequality readout behind "is this cohort's volume carried by a few
+    * whales?", and the corpus-balance diagnostic q_source_hhi gives for
+    * sources applied to the USER dimension. All-integer: spends are exact
+    * cents, users rank per type by (spend, user_id), and the closed form
+    * G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) lands as a parts-per-million
+    * integer. The ×10⁶ scaling divides the DENOMINATOR first
+    * (`num DIV max(den DIV 10⁶, 1)`) so the numerator never multiplies
+    * past BIGINT — the quantization (≤ ~ppm of the score) is documented
+    * contract, and both engines run the identical integer tree. Headroom:
+    * Σ rank·x ≤ n_users · Σx, which holds BIGINT through the 10x probe;
+    * a 100-TB deploy lifts the two sums to DECIMAL(38,0) unchanged.
+    *
+    * Shape at 100 TB: one keyed aggregation to (type, user) totals, a
+    * per-type rank window (rows bounded by the user domain of that type),
+    * one keyed rollup. No global sort. */
+  val giniByType: Q = Q(
+    "q_gini_by_type",
+    """WITH u AS (SELECT event_type, user_id,
+      |                  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS spend
+      |           FROM events GROUP BY event_type, user_id),
+      |r AS (SELECT event_type, spend,
+      |             ROW_NUMBER() OVER (PARTITION BY event_type
+      |                                ORDER BY spend, user_id) AS rk
+      |      FROM u),
+      |g AS (SELECT event_type, COUNT(*) AS n_users,
+      |             CAST(SUM(spend) AS BIGINT) AS total_cents,
+      |             CAST(SUM(rk * spend) AS BIGINT) AS t
+      |      FROM r GROUP BY event_type)
+      |SELECT event_type, n_users, total_cents,
+      |       CAST((2 * t - (n_users + 1) * total_cents)
+      |            // GREATEST(n_users * total_cents // 1000000, 1) AS BIGINT)
+      |         AS gini_ppm
+      |FROM g ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val u = t(s, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("spend"))
+    val w = Window.partitionBy("event_type").orderBy(col("spend"), col("user_id"))
+    u.withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("spend")).as("total_cents"),
+        sum(col("rk") * col("spend")).as("t"))
+      .select(col("event_type"), col("n_users"), col("total_cents"),
+        expr("(2 * t - (n_users + 1) * total_cents) DIV " +
+          "GREATEST(n_users * total_cents DIV 1000000, 1)").cast("long")
+          .as("gini_ppm"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] =
     Seq(tableProfile, zorderLayout, anomalyZscore, driftChisq, winsorize,
       sourceHhi, skyline, keySkewReport, groupQuantiles, madRobust,
-      histEquiwidth, modePerGroup)
+      histEquiwidth, modePerGroup, ksDrift, giniByType)
 }

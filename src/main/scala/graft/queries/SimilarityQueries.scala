@@ -1188,9 +1188,277 @@ object SimilarityQueries {
     }
   }
 
+  /** SEMDEDUP (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication by embedding clusters: vectors are assigned to LEARNED
+    * cells (the q_ann_ivf_learned fit — hyperplane init + one exact
+    * integer-ratio Lloyd step, bit-reproducible in the mirror), pairwise
+    * cosine runs ONLY within a cell, and of every duplicate pair
+    * (cos >= 0.99) the larger vec_id is removed, `dup_of` naming its
+    * smallest duplicate neighbor. Planted twins (every 25th vector verbatim
+    * at +100000, the q_embed_neardup plant) guarantee removals at every
+    * scale. This is the dedup RESOLUTION form of the embedding family:
+    * q_embed_neardup emits candidate pairs, SemDeDup emits the per-vector
+    * keep/remove verdict a corpus pipeline applies.
+    *
+    * Shape at 100 TB: the pair space is cell-bounded (each vector meets
+    * only its own cell, and nCells scales with N in a production fit), the
+    * fit state is bounded (2^nPlanes x dim doubles, broadcast), and the
+    * verdict join-back is keyed on vec_id — never an all-pairs product. */
+  val semDedup: Q = {
+    val nPlanes = 3
+    val dim = 64
+    val signs = Vectors.planeSigns(nPlanes, dim, table = 1)
+    val cellSql = signs.zipWithIndex.map { case (s, i) =>
+      val arr = s.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
+      s"""(CASE WHEN list_reduce(list_transform(list_zip(v, [$arr]),
+         |        p -> p[1] * p[2]), (x, y) -> x + y) > 0
+         |      THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }.mkString(" +\n      ")
+    Q(
+      "q_semdedup",
+      s"""WITH planted AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM planted),
+        |b AS (
+        |  SELECT vec_id, v,
+        |      $cellSql AS cell0
+        |  FROM e0),
+        |pos AS (
+        |  SELECT cell0, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM b),
+        |pp AS (
+        |  SELECT cell0, pos,
+        |         CAST(SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+        |         COUNT(*) AS n
+        |  FROM pos GROUP BY cell0, pos),
+        |cent AS (
+        |  SELECT cell0 AS cell,
+        |         list(CAST(sq AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) ORDER BY pos) AS cv
+        |  FROM pp GROUP BY cell0),
+        |scored0 AS (
+        |  SELECT e.vec_id, e.v, c.cell,
+        |         list_reduce(list_transform(list_zip(e.v, c.cv),
+        |                                    p -> (p[1] - p[2]) * (p[1] - p[2])),
+        |                     (x, y) -> x + y) AS dist
+        |  FROM b e CROSS JOIN cent c),
+        |rkd AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+        |  FROM scored0),
+        |asg AS (SELECT vec_id, cell, v FROM rkd WHERE rk = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |    list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))) AS cos
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |rem AS (SELECT d2, MIN(d1) AS dup_of FROM pairs
+        |        WHERE cos >= 0.99 GROUP BY d2)
+        |SELECT a.vec_id, a.cell, r.dup_of IS NOT NULL AS removed, r.dup_of
+        |FROM asg a LEFT JOIN rem r ON r.d2 = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val planted = emb.select(col("vec_id"), col("embedding"))
+        .unionAll(emb.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      // the learned fit feeds both pair sides and the verdict join-back —
+      // checkpoint once (the q_ann_ivf_learned lesson)
+      val ranks = graft.engine.Ivf.learnedCellRanks(planted, "vec_id",
+        "embedding", dim = dim, nPlanes = nPlanes, table = 1)
+        .localCheckpoint(eager = true)
+      val asg = ranks.filter(col("rk") === 1)
+        .select(col("vec_id"), col("cell"), col("v"))
+        .withColumn("n", Vectors.normNative(col("v")))
+      val a = asg.select(col("vec_id").as("d1"), col("cell"),
+        col("v").as("v1"), col("n").as("n1"))
+      val b = asg.select(col("vec_id").as("d2"), col("cell"),
+        col("v").as("v2"), col("n").as("n2"))
+      val rem = a.join(b, Seq("cell"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          Vectors.cosineFromNorms(col("v1"), col("v2"), col("n1"), col("n2")).as("cos"))
+        .filter(col("cos") >= 0.99)
+        .groupBy(col("d2")).agg(min(col("d1")).as("dup_of"))
+      asg.select(col("vec_id"), col("cell"))
+        .join(rem, col("vec_id") === col("d2"), "left")
+        .select(col("vec_id"), col("cell"),
+          col("dup_of").isNotNull.as("removed"), col("dup_of"))
+        .orderBy("vec_id")
+    }
+  }
+
+  /** SPARSE TF-IDF COSINE similarity through an INVERTED INDEX — the
+    * sparse-vector complement of the dense ANN family: documents meet only
+    * through shared tokens (a keyed postings self-join), never an all-pairs
+    * product, which is how web-scale sparse similarity actually runs. All
+    * state is exact integers: tf saturates at 64 (BM25-style cap, which
+    * also bounds BIGINT headroom — w <= 64 * 2^19, so dots and norms stay
+    * under ~2^60 at any corpus size), idf is the engine's integer
+    * convention (2^20 DIV df), and the posting list is df-capped at 100
+    * (tokens shared by more docs carry no similarity signal and would
+    * quadratically blow the pair space — the q_jaccard_neardup df-cut).
+    * The only float is the final cosine: one division over
+    * exactly-computed integer dot/norms, the same IEEE tree in both
+    * engines. Planted twins differ only by the ' twinmarker' token, so a
+    * twin pair's dot is exactly the original's squared norm and its cosine
+    * n/sqrt(n*(n+w_m^2)) — the top of the score distribution (~0.87 at
+    * test scales, where the marker's df stays under the cap; exactly 1.0
+    * once the corpus pushes the marker past it). SimilaritySpec pins the
+    * full output against a naive in-memory recomputation. */
+  val sparseCosine: Q = Q(
+    "q_sparse_cosine",
+    s"""WITH $plantedCte,
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM planted),
+      |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY doc_id, tok),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |w AS (SELECT tf.doc_id, tf.tok,
+      |             LEAST(tf.tf, 64) * (1048576 // df.df) AS w
+      |      FROM tf JOIN df ON df.tok = tf.tok
+      |      WHERE df.df BETWEEN 2 AND 100),
+      |nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id),
+      |dt AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |              CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+      |       FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id),
+      |sc AS (SELECT d.d1, d.d2, d.dot,
+      |              CAST(d.dot AS DOUBLE)
+      |              / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+      |       FROM dt d JOIN nrm na ON na.doc_id = d.d1
+      |                 JOIN nrm nb ON nb.doc_id = d.d2)
+      |SELECT d1, d2, dot, cos FROM sc
+      |WHERE cos >= 0.8
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    val planted = plantedDocs(s, dir)
+    val tf = planted
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok").as("dtok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 100)
+    val w = tf.join(df, col("tok") === col("dtok"))
+      .select(col("doc_id"), col("tok"),
+        (least(col("tf"), lit(64L)) * expr("1048576 DIV df")).as("w"))
+    val nrm = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("n2"))
+    val dt = w.select(col("doc_id").as("d1"), col("tok"), col("w").as("w1"))
+      .join(w.select(col("doc_id").as("d2"), col("tok"), col("w").as("w2")),
+        Seq("tok"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(sum(col("w1") * col("w2")).as("dot"))
+    dt.join(nrm.select(col("doc_id").as("d1"), col("n2").as("na")), "d1")
+      .join(nrm.select(col("doc_id").as("d2"), col("n2").as("nb")), "d2")
+      .select(col("d1"), col("d2"), col("dot"),
+        (col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cos"))
+      .filter(col("cos") >= 0.8)
+      .orderBy("d1", "d2")
+  }
+
+  /** ROUGE-1/ROUGE-2 OVERLAP SCORING of candidate pairs — the n-gram
+    * recall/precision metric (Lin 2004) a training pipeline runs to
+    * QUANTIFY overlap once dedup/decontamination has flagged a pair:
+    * clipped unigram and bigram matches between the pair's texts, as exact
+    * parts-per-million recall (vs the smaller-id doc), precision (vs the
+    * larger-id doc) and F1 (2pr DIV (p+r), integers end to end). Pairs are
+    * the shared banded-MinHash candidates (q_minhash_neardup's CTEs) — the
+    * pair space stays bucket-bounded; grams join back through keyed
+    * (doc, gram) equi-joins, so the scoring pass is linear in the
+    * candidates' text volume. Bigram-less docs (single token) score
+    * rouge2 0 via the GREATEST(n,1) guard rather than dropping the pair. */
+  val rougeOverlap: Q = Q(
+    "q_rouge_overlap",
+    "WITH " + minhashPairCtes + s""",
+      |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM planted),
+      |uc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |         SELECT doc_id, unnest(toks) AS g FROM tk) GROUP BY doc_id, g),
+      |un AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM uc GROUP BY doc_id),
+      |bc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |         SELECT doc_id,
+      |                unnest(list_transform(range(0, GREATEST(len(toks) - 1, 0)),
+      |                                      i -> toks[i + 1] || ' ' || toks[i + 2])) AS g
+      |         FROM tk) GROUP BY doc_id, g),
+      |bn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM bc GROUP BY doc_id),
+      |ov1 AS (SELECT p.d1, p.d2, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov
+      |        FROM pairs p JOIN uc a ON a.doc_id = p.d1
+      |                     JOIN uc b ON b.doc_id = p.d2 AND b.g = a.g
+      |        GROUP BY p.d1, p.d2),
+      |ov2 AS (SELECT p.d1, p.d2, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov
+      |        FROM pairs p JOIN bc a ON a.doc_id = p.d1
+      |                     JOIN bc b ON b.doc_id = p.d2 AND b.g = a.g
+      |        GROUP BY p.d1, p.d2),
+      |scored AS (
+      |  SELECT p.d1, p.d2,
+      |         COALESCE(o1.ov, 0) * 1000000 // GREATEST(r1.n, 1) AS rouge1_recall_ppm,
+      |         COALESCE(o1.ov, 0) * 1000000 // GREATEST(c1.n, 1) AS rouge1_precision_ppm,
+      |         COALESCE(o2.ov, 0) * 1000000 // GREATEST(COALESCE(r2.n, 0), 1) AS rouge2_recall_ppm,
+      |         COALESCE(o2.ov, 0) * 1000000 // GREATEST(COALESCE(c2.n, 0), 1) AS rouge2_precision_ppm
+      |  FROM pairs p
+      |  LEFT JOIN ov1 o1 ON o1.d1 = p.d1 AND o1.d2 = p.d2
+      |  LEFT JOIN ov2 o2 ON o2.d1 = p.d1 AND o2.d2 = p.d2
+      |  JOIN un r1 ON r1.doc_id = p.d1
+      |  JOIN un c1 ON c1.doc_id = p.d2
+      |  LEFT JOIN bn r2 ON r2.doc_id = p.d1
+      |  LEFT JOIN bn c2 ON c2.doc_id = p.d2)
+      |SELECT d1, d2, rouge1_recall_ppm, rouge1_precision_ppm,
+      |       CAST(2 * rouge1_precision_ppm * rouge1_recall_ppm
+      |            // GREATEST(rouge1_precision_ppm + rouge1_recall_ppm, 1) AS BIGINT)
+      |         AS rouge1_f1_ppm,
+      |       rouge2_recall_ppm, rouge2_precision_ppm,
+      |       CAST(2 * rouge2_precision_ppm * rouge2_recall_ppm
+      |            // GREATEST(rouge2_precision_ppm + rouge2_recall_ppm, 1) AS BIGINT)
+      |         AS rouge2_f1_ppm
+      |FROM scored
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    val (planted, pairs) = minhashPlantedAndPairs(s, dir)
+    val tk = planted.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val uc = tk.select(col("doc_id"), explode(col("toks")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val un = uc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    // bigrams via the zip-of-shifted-slices form: empty for 1-token docs
+    val bigrams = zip_with(
+      slice(col("toks"), lit(1), size(col("toks")) - 1),
+      slice(col("toks"), lit(2), size(col("toks")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val bc = tk.select(col("doc_id"), explode(bigrams).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val bn = bc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    def overlap(g: DataFrame): DataFrame =
+      pairs
+        .join(g.select(col("doc_id").as("d1"), col("g"), col("c").as("ca")), "d1")
+        .join(g.select(col("doc_id").as("d2"), col("g"), col("c").as("cb")),
+          Seq("d2", "g"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(sum(least(col("ca"), col("cb"))).as("ov"))
+    val o1 = overlap(uc)
+    val o2 = overlap(bc)
+    val scored = pairs
+      .join(o1.select(col("d1"), col("d2"), col("ov").as("ov1")), Seq("d1", "d2"), "left")
+      .join(o2.select(col("d1"), col("d2"), col("ov").as("ov2")), Seq("d1", "d2"), "left")
+      .join(un.select(col("doc_id").as("d1"), col("n").as("r1n")), "d1")
+      .join(un.select(col("doc_id").as("d2"), col("n").as("c1n")), "d2")
+      .join(bn.select(col("doc_id").as("d1"), col("n").as("r2n")), Seq("d1"), "left")
+      .join(bn.select(col("doc_id").as("d2"), col("n").as("c2n")), Seq("d2"), "left")
+      .select(col("d1"), col("d2"),
+        expr("coalesce(ov1, 0) * 1000000 DIV GREATEST(r1n, 1)").as("rouge1_recall_ppm"),
+        expr("coalesce(ov1, 0) * 1000000 DIV GREATEST(c1n, 1)").as("rouge1_precision_ppm"),
+        expr("coalesce(ov2, 0) * 1000000 DIV GREATEST(coalesce(r2n, 0), 1)").as("rouge2_recall_ppm"),
+        expr("coalesce(ov2, 0) * 1000000 DIV GREATEST(coalesce(c2n, 0), 1)").as("rouge2_precision_ppm"))
+    scored.select(col("d1"), col("d2"),
+      col("rouge1_recall_ppm"), col("rouge1_precision_ppm"),
+      expr("2 * rouge1_precision_ppm * rouge1_recall_ppm DIV " +
+        "GREATEST(rouge1_precision_ppm + rouge1_recall_ppm, 1)").cast("long")
+        .as("rouge1_f1_ppm"),
+      col("rouge2_recall_ppm"), col("rouge2_precision_ppm"),
+      expr("2 * rouge2_precision_ppm * rouge2_recall_ppm DIV " +
+        "GREATEST(rouge2_precision_ppm + rouge2_recall_ppm, 1)").cast("long")
+        .as("rouge2_f1_ppm"))
+      .orderBy("d1", "d2")
+  }
+
   val all: Seq[Q] =
     Seq(cosineTopK, annIvf, annIvfLearned, annInt8, annLsh, minhashNearDup,
       simhashNearDup, embedNearDup, dedupComponents, dedupCanonical,
       nearDupVerify, winnowPairs, quantizeRoundtrip, annRecall, splitLeakage,
-      annPq, dedupStats)
+      annPq, dedupStats, semDedup, sparseCosine, rougeOverlap)
 }

@@ -170,4 +170,64 @@ class ProfileSpec extends SparkSpec {
     val total = spark.read.parquet(s"$sf/events.parquet").count()
     assert(n > 0 && n < total / 10)
   }
+
+  test("ks drift: statistic equals a naive single-threaded recomputation") {
+    val got = ProfileQueries.ksDrift.build(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("ks_ppm"),
+          r.getAs[Boolean]("drifted"))).toMap
+    // naive mirror of the quantized two-sample KS, straight off the parquet
+    val ev = graft.engine.Tables.t(spark, sf, "events")
+      .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val lo = ev.map(_._3).min
+    val hi = ev.map(_._3).max
+    val byType = ev.groupBy(_._1)
+    assert(got.keySet == byType.keySet)
+    for ((tpe, rows) <- byType) {
+      val buckets = rows.map { case (_, v, us) =>
+        val b = math.min(math.round(v * 100) / 200, 255L)
+        val e = if (us * 2 < lo + hi) 0 else 1
+        (b, e)
+      }
+      val n1 = buckets.count(_._2 == 0).toLong
+      val n2 = buckets.count(_._2 == 1).toLong
+      var c1 = 0L; var c2 = 0L; var ks = 0L
+      for (b <- buckets.map(_._1).distinct.sorted) {
+        c1 += buckets.count(x => x._1 == b && x._2 == 0)
+        c2 += buckets.count(x => x._1 == b && x._2 == 1)
+        val gap = math.abs(c1 * 1000000L / n1 - c2 * 1000000L / n2)
+        if (gap > ks) ks = gap
+      }
+      val (gn1, gn2, gks, gdrift) = got(tpe)
+      assert((gn1, gn2, gks) == (n1, n2, ks), s"$tpe: got $got")
+      val thresh = 1358000.0 * math.sqrt((n1 + n2).toDouble / (n1.toDouble * n2.toDouble))
+      assert(gdrift == (ks.toDouble > thresh))
+    }
+  }
+
+  test("gini: ppm score equals the naive closed form; bounds hold") {
+    val rows = ProfileQueries.giniByType.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), col("user_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    for (r <- rows) {
+      val tpe = r.getAs[String]("event_type")
+      val spends = ev.filter(_._1 == tpe)
+        .groupBy(_._2)
+        .map { case (u, xs) => (u, xs.map(x => math.round(x._3 * 100)).sum) }
+        .toSeq.sortBy(x => (x._2, x._1)).map(_._2)
+      val n = spends.size.toLong
+      val s = spends.sum
+      val t = spends.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val gini = (2 * t - (n + 1) * s) / math.max(n * s / 1000000L, 1L)
+      assert(r.getAs[Long]("n_users") == n)
+      assert(r.getAs[Long]("total_cents") == s)
+      assert(r.getAs[Long]("gini_ppm") == gini, s"$tpe")
+      // Gini of a nonnegative distribution lives in [0, 1)
+      assert(gini >= 0 && gini < 1000000L)
+    }
+  }
 }

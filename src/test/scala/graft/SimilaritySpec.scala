@@ -421,4 +421,104 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double, Double, Int)].collect().toSeq
     assert(again == rows, "PQ search must be deterministic across builds")
   }
+
+  test("q_semdedup: every planted verbatim twin is removed, verdicts consistent") {
+    val rows = graft.queries.SimilarityQueries.semDedup.build(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Boolean]("removed"),
+          if (r.isNullAt(r.fieldIndex("dup_of"))) None
+          else Some(r.getAs[Long]("dup_of"))))
+      .toMap
+    val baseIds = graft.engine.Tables.t(spark, sf, "embeddings")
+      .select("vec_id").as[Long].collect().toSet
+    val twins = baseIds.filter(_ % 25 == 0).map(_ + 100000L)
+    assert(twins.nonEmpty && twins.subsetOf(rows.keySet))
+    // a verbatim copy shares its original's cell and scores cosine ~1.0,
+    // so the larger id MUST be removed, naming a strictly smaller dup
+    for (tw <- twins) {
+      val (removed, dupOf) = rows(tw)
+      assert(removed, s"planted twin $tw survived")
+      assert(dupOf.exists(_ < tw), s"twin $tw dup_of $dupOf")
+    }
+    // verdict contract: removed <=> dup_of present, dup_of always smaller
+    rows.foreach { case (id, (removed, dupOf)) =>
+      assert(removed == dupOf.isDefined, s"$id")
+      dupOf.foreach(d => assert(d < id, s"$id dup_of $d"))
+    }
+  }
+
+  test("q_sparse_cosine: output equals a naive in-memory recomputation") {
+    val rows = graft.queries.SimilarityQueries.sparseCosine.build(spark, sf)
+      .select("d1", "d2", "dot", "cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(rows.nonEmpty)
+    // naive mirror: planted corpus -> tf -> df window [2,100] -> integer
+    // weights -> inverted-index dots -> one IEEE division per pair
+    val base = graft.engine.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val planted = base ++ base.collect {
+      case (id, txt) if id % 10 == 0 => (id + 1000000L, txt + " twinmarker")
+    }
+    val tf: Map[(Long, String), Long] = planted
+      .flatMap { case (id, txt) => txt.split(" ", -1).map(tk => (id, tk)) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val df = tf.keys.groupBy(_._2).map { case (tk, ks) => tk -> ks.size.toLong }
+    val w = tf.collect {
+      case ((id, tk), f) if df(tk) >= 2 && df(tk) <= 100 =>
+        (id, tk) -> math.min(f, 64L) * (1048576L / df(tk))
+    }
+    val norms = w.groupBy(_._1._1).map { case (id, ws) =>
+      id -> ws.values.map(x => x * x).sum
+    }
+    val postings = w.toSeq.groupBy(_._1._2) // token -> Seq(((id, tok), w))
+    val dots = postings.values.flatMap { ps =>
+      for {
+        ((a, _), wa) <- ps; ((b, _), wb) <- ps if a < b
+      } yield (a, b) -> wa * wb
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val want = dots.collect { case ((a, b), dot) =>
+      val cos = dot.toDouble / (math.sqrt(norms(a).toDouble) * math.sqrt(norms(b).toDouble))
+      (a, b, dot, cos)
+    }.filter(_._4 >= 0.8).toSet
+    assert(rows == want,
+      s"diff: extra=${rows.diff(want).take(3)} missing=${want.diff(rows).take(3)}")
+    // planted twins sit at the top of the score distribution: dot is the
+    // original's whole squared norm (only the marker token differs)
+    val twins = rows.filter(r => r._2 == r._1 + 1000000L)
+    assert(twins.nonEmpty, "planted twins must surface as sparse-cosine pairs")
+    twins.foreach(r => assert(r._3 == norms(r._1), s"twin dot != norm: $r"))
+  }
+
+  test("q_rouge_overlap: twin pairs score the exact closed-form ppm values") {
+    val rows = graft.queries.SimilarityQueries.rougeOverlap.build(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        (r.getAs[Long]("rouge1_recall_ppm"), r.getAs[Long]("rouge1_precision_ppm"),
+          r.getAs[Long]("rouge1_f1_ppm"), r.getAs[Long]("rouge2_recall_ppm"),
+          r.getAs[Long]("rouge2_precision_ppm"), r.getAs[Long]("rouge2_f1_ppm")))
+      .toMap
+    assert(rows.nonEmpty)
+    val texts = graft.engine.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // the twin appends ONE token: unigram recall is exactly 1e6, precision
+    // n/(n+1) in ppm; bigram recall 1e6, precision (n-1)/n (one new bigram)
+    val twinPairs = rows.keys.filter(p => p._2 == p._1 + 1000000L).toSeq
+    assert(twinPairs.nonEmpty, "planted twins must be scored")
+    for (p <- twinPairs) {
+      val n = texts(p._1).split(" ", -1).length.toLong
+      val (r1, p1, f1, r2, p2, f2) = rows(p)
+      assert(r1 == 1000000L, s"$p r1=$r1")
+      assert(p1 == n * 1000000L / (n + 1), s"$p p1=$p1 n=$n")
+      assert(f1 == 2 * p1 * r1 / (p1 + r1))
+      assert(r2 == 1000000L, s"$p r2=$r2")
+      assert(p2 == (n - 1) * 1000000L / n, s"$p p2=$p2 n=$n")
+      assert(f2 == 2 * p2 * r2 / (p2 + r2))
+    }
+    // metric sanity on every scored pair
+    rows.values.foreach { case (r1, p1, f1, r2, p2, f2) =>
+      Seq(r1, p1, f1, r2, p2, f2).foreach(v => assert(v >= 0 && v <= 1000000L))
+      assert(f1 <= math.max(r1, p1) && f2 <= math.max(r2, p2))
+    }
+  }
 }
