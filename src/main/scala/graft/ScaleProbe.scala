@@ -103,7 +103,8 @@ object ScaleProbe {
     "q_group_quantiles", "q_mode_per_group", "q_frame_sample",
     "q_fuzzy_blocklist", "q_bm25_search", "q_bpe_train", "q_quality_score",
     "q_bpe_encode", "q_containment_neardup", "q_dedup_stats",
-    "q_ngram_novelty", "q_sparse_cosine", "q_rouge_overlap")
+    "q_ngram_novelty", "q_sparse_cosine", "q_rouge_overlap",
+    "q_source_overlap")
 
   /** Queries that read ONLY the embeddings table (replicated input #2). */
   private[graft] val EmbQueries = Seq(
@@ -147,7 +148,7 @@ object ScaleProbe {
     "q_bfs_hops", "q_mutual_best_match",
     "q_fk_integrity", "q_order_reconcile",
     "q_table_profile", "q_zorder_layout", "q_skyline", "q_key_skew_report",
-    "q_bucket_join")
+    "q_bucket_join", "q_zorder_write")
 
   /** The remaining parquet surface — multi-table joins, the TPC-H-style
     * relational core, the window/stat/pipeline kernels — probed against

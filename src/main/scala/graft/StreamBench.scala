@@ -104,7 +104,8 @@ object StreamBench {
           name == "transitions" || name == "anomaly" ||
           name == "ohlc" || name == "streaks" ||
           name == "pit_lookup" || name == "concurrency" ||
-          name == "scd2_apply" || name == "bitmap_registers") s"$work/events"
+          name == "scd2_apply" || name == "bitmap_registers" ||
+          name == "ks_registers") s"$work/events"
         else if (name == "semantic_hits") s"$work/vecs"
         else s"$work/docs"
       val t0 = System.nanoTime()
@@ -144,6 +145,12 @@ object StreamBench {
         streaming.Streams.cmsRegisters(df, "user_id")),
       run("bitmap_registers", nEvents, mode = "complete")(df =>
         streaming.Streams.bitmapRegisters(df, "event_type", "user_id")),
+      run("ks_registers", nEvents, mode = "complete") { df =>
+        // frozen epoch cut, computed batch-side exactly as q_ks_drift does
+        val mm = spark.read.parquet(s"$work/events")
+          .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+        streaming.Streams.ksRegisters(df, mm.getLong(0) + mm.getLong(1))
+      },
       run("transitions", nEvents)(df =>
         streaming.Streams.eventTransitions(
           df.select(col("event_id"), col("user_id"), col("ts"),

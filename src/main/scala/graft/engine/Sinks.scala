@@ -103,6 +103,41 @@ object Sinks {
       .write.mode(mode).parquet(path)
   }
 
+  /** Z-ORDERED layout write — the 2-D generalization of [[writeRangeSorted]]
+    * (Delta/Iceberg OPTIMIZE ZORDER BY): both integral dimensions are
+    * range-normalized to 8 bits against their observed min/max (a 1-row
+    * broadcast aggregate; raw-bit interleaving degenerates to a 1-D sort,
+    * see q_zorder_layout), woven into a 16-bit Morton key with the classic
+    * magic-number spread, range-partitioned and sorted on that key, and
+    * the key is DROPPED before the write (a projection after the sort —
+    * no exchange, per-partition order preserved). Every output file is
+    * then an axis-aligned 2-D tile whose parquet footer min/max is narrow
+    * in BOTH columns, so a predicate selective in EITHER dimension skips
+    * most files — the layout q_zorder_layout grades analytically, written
+    * and proven on scan metrics by ZOrderWriteSpec. */
+  def writeZOrdered(df: DataFrame, path: String, nFiles: Int,
+      colA: String, colB: String, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, expr, greatest, lit, max, min}
+    val mm = df.agg(min(col(colA)).as("__mna"),
+      greatest(max(col(colA)) - min(col(colA)), lit(1L)).as("__rga"),
+      min(col(colB)).as("__mnb"),
+      greatest(max(col(colB)) - min(col(colB)), lit(1L)).as("__rgb"))
+    df.crossJoin(broadcast(mm)) // 1-row normalization constants
+      .withColumn("__an", expr(s"($colA - __mna) * 255 DIV __rga"))
+      .withColumn("__bn", expr(s"($colB - __mnb) * 255 DIV __rgb"))
+      .withColumn("__ax", expr("(__an | shiftleft(__an, 4)) & 3855"))
+      .withColumn("__bx", expr("(__bn | shiftleft(__bn, 4)) & 3855"))
+      .withColumn("__ax", expr("(__ax | shiftleft(__ax, 2)) & 13107"))
+      .withColumn("__bx", expr("(__bx | shiftleft(__bx, 2)) & 13107"))
+      .withColumn("__ax", expr("(__ax | shiftleft(__ax, 1)) & 21845"))
+      .withColumn("__bx", expr("(__bx | shiftleft(__bx, 1)) & 21845"))
+      .withColumn("__z", expr("__ax | shiftleft(__bx, 1)"))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__mna", "__rga", "__mnb", "__rgb", "__an", "__bn", "__ax", "__bx", "__z")
+      .write.mode(mode).parquet(path)
+  }
+
   /** Parquet write with an upper bound on rows per file. */
   def writeSized(df: DataFrame, path: String, maxRecordsPerFile: Long,
       mode: SaveMode = SaveMode.Overwrite): Unit =

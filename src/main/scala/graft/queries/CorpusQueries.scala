@@ -1044,9 +1044,54 @@ object CorpusQueries {
       .limit(50)
   }
 
+  /** SOURCE VOCABULARY OVERLAP — pairwise token-set Jaccard (and
+    * containment) between corpus sources: the mixture-composition
+    * diagnostic behind "how much of source A's vocabulary duplicates
+    * source B's?", complementing q_source_hhi's volume balance and
+    * q_corpus_diff's snapshot diff. All-integer: per-source DISTINCT
+    * vocabularies, intersections through a token-keyed self-join, union by
+    * inclusion-exclusion, Jaccard/containment in exact ppm.
+    *
+    * Shape at 100 TB: distinct (source, token) is one keyed aggregation
+    * over the token stream; the self-join is keyed on token with per-token
+    * fan-out bounded by the SOURCE count (a handful by construction — this
+    * is a per-source rollup, not a per-doc pair space); output is at most
+    * sources² rows. Zero-overlap pairs are ABSENT (the inner-join
+    * contract), not zero rows. */
+  val sourceOverlap: Q = Q(
+    "q_source_overlap",
+    """WITH st AS (SELECT DISTINCT source, tok FROM (
+      |        SELECT source, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)),
+      |vs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM st GROUP BY source),
+      |ix AS (SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS inter
+      |       FROM st a JOIN st b ON b.tok = a.tok AND a.source < b.source
+      |       GROUP BY a.source, b.source)
+      |SELECT ix.s1, ix.s2, ix.inter, va.v AS v1, vb.v AS v2,
+      |       ix.inter * 1000000 // (va.v + vb.v - ix.inter) AS jaccard_ppm,
+      |       ix.inter * 1000000 // LEAST(va.v, vb.v) AS containment_ppm
+      |FROM ix JOIN vs va ON va.source = ix.s1
+      |        JOIN vs vb ON vb.source = ix.s2
+      |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+    val st = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val vs = st.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val ix = st.select(col("source").as("s1"), col("tok"))
+      .join(st.select(col("source").as("s2"), col("tok")), Seq("tok"))
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("inter"))
+    ix.join(vs.select(col("source").as("s1"), col("v").as("v1")), "s1")
+      .join(vs.select(col("source").as("s2"), col("v").as("v2")), "s2")
+      .select(col("s1"), col("s2"), col("inter"), col("v1"), col("v2"),
+        expr("inter * 1000000 DIV (v1 + v2 - inter)").as("jaccard_ppm"),
+        expr("inter * 1000000 DIV LEAST(v1, v2)").as("containment_ppm"))
+      .orderBy("s1", "s2")
+  }
+
   val all: Seq[Q] =
     Seq(decontaminate, semanticDecontaminate, mixSample, repetitionQuality,
       vocabTopk, tfidfKeywords, lengthQuantiles, quantileSketch, bpePairs,
       oovRate, keywordSearch, collocationLift, bm25Search, bpeTrain,
-      bpeEncode)
+      bpeEncode, sourceOverlap)
 }

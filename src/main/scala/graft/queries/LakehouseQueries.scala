@@ -483,6 +483,39 @@ object LakehouseQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Z-ORDER WRITE wired through the correctness gate (the q_bucket_join
+    * pattern applied to [[graft.engine.Sinks.writeZOrdered]]): lineitem is
+    * REWRITTEN as a 2-D Morton-clustered layout on (l_partkey, l_suppkey),
+    * read back from the files, and a 2-D box predicate (q_zorder_layout's
+    * box) rolls up per return flag — the oracle sees only the answer, so
+    * the normalize→interleave→range-write→scan round trip is hash-checked
+    * end to end. The file-skipping payoff of this layout is proven on scan
+    * metrics by ZOrderWriteSpec; at 100 TB this is the OPTIMIZE ZORDER
+    * maintenance job, run once to serve every future 2-D-selective scan. */
+  val zorderWrite: Q = Q(
+    "q_zorder_write",
+    """SELECT l_returnflag,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 100 AND 160 AND l_suppkey BETWEEN 30 AND 90
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val suffix = java.lang.Integer.toUnsignedString(dir.hashCode, 16)
+    val path = s"/tmp/graft_zord/lineitem_$suffix"
+    graft.engine.Sinks.writeZOrdered(
+      t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_returnflag", "l_quantity"),
+      path, nFiles = 16, colA = "l_partkey", colB = "l_suppkey")
+    s.read.parquet(path)
+      .filter(col("l_partkey").between(100, 160) &&
+        col("l_suppkey").between(30, 90))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.engine.Det.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(scd2Build, bitmapOverlap, adaptiveBloom, pitJoin, twap,
-    bucketJoin)
+    bucketJoin, zorderWrite)
 }

@@ -679,6 +679,56 @@ object Streams {
         min(when(col("cum") >= tgt(99), col("hi"))).as("p99_approx"))
   }
 
+  /** Streaming KS-DRIFT register maintenance — the incremental form of
+    * q_ks_drift's (type, bucket, epoch) counts for a LIVE drift monitor:
+    * the epoch boundary is a FROZEN parameter (`loPlusHiUs` — the batch
+    * query derives it from the data's time range; a deployed monitor
+    * freezes a reference window and compares live traffic against it),
+    * values quantize to the same 256 buckets, and
+    * `groupBy(type, bucket, epoch).count()` under Complete output keeps at
+    * most types x 256 x 2 rows of state regardless of stream length
+    * (counts only grow — state bounded BY THE SKETCH geometry, no
+    * watermark). The statistic reads off at any instant with [[ksOf]] and
+    * is bit-equal to the batch query at every micro-batch boundary
+    * (StreamingSpec). */
+  def ksRegisters(events: DataFrame, loPlusHiUs: Long): DataFrame =
+    events
+      .select(col("event_type"),
+        least(expr("CAST(ROUND(value * 100) AS BIGINT) DIV 200"), lit(255L))
+          .as("bucket"),
+        when(unix_micros(col("ts")) * 2 < lit(loPlusHiUs), 0L).otherwise(1L)
+          .as("epoch"))
+      .groupBy("event_type", "bucket", "epoch").agg(count(lit(1)).as("cnt"))
+
+  /** Fold a (event_type, bucket, epoch, cnt) register table — streamed or
+    * batch — into q_ks_drift's output columns with the identical integer
+    * tree: ppm CDF gap max over a per-type window of <= 256 bucket rows,
+    * the classical 5% critical value, and the drift verdict. */
+  def ksOf(regs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = regs.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(col("epoch") === 0, col("cnt")).otherwise(0L)).as("c1"),
+        sum(when(col("epoch") === 1, col("cnt")).otherwise(0L)).as("c2"))
+    val n = c.groupBy(col("event_type").as("ntype"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+    val gaps = c.join(broadcast(n), col("event_type") === col("ntype"))
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .select(col("event_type"), col("n1"), col("n2"),
+        abs(expr("cum1 * 1000000 DIV n1") - expr("cum2 * 1000000 DIV n2"))
+          .as("gap_ppm"))
+    val thresh = lit(1358000.0) *
+      sqrt((min(col("n1")) + min(col("n2"))).cast("double") /
+        (min(col("n1")).cast("double") * min(col("n2")).cast("double")))
+    gaps.groupBy(col("event_type"))
+      .agg(min(col("n1")).as("n1"), min(col("n2")).as("n2"),
+        max(col("gap_ppm")).cast("long").as("ks_ppm"),
+        thresh.as("thresh_ppm"),
+        (max(col("gap_ppm")).cast("double") > thresh).as("drifted"))
+      .orderBy("event_type")
+  }
+
   /** Streaming Bloom-filter word maintenance — the incremental build side
     * of q_bloom_prune: `groupBy(word_idx).bit_or(mask)` under Complete
     * output keeps at most 32 rows of state regardless of how many keys

@@ -207,4 +207,32 @@ class CorpusSpec extends SparkSpec {
       ("alpha", "x", 8L, 8L, 12L, 1000000L),
       ("beta", "x", 8L, 8L, 12L, 1000000L)))
   }
+
+  test("source overlap: exact Jaccard/containment on crafted vocabularies") {
+    val dir = Files.createTempDirectory("corpus-ovl").toString
+    Seq(
+      (1L, "a b c d", "A"), (2L, "a b", "A"), // A vocab {a,b,c,d}
+      (3L, "c d e f", "B"),                   // B vocab {c,d,e,f}
+      (4L, "x y", "C"))                       // C vocab {x,y} — disjoint
+      .toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        col("source"), length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusQueries.sourceOverlap.build(spark, dir)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    // A-B share {c,d}: jaccard 2/6, containment 2/4; disjoint pairs are
+    // ABSENT (nothing joins — the inner-join contract, zero rows not zeros)
+    assert(got == Seq(("A", "B", 2L, 4L, 4L, 333333L, 500000L)))
+  }
+
+  test("source overlap on real data: bounds and ordering hold") {
+    val got = CorpusQueries.sourceOverlap.build(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (s1, s2, inter, v1, v2, j, c) =>
+      assert(s1 < s2)
+      assert(inter <= math.min(v1, v2))
+      assert(j >= 0 && j <= 1000000L && c >= j && c <= 1000000L)
+    }
+  }
 }

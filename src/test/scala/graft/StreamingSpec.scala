@@ -311,6 +311,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ksRegisters: streamed drift registers reproduce q_ks_drift exactly") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, max, min, unix_micros}
+    val batch = graft.queries.ProfileQueries.ksDrift.build(spark, sf)
+      .as[(String, Long, Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    val ev = graft.engine.Tables.t(spark, sf, "events")
+    val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val cut = mm.getLong(0) + mm.getLong(1) // the batch query's lo + hi
+    val rows = ev.select(col("event_type"), col("value"), col("ts"))
+      .as[(String, Double, java.sql.Timestamp)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[(String, Double, java.sql.Timestamp)]
+    val q = Streams.ksRegisters(in.toDF().toDF("event_type", "value", "ts"), cut)
+      .writeStream.format("memory").queryName("ksregs")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = Streams.ksOf(spark.table("ksregs"))
+        .as[(String, Long, Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+      assert(streamed == batch,
+        s"streamed KS $streamed != batch $batch")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("bitmapRegisters: streamed audience words bit-match the batch build") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, expr, bit_or}

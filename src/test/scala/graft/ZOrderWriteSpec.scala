@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import graft.engine.{Sinks, Tables}
+
+/** Min/max file skipping on the Z-ORDERED layout (Sinks.writeZOrdered):
+  * after the Morton range-write, every parquet file is an axis-aligned 2-D
+  * tile, so its footer min/max is narrow in BOTH dimensions and a predicate
+  * selective in EITHER one skips most files. The 1-D sorted control
+  * (writeRangeSorted on px) serves only its own column: an sx-selective
+  * predicate must emit every row. This is the executable WRITE half of what
+  * q_zorder_layout grades analytically — SortedLayoutSpec's proof, lifted
+  * to two dimensions. */
+class ZOrderWriteSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_zorder").toString
+
+  /** Rows the parquet scan actually emitted (post row-group skipping). */
+  private def scanRows(df: DataFrame): Long = {
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    scan.metrics("numOutputRows").value
+  }
+
+  test("z-ordered files skip on BOTH dimensions; a 1-D sort serves only its own") {
+    // sf0.01: the suppkey domain at sf0.001 is too small for a selective band
+    val dir = "/root/testdata/sf0.01"
+    val li = Tables.t(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    val total = li.count()
+    val mm = li.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).head()
+    val (pLo, pHi, sLo, sHi) =
+      (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+    // 1/8-of-domain bands in each dimension
+    val pBand = (pLo + (pHi - pLo) * 3 / 8, pLo + (pHi - pLo) * 4 / 8)
+    val sBand = (sLo + (sHi - sLo) * 3 / 8, sLo + (sHi - sLo) * 4 / 8)
+
+    val zDir = tmp()
+    val oneDDir = tmp()
+    Sinks.writeZOrdered(li, zDir, nFiles = 16, "l_partkey", "l_suppkey")
+    Sinks.writeRangeSorted(li, oneDDir, nFiles = 16, Seq("l_partkey"))
+
+    def pPred(df: DataFrame) =
+      df.filter(col("l_partkey").between(pBand._1, pBand._2))
+    def sPred(df: DataFrame) =
+      df.filter(col("l_suppkey").between(sBand._1, sBand._2))
+
+    // px-selective: both layouts skip (the 1-D sort is optimal here)
+    val zPx = scanRows(pPred(spark.read.parquet(zDir)))
+    val oneDPx = scanRows(pPred(spark.read.parquet(oneDDir)))
+    assert(oneDPx <= total / 2, s"1-D layout must skip on its own column: $oneDPx/$total")
+    assert(zPx <= total / 2, s"z layout must skip on px too: $zPx/$total")
+
+    // sx-selective: the z layout still skips, the 1-D layout cannot
+    val zSx = scanRows(sPred(spark.read.parquet(zDir)))
+    val oneDSx = scanRows(sPred(spark.read.parquet(oneDDir)))
+    assert(zSx <= total / 2, s"z layout must skip on sx: $zSx/$total")
+    assert(oneDSx == total,
+      s"control: px-sorted layout cannot skip an sx predicate, got $oneDSx/$total")
+
+    // the layout never changes answers
+    assert(sPred(spark.read.parquet(zDir)).count() == sPred(li).count())
+    assert(pPred(spark.read.parquet(zDir)).count() == pPred(li).count())
+
+    // and the scans COVER every matching row (no false skip)
+    assert(zSx >= sPred(li).count() && zPx >= pPred(li).count())
+  }
+}
