@@ -452,8 +452,10 @@ object LakehouseQueries {
     *
     * The oracle sees only the ANSWER (a plain join over the same parquet),
     * so correctness-gates that the bucketed write+read round-trip loses
-    * and invents nothing. Tables land under /tmp as external tables,
-    * suffixed by the input dir so scale probes never read a stale layout.
+    * and invents nothing. Tables land as external tables under the
+    * per-JVM [[graft.engine.Scratch]] root (deleted on exit), suffixed by
+    * the full input-dir token so scale probes never read a stale layout
+    * and concurrent JVMs never race on one path.
     *
     * Determinism: integer count plus [[graft.engine.Det.dsum]] decimal
     * revenue; 5 segment rows ordered by name. */
@@ -465,16 +467,16 @@ object LakehouseQueries {
       |FROM orders JOIN customer ON c_custkey = o_custkey
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
-    val suffix = java.lang.Integer.toUnsignedString(dir.hashCode, 16)
+    val suffix = graft.engine.Scratch.token(dir)
     val (oTbl, cTbl) = (s"orders_bkt_$suffix", s"customer_bkt_$suffix")
     graft.engine.Sinks.writeBucketed(
       t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
       oTbl, nBuckets = 8, keys = Seq("o_custkey"),
-      path = Some(s"/tmp/graft_bkt/$oTbl"))
+      path = Some(graft.engine.Scratch.dir(s"bkt/$oTbl")))
     graft.engine.Sinks.writeBucketed(
       t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
       cTbl, nBuckets = 8, keys = Seq("c_custkey"),
-      path = Some(s"/tmp/graft_bkt/$cTbl"))
+      path = Some(graft.engine.Scratch.dir(s"bkt/$cTbl")))
     s.table(oTbl)
       .join(s.table(cTbl), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
@@ -491,25 +493,31 @@ object LakehouseQueries {
     * the normalize→interleave→range-write→scan round trip is hash-checked
     * end to end. The file-skipping payoff of this layout is proven on scan
     * metrics by ZOrderWriteSpec; at 100 TB this is the OPTIMIZE ZORDER
-    * maintenance job, run once to serve every future 2-D-selective scan. */
+    * maintenance job, run once to serve every future 2-D-selective scan.
+    * The rewritten copy lands in [[graft.engine.Scratch]] — per-JVM unique
+    * (no cross-run write/read race, no hashCode aliasing between data
+    * dirs) and deleted on JVM exit. The box (partkey 100-300, suppkey 2-9)
+    * is non-empty at EVERY testdata scale — the suppkey domain is only
+    * 0..9 at sf0.001, where the earlier 30..90 band matched zero rows and
+    * failed the rows>0 smoke. */
   val zorderWrite: Q = Q(
     "q_zorder_write",
     """SELECT l_returnflag,
       |       CAST(COUNT(*) AS BIGINT) AS n_rows,
       |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
       |FROM lineitem
-      |WHERE l_partkey BETWEEN 100 AND 160 AND l_suppkey BETWEEN 30 AND 90
+      |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 2 AND 9
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-    val suffix = java.lang.Integer.toUnsignedString(dir.hashCode, 16)
-    val path = s"/tmp/graft_zord/lineitem_$suffix"
+    val path = graft.engine.Scratch.dir(
+      s"zord/lineitem_${graft.engine.Scratch.token(dir)}")
     graft.engine.Sinks.writeZOrdered(
       t(s, dir, "lineitem")
         .select("l_partkey", "l_suppkey", "l_returnflag", "l_quantity"),
       path, nFiles = 16, colA = "l_partkey", colB = "l_suppkey")
     s.read.parquet(path)
-      .filter(col("l_partkey").between(100, 160) &&
-        col("l_suppkey").between(30, 90))
+      .filter(col("l_partkey").between(100, 300) &&
+        col("l_suppkey").between(2, 9))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_rows"),
         graft.engine.Det.dsum(col("l_quantity")).as("sum_qty"))

@@ -718,6 +718,12 @@ object ProfileQueries {
     * critical value c(α)·sqrt((n1+n2)/(n1·n2)) rides along as a double
     * (single sqrt/divide over exactly-representable integers — one IEEE
     * tree, same in both engines) and `drifted` is the gate verdict.
+    * Degenerate guards: buckets are clamped on BOTH sides (GREATEST 0 /
+    * LEAST 255 — negative values would otherwise hit the floor-vs-truncate
+    * divergence between DuckDB `//` and Spark `DIV`), and the CDF divisors
+    * are `GREATEST(n, 1)` so a type whose rows all fall in one epoch
+    * yields an explicit ks_ppm (vs the other epoch's empty CDF) with an
+    * infinite threshold → drifted=false, never a silent NULL verdict.
     *
     * Shape at 100 TB: two map-side-combined aggregations ((type, bucket,
     * epoch) counts, per-type totals broadcast back), then a per-type
@@ -728,7 +734,8 @@ object ProfileQueries {
     """WITH b AS (SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS lo,
       |                  CAST(MAX(epoch_us(ts)) AS BIGINT) AS hi FROM events),
       |v AS (SELECT event_type,
-      |             LEAST(CAST(ROUND(value * 100) AS BIGINT) // 200, 255) AS bucket,
+      |             LEAST(GREATEST(CAST(ROUND(value * 100) AS BIGINT), 0) // 200,
+      |                   255) AS bucket,
       |             CASE WHEN epoch_us(ts) * 2 < lo + hi THEN 0 ELSE 1 END AS epoch
       |      FROM events, b),
       |c AS (SELECT event_type, bucket,
@@ -742,7 +749,8 @@ object ProfileQueries {
       |               SUM(c.c2) OVER (PARTITION BY c.event_type ORDER BY c.bucket) AS cum2
       |        FROM c JOIN n ON n.event_type = c.event_type),
       |d AS (SELECT event_type, n1, n2,
-      |             ABS(cum1 * 1000000 // n1 - cum2 * 1000000 // n2) AS gap_ppm
+      |             ABS(cum1 * 1000000 // GREATEST(n1, 1)
+      |                 - cum2 * 1000000 // GREATEST(n2, 1)) AS gap_ppm
       |      FROM cum)
       |SELECT event_type, MIN(n1) AS n1, MIN(n2) AS n2,
       |       CAST(MAX(gap_ppm) AS BIGINT) AS ks_ppm,
@@ -760,8 +768,8 @@ object ProfileQueries {
       max(unix_micros(col("ts"))).as("hi"))
     val v = ev.crossJoin(broadcast(b)) // 1-row epoch cut, the q_drift_chisq shape
       .select(col("event_type"),
-        least(expr("CAST(ROUND(value * 100) AS BIGINT) DIV 200"), lit(255L))
-          .as("bucket"),
+        least(expr("GREATEST(CAST(ROUND(value * 100) AS BIGINT), 0) DIV 200"),
+          lit(255L)).as("bucket"),
         when(unix_micros(col("ts")) * 2 < col("lo") + col("hi"), 0L)
           .otherwise(1L).as("epoch"))
     val c = v.groupBy(col("event_type"), col("bucket"))
@@ -774,8 +782,8 @@ object ProfileQueries {
       .withColumn("cum1", sum(col("c1")).over(w))
       .withColumn("cum2", sum(col("c2")).over(w))
       .select(col("event_type"), col("n1"), col("n2"),
-        abs(expr("cum1 * 1000000 DIV n1") - expr("cum2 * 1000000 DIV n2"))
-          .as("gap_ppm"))
+        abs(expr("cum1 * 1000000 DIV GREATEST(n1, 1)") -
+            expr("cum2 * 1000000 DIV GREATEST(n2, 1)")).as("gap_ppm"))
     val thresh = lit(1358000.0) *
       sqrt((min(col("n1")) + min(col("n2"))).cast("double") /
         (min(col("n1")).cast("double") * min(col("n2")).cast("double")))
@@ -793,12 +801,16 @@ object ProfileQueries {
     * sources applied to the USER dimension. All-integer: spends are exact
     * cents, users rank per type by (spend, user_id), and the closed form
     * G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) lands as a parts-per-million
-    * integer. The ×10⁶ scaling divides the DENOMINATOR first
-    * (`num DIV max(den DIV 10⁶, 1)`) so the numerator never multiplies
-    * past BIGINT — the quantization (≤ ~ppm of the score) is documented
-    * contract, and both engines run the identical integer tree. Headroom:
-    * Σ rank·x ≤ n_users · Σx, which holds BIGINT through the 10x probe;
-    * a 100-TB deploy lifts the two sums to DECIMAL(38,0) unchanged.
+    * integer. The ×10⁶ scaling multiplies the NUMERATOR first in wide
+    * integers (DECIMAL(38,0) in Spark, HUGEINT in DuckDB — identical
+    * two's-complement value trees), then one integral divide by
+    * `GREATEST(n·Σx, 1)`: exact ppm at every cohort size, where the
+    * earlier denominator-first form (`den DIV 10⁶`) degraded to the raw
+    * numerator whenever n·Σx ≤ 10⁶. Per-row cents clamp at GREATEST(·,0),
+    * so the closed form's non-negativity (Chebyshev's sum inequality on
+    * ascending ranks) holds by construction and floor (`//`) agrees with
+    * truncate (`DIV`). Headroom: the wide product ≤ n·Σx·10⁶ < 10³⁸ for
+    * any BIGINT-bounded sums — no overflow at 100 TB.
     *
     * Shape at 100 TB: one keyed aggregation to (type, user) totals, a
     * per-type rank window (rows bounded by the user domain of that type),
@@ -806,7 +818,8 @@ object ProfileQueries {
   val giniByType: Q = Q(
     "q_gini_by_type",
     """WITH u AS (SELECT event_type, user_id,
-      |                  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS spend
+      |                  CAST(SUM(GREATEST(CAST(ROUND(value * 100) AS BIGINT), 0))
+      |                       AS BIGINT) AS spend
       |           FROM events GROUP BY event_type, user_id),
       |r AS (SELECT event_type, spend,
       |             ROW_NUMBER() OVER (PARTITION BY event_type
@@ -817,14 +830,17 @@ object ProfileQueries {
       |             CAST(SUM(rk * spend) AS BIGINT) AS t
       |      FROM r GROUP BY event_type)
       |SELECT event_type, n_users, total_cents,
-      |       CAST((2 * t - (n_users + 1) * total_cents)
-      |            // GREATEST(n_users * total_cents // 1000000, 1) AS BIGINT)
+      |       CAST((2 * CAST(t AS HUGEINT)
+      |             - (n_users + 1) * CAST(total_cents AS HUGEINT)) * 1000000
+      |            // GREATEST(CAST(n_users AS HUGEINT)
+      |                        * CAST(total_cents AS HUGEINT), 1) AS BIGINT)
       |         AS gini_ppm
       |FROM g ORDER BY event_type""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val u = t(s, dir, "events")
       .groupBy(col("event_type"), col("user_id"))
-      .agg(sum(round(col("value") * 100).cast("long")).as("spend"))
+      .agg(sum(greatest(round(col("value") * 100).cast("long"), lit(0L)))
+        .as("spend"))
     val w = Window.partitionBy("event_type").orderBy(col("spend"), col("user_id"))
     u.withColumn("rk", row_number().over(w).cast("long"))
       .groupBy(col("event_type"))
@@ -832,9 +848,11 @@ object ProfileQueries {
         sum(col("spend")).as("total_cents"),
         sum(col("rk") * col("spend")).as("t"))
       .select(col("event_type"), col("n_users"), col("total_cents"),
-        expr("(2 * t - (n_users + 1) * total_cents) DIV " +
-          "GREATEST(n_users * total_cents DIV 1000000, 1)").cast("long")
-          .as("gini_ppm"))
+        expr("(2 * CAST(t AS DECIMAL(38,0)) " +
+          "- (n_users + 1) * CAST(total_cents AS DECIMAL(38,0))) * 1000000 " +
+          "DIV GREATEST(CAST(n_users AS DECIMAL(38,0)) " +
+          "* CAST(total_cents AS DECIMAL(38,0)), CAST(1 AS DECIMAL(38,0)))")
+          .cast("long").as("gini_ppm"))
       .orderBy("event_type")
   }
 

@@ -217,12 +217,16 @@ class ProfileSpec extends SparkSpec {
       val tpe = r.getAs[String]("event_type")
       val spends = ev.filter(_._1 == tpe)
         .groupBy(_._2)
-        .map { case (u, xs) => (u, xs.map(x => math.round(x._3 * 100)).sum) }
+        .map { case (u, xs) =>
+          (u, xs.map(x => math.max(math.round(x._3 * 100), 0L)).sum)
+        }
         .toSeq.sortBy(x => (x._2, x._1)).map(_._2)
       val n = spends.size.toLong
       val s = spends.sum
       val t = spends.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
-      val gini = (2 * t - (n + 1) * s) / math.max(n * s / 1000000L, 1L)
+      // numerator-first wide-integer ppm (the query's DECIMAL(38,0) tree)
+      val gini = ((2 * BigInt(t) - BigInt(n + 1) * BigInt(s)) * 1000000 /
+        (BigInt(n) * BigInt(s)).max(BigInt(1))).toLong
       assert(r.getAs[Long]("n_users") == n)
       assert(r.getAs[Long]("total_cents") == s)
       assert(r.getAs[Long]("gini_ppm") == gini, s"$tpe")

@@ -45,8 +45,13 @@ class ZOrderWriteSpec extends SparkSpec {
 
     val zDir = tmp()
     val oneDDir = tmp()
-    Sinks.writeZOrdered(li, zDir, nFiles = 16, "l_partkey", "l_suppkey")
-    Sinks.writeRangeSorted(li, oneDDir, nFiles = 16, Seq("l_partkey"))
+    // 64 tiles (an ~8x8 grid): repartitionByRange samples its boundaries
+    // with an RDD-id-dependent seed, so tile EDGES shift with session
+    // history — at 16 tiles a 1/8-band read once measured 56% and tripped
+    // the <=50% gate when other suites ran first; at 64 the expected read
+    // is ~12.5% + boundary noise, leaving real margin under any seed
+    Sinks.writeZOrdered(li, zDir, nFiles = 64, "l_partkey", "l_suppkey")
+    Sinks.writeRangeSorted(li, oneDDir, nFiles = 64, Seq("l_partkey"))
 
     def pPred(df: DataFrame) =
       df.filter(col("l_partkey").between(pBand._1, pBand._2))
