@@ -105,6 +105,14 @@ object Bench {
     // mistaking an error-truncated run for a complete, gate-passing bench
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"min":${jmap(mins)},"spread":${jmap(spread)},"shuffle_bytes":$shuf,"iters":$SteadyIters,"errors":$errs,"declared":${queries.size},"timed":${okNames.size},"errored":${errors.size},"cold_total":$coldTotal,"sf":"$sfDir"}"""
     println(json)
+    // the driver captures only a ~2000-char stdout TAIL and tries to parse
+    // a JSON line out of it — the full line above outgrew that window at
+    // ~60 queries (BENCH_r11/r12 record `parsed: null`), so a COMPACT
+    // headline line (aggregates + the 10 slowest medians; always < 1 KB)
+    // prints LAST, inside the tail, where the driver can parse it. The
+    // full object remains the artifact of record in BENCH.json below.
+    val slow10 = med.sortBy(-_._2).take(10)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(slow10)},"iters":$SteadyIters,"declared":${queries.size},"timed":${okNames.size},"errored":${errors.size},"cold_total":$coldTotal,"sf":"$sfDir","note":"slowest-10 medians only; full per-query detail in BENCH.json"}""")
     // the driver captures only a stdout tail (r5 truncated 8 of 60 entries
     // and the whole spread map) — the FULL object lands in the repo as the
     // auditable artifact of record on every full run

@@ -104,14 +104,14 @@ object ScaleProbe {
     "q_fuzzy_blocklist", "q_bm25_search", "q_bpe_train", "q_quality_score",
     "q_bpe_encode", "q_containment_neardup", "q_dedup_stats",
     "q_ngram_novelty", "q_sparse_cosine", "q_rouge_overlap",
-    "q_source_overlap")
+    "q_source_overlap", "q_cluster_folds")
 
   /** Queries that read ONLY the embeddings table (replicated input #2). */
   private[graft] val EmbQueries = Seq(
     "q_cosine_topk", "q_ann_ivf", "q_ann_lsh", "q_ann_int8",
     "q_ann_ivf_learned", "q_ann_recall", "q_embed_neardup",
     "q_quantize_roundtrip", "q_knn_classify", "q_ncm_classify",
-    "q_semantic_decontaminate", "q_ann_pq", "q_semdedup")
+    "q_semantic_decontaminate", "q_ann_pq", "q_semdedup", "q_grid_cluster")
 
   /** Queries that read ONLY the events table (replicated input #3). */
   private[graft] val EvQueries = Seq(
@@ -148,7 +148,7 @@ object ScaleProbe {
     "q_bfs_hops", "q_mutual_best_match",
     "q_fk_integrity", "q_order_reconcile",
     "q_table_profile", "q_zorder_layout", "q_skyline", "q_key_skew_report",
-    "q_bucket_join", "q_zorder_write")
+    "q_bucket_join", "q_zorder_write", "q_link_predict", "q_benford_gate")
 
   /** The remaining parquet surface — multi-table joins, the TPC-H-style
     * relational core, the window/stat/pipeline kernels — probed against
@@ -169,7 +169,7 @@ object ScaleProbe {
     "q_row_align_join", "q_interpolate", "q_impute_invariant",
     "q_wrangle", "q_county_series", "q_active_fraction",
     "q_cum_fraction", "q_death_rate_by_group", "q_estimator_slopes",
-    "q_mse_aligned", "q_r0_trajectory", "q_sir_simulate")
+    "q_mse_aligned", "q_r0_trajectory", "q_sir_simulate", "q_rrf_fusion")
 
   private val Repl = 10
   // larger than any planted-twin id offset (max is 9_000_000 + base ids,

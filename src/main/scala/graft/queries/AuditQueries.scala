@@ -284,5 +284,81 @@ object AuditQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(fkIntegrity, orderReconcile, abLift, rfmSegments)
+  /** BENFORD FIRST-DIGIT GATE — the classic fabricated-data detector
+    * (Benford 1938; the audit standard for financial fact columns): the
+    * leading significant digit of o_totalprice per order priority, scored
+    * against Benford's law P(d) = log10(1 + 1/d) with a chi-square-shaped
+    * integer divergence Σ (obs_ppm − exp_ppm)² / exp_ppm. The nine
+    * expected masses are exact ppm LITERALS (301030 … 45757 — the
+    * enumerable-domain trick of the HLL ln table: no libm in either
+    * engine), digits come from the cents integer's decimal string, and
+    * every (group, digit) cell exists via an explicit 1..9 grid so a
+    * MISSING digit contributes its full (0 − exp)²/exp penalty — the
+    * signature of truncated or synthesized books.
+    *
+    * Note the testdata's uniform-ish synthetic prices FAIL this gate by
+    * construction (stat ≈ 4e5 ppm vs ~0 for conforming data) — that is
+    * the gate working; AuditSpec pins a crafted Benford-conforming series
+    * passing and the uniform row flagging.
+    *
+    * Shape at 100 TB: one fact scan → (group, digit) counts (map-side
+    * combined, ≤ 9 rows per group), a 9-row broadcast grid, and a
+    * group-sized aggregation. All integer. */
+  val benfordGate: Q = {
+    def expCaseOf(d: String) = s"CASE $d WHEN 1 THEN 301030 WHEN 2 THEN 176091 " +
+      "WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181 " +
+      "WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153 " +
+      "ELSE 45757 END"
+    val expCase = expCaseOf("digit")
+    Q(
+      "q_benford_gate",
+      s"""WITH d AS (
+        |  SELECT o_orderpriority AS grp,
+        |         CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |cnt AS (SELECT grp, digit, COUNT(*) AS n FROM d GROUP BY grp, digit),
+        |tot AS (SELECT grp, CAST(SUM(n) AS BIGINT) AS nt FROM cnt GROUP BY grp),
+        |dig AS (SELECT UNNEST(generate_series(1, 9)) AS digit),
+        |g AS (
+        |  SELECT t.grp, t.nt, dig.digit,
+        |         COALESCE(c.n, 0) * 1000000 // t.nt AS obs_ppm,
+        |         ${expCaseOf("dig.digit")} AS exp_ppm
+        |  FROM tot t CROSS JOIN dig
+        |  LEFT JOIN cnt c ON c.grp = t.grp AND c.digit = dig.digit)
+        |SELECT grp AS o_orderpriority, MIN(nt) AS n_orders,
+        |       CAST(SUM((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) // exp_ppm)
+        |            AS BIGINT) AS benford_stat,
+        |       CAST(MAX(CASE WHEN digit = 1 THEN obs_ppm ELSE 0 END) AS BIGINT)
+        |         AS obs_d1_ppm,
+        |       SUM((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) // exp_ppm) > 200000
+        |         AS flagged
+        |FROM g GROUP BY grp ORDER BY grp""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          substring(round(col("o_totalprice") * 100).cast("long")
+            .cast("string"), 1, 1).cast("long").as("digit"))
+      val cnt = d.groupBy("grp", "digit").agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy("grp").agg(sum(col("n")).as("nt"))
+      val dig = s.range(1, 10).select(col("id").as("digit"))
+      val g = tot.crossJoin(broadcast(dig)) // 9-row digit grid per group
+        .join(cnt, Seq("grp", "digit"), "left")
+        .select(col("grp"), col("nt"), col("digit"),
+          expr("COALESCE(n, 0) * 1000000 DIV nt").as("obs_ppm"),
+          expr(expCase).as("exp_ppm"))
+      g.groupBy("grp")
+        .agg(min(col("nt")).as("n_orders"),
+          sum(expr("(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) DIV exp_ppm"))
+            .cast("long").as("benford_stat"),
+          max(when(col("digit") === 1, col("obs_ppm")).otherwise(0L))
+            .cast("long").as("obs_d1_ppm"),
+          (sum(expr("(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) DIV exp_ppm"))
+            > 200000L).as("flagged"))
+        .withColumnRenamed("grp", "o_orderpriority")
+        .orderBy("o_orderpriority")
+    }
+  }
+
+  val all: Seq[Q] =
+    Seq(fkIntegrity, orderReconcile, abLift, rfmSegments, benfordGate)
 }

@@ -1089,9 +1089,107 @@ object CorpusQueries {
       .orderBy("s1", "s2")
   }
 
+  /** HYBRID RETRIEVAL FUSION — reciprocal-rank fusion (Cormack et al. 2009)
+    * of a LEXICAL ranking (q_keyword_search's integer tf-idf over the 4-term
+    * query) and a DENSE ranking (cosine of every embedding against the
+    * query vector, vec_id 0 — doc_id and vec_id align by construction in
+    * the testdata): rrf = Σ 1/(60 + rank) over the lists a doc appears in.
+    * This is the standard production hybrid-search shape — BM25 and an ANN
+    * index each return a top-k, and RRF merges them without score
+    * calibration (ranks only), which is exactly why it fuses integer and
+    * float scorers without cross-engine float risk: the fused score is the
+    * all-integer Σ 1e9 DIV (60 + rank) in parts-per-billion.
+    *
+    * Shape at 100 TB: the lexical list is the inverted-index posting path
+    * (term-pruned scan → keyed tf aggregation → broadcast df) and the dense
+    * list is one corpus scan against the broadcast 1-row query vector (the
+    * production form swaps in the ANN cell join, q_ann_ivf); each ranking
+    * is cut to its top-50 by TakeOrderedAndProject BEFORE ranks are
+    * assigned, so the rank windows and the fusion join run over ≤ 50-row
+    * frames — bounded at any corpus size. */
+  val rrfFusion: Q = {
+    val terms = Seq("spark", "query", "join", "window")
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    Q(
+      "q_rrf_fusion",
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |  WHERE tok IN $termList GROUP BY doc_id, tok),
+        |idf AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |lex AS (
+        |  SELECT t.doc_id, CAST(SUM(t.tf * (1048576 // d.df)) AS BIGINT) AS score
+        |  FROM tf t JOIN idf d ON d.tok = t.tok GROUP BY t.doc_id
+        |  ORDER BY score DESC, t.doc_id LIMIT 50),
+        |lrk AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rk
+        |  FROM lex),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |      WHERE vec_id <> 0),
+        |dense AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    ${SimilarityQueries.CosineSql} AS cos
+        |  FROM e, q ORDER BY cos DESC, e.vec_id LIMIT 50),
+        |drk AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS sem_rk
+        |  FROM dense),
+        |fused AS (
+        |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lex_rk, d.sem_rk,
+        |         COALESCE(1000000000 // (60 + l.lex_rk), 0)
+        |           + COALESCE(1000000000 // (60 + d.sem_rk), 0) AS rrf_ppb
+        |  FROM lrk l FULL OUTER JOIN drk d ON d.doc_id = l.doc_id)
+        |SELECT doc_id, CAST(rrf_ppb AS BIGINT) AS rrf_ppb,
+        |       CAST(lex_rk AS BIGINT) AS lex_rk, CAST(sem_rk AS BIGINT) AS sem_rk
+        |FROM fused ORDER BY rrf_ppb DESC, doc_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val rankW = (o: Seq[Column]) => Window.orderBy(o: _*)
+        // lexical top-50: the q_keyword_search posting path, cut by
+        // TakeOrdered before any rank window exists
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok").isin(terms: _*))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val lex = tf.join(broadcast(dfT), Seq("tok"))
+          .groupBy("doc_id")
+          .agg(sum(col("tf") * expr("1048576 DIV df")).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(50)
+        val lrk = lex.withColumn("lex_rk",
+          row_number().over(rankW(Seq(desc("score"), asc("doc_id")))))
+          .select(col("doc_id"), col("lex_rk").cast("long").as("lex_rk"))
+        // dense top-50: one corpus scan vs the broadcast 1-row query vector
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .select(Vectors.asDouble(col("embedding")).as("qv"))
+          .withColumn("qn", Vectors.normNative(col("qv")))
+        val dense = emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("doc_id"),
+            Vectors.asDouble(col("embedding")).as("v"))
+          .withColumn("vn", Vectors.normNative(col("v")))
+          .crossJoin(broadcast(q))
+          .select(col("doc_id"),
+            Vectors.cosineFromNorms(col("qv"), col("v"), col("qn"), col("vn"))
+              .as("cos"))
+          .orderBy(col("cos").desc, col("doc_id")).limit(50)
+        val drk = dense.withColumn("sem_rk",
+          row_number().over(rankW(Seq(desc("cos"), asc("doc_id")))))
+          .select(col("doc_id"), col("sem_rk").cast("long").as("sem_rk"))
+        // fusion: ranks only — the all-integer ppb sum, ≤ 100 rows total
+        lrk.join(drk, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(expr("1000000000 DIV (60 + lex_rk)"), lit(0L)) +
+              coalesce(expr("1000000000 DIV (60 + sem_rk)"), lit(0L)))
+              .as("rrf_ppb"),
+            col("lex_rk"), col("sem_rk"))
+          .orderBy(col("rrf_ppb").desc, col("doc_id")).limit(20)
+    }
+  }
+
   val all: Seq[Q] =
     Seq(decontaminate, semanticDecontaminate, mixSample, repetitionQuality,
       vocabTopk, tfidfKeywords, lengthQuantiles, quantileSketch, bpePairs,
       oovRate, keywordSearch, collocationLift, bm25Search, bpeTrain,
-      bpeEncode, sourceOverlap)
+      bpeEncode, sourceOverlap, rrfFusion)
 }

@@ -567,7 +567,71 @@ object GraphQueries {
       .orderBy("p1")
   }
 
+  /** LINK PREDICTION (common-neighbors / Jaccard) — for every 2-hop pair
+    * of the support graph that is NOT already an edge, the classical
+    * neighborhood-overlap scores: common-neighbor count and Jaccard
+    * |Γa∩Γb| / |Γa∪Γb| in exact ppm — the graph-completion primitive
+    * behind "customers also bought" candidate generation and knowledge-
+    * graph edge suggestion (Liben-Nowell & Kleinberg 2003).
+    *
+    * Shape at 100 TB: candidate pairs meet ONLY through a shared-neighbor
+    * equi-join, and wedges are routed through carriers of degree <= 64
+    * (the q_jaccard_neardup df-cut idiom — a hub would otherwise fan out
+    * deg^2 wedges; capping carriers bounds per-key fan-out by a constant
+    * while keeping every pair whose overlap has at least one non-hub
+    * witness). Degrees are a dimension-sized aggregate joined back
+    * broadcast; existing edges drop via one LEFT ANTI join; top-30 is
+    * TakeOrderedAndProject. Jaccard's denominator uses FULL degrees, so
+    * the score is exact for every surviving pair. */
+  val linkPredict: Q = Q(
+    "q_link_predict",
+    s"""WITH $basketsCte,
+      |$pairCte,
+      |$edgeCte,
+      |sym AS (SELECT p1 AS v, p2 AS n FROM edge
+      |        UNION ALL SELECT p2, p1 FROM edge),
+      |deg AS (SELECT v, COUNT(*) AS d FROM sym GROUP BY v),
+      |symc AS (SELECT s.v, s.n FROM sym s JOIN deg c ON c.v = s.n AND c.d <= 64),
+      |cand AS (
+      |  SELECT x.v AS a, y.v AS b, COUNT(*) AS cn
+      |  FROM symc x JOIN symc y ON y.n = x.n AND x.v < y.v
+      |  GROUP BY x.v, y.v),
+      |ne AS (
+      |  SELECT c.a, c.b, c.cn FROM cand c
+      |  LEFT JOIN edge e ON e.p1 = c.a AND e.p2 = c.b
+      |  WHERE e.p1 IS NULL),
+      |r AS (SELECT ne.a, ne.b, ne.cn, da.d AS da, db.d AS db
+      |      FROM ne JOIN deg da ON da.v = ne.a JOIN deg db ON db.v = ne.b)
+      |SELECT a, b, CAST(cn AS BIGINT) AS common_neighbors,
+      |       CAST(da AS BIGINT) AS deg_a, CAST(db AS BIGINT) AS deg_b,
+      |       CAST(cn * 1000000 // (da + db - cn) AS BIGINT) AS jaccard_ppm
+      |FROM r
+      |ORDER BY common_neighbors DESC, jaccard_ppm DESC, a, b
+      |LIMIT 30""".stripMargin) { (s, dir) =>
+    val e = edges(s, dir) // p1 < p2, support >= 2
+    val sym = e.select(col("p1").as("v"), col("p2").as("n"))
+      .unionAll(e.select(col("p2").as("v"), col("p1").as("n")))
+    val deg = sym.groupBy("v").agg(count(lit(1)).as("d"))
+    // wedge carriers capped at degree 64: bounded per-key fan-out
+    val carriers = deg.filter(col("d") <= 64).select(col("v").as("n"))
+    val symc = sym.join(broadcast(carriers), Seq("n"))
+    val cand = symc.as("x").join(symc.as("y"),
+      col("y.n") === col("x.n") && col("x.v") < col("y.v"))
+      .groupBy(col("x.v").as("a"), col("y.v").as("b"))
+      .agg(count(lit(1)).as("cn"))
+    val ne = cand.join(e,
+      cand("a") === e("p1") && cand("b") === e("p2"), "left_anti")
+    ne.join(broadcast(deg.select(col("v").as("a"), col("d").as("da"))), "a")
+      .join(broadcast(deg.select(col("v").as("b"), col("d").as("db"))), "b")
+      .select(col("a"), col("b"), col("cn").cast("long").as("common_neighbors"),
+        col("da").cast("long").as("deg_a"), col("db").cast("long").as("deg_b"),
+        expr("cn * 1000000 DIV (da + db - cn)").cast("long").as("jaccard_ppm"))
+      .orderBy(col("common_neighbors").desc, col("jaccard_ppm").desc,
+        col("a"), col("b"))
+      .limit(30)
+  }
+
   val all: Seq[Q] =
     Seq(basketRules, triangleCount, pageRank, kCore, graphComponents,
-      degreeHistogram, recommendTopk, bfsHops, mutualBestMatch)
+      degreeHistogram, recommendTopk, bfsHops, mutualBestMatch, linkPredict)
 }

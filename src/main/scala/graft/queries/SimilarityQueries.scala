@@ -1456,9 +1456,165 @@ object SimilarityQueries {
       .orderBy("d1", "d2")
   }
 
+  /** GRID-DENSITY CLUSTERING (DBSCAN-lite) — embeddings quantize onto an
+    * 8x8 grid over their first two coordinates; cells holding >= 8 points
+    * are CORE, core cells merge with their 8-neighborhood core neighbors
+    * into clusters (the shared [[Dedup.components]] fixpoint — one more
+    * domain for the one iterative engine), and points in non-core cells
+    * are NOISE. This is the grid formulation of density clustering
+    * (DBSCAN's cell-based variant, the one that distributes): density
+    * decisions are per-CELL aggregates and merging touches only the
+    * bounded cell graph, so no point ever meets another point — the
+    * pairwise step the textbook algorithm can't scale past never exists.
+    *
+    * Determinism: the min/max normalization and the (x-mn)*8/range floor
+    * are single IEEE trees over exactly-promoted floats (identical in both
+    * engines); everything after is integer. Cluster ids are min cell ids.
+    *
+    * Shape at 100 TB: one corpus scan -> per-cell counts (map-side
+    * combined, <= 64 rows out), the core-cell adjacency join is bounded
+    * 64x64, components run over <= 64 nodes, and the per-cluster rollup
+    * joins cells (64 rows, broadcast) back to per-cell counts — the corpus
+    * is touched exactly twice (min/max, cell counts), both map-side. */
+  val gridCluster: Q = Q(
+    "q_grid_cluster",
+    """WITH RECURSIVE pt AS (
+      |  SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+      |  FROM embeddings),
+      |mm AS (SELECT MIN(x) AS mnx, MAX(x) AS mxx,
+      |              MIN(y) AS mny, MAX(y) AS mxy FROM pt),
+      |cellpt AS (
+      |  SELECT vec_id,
+      |    GREATEST(LEAST(CAST(FLOOR(((x - mnx) * 8.0) / (mxx - mnx)) AS BIGINT), 7), 0) * 8
+      |    + GREATEST(LEAST(CAST(FLOOR(((y - mny) * 8.0) / (mxy - mny)) AS BIGINT), 7), 0)
+      |      AS cell
+      |  FROM pt, mm),
+      |cnt AS (SELECT cell, COUNT(*) AS n FROM cellpt GROUP BY cell),
+      |core AS (SELECT cell, cell // 8 AS cx, cell % 8 AS cy, n
+      |         FROM cnt WHERE n >= 8),
+      |sym AS (
+      |  SELECT a.cell AS s, b.cell AS d FROM core a JOIN core b
+      |  ON ABS(a.cx - b.cx) <= 1 AND ABS(a.cy - b.cy) <= 1),
+      |reach AS (
+      |  SELECT s AS id, d AS r FROM sym
+      |  UNION
+      |  SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s),
+      |comp AS (SELECT id AS cell, LEAST(id, MIN(r)) AS cluster
+      |         FROM reach GROUP BY id),
+      |clustered AS (
+      |  SELECT c.cluster, COUNT(*) AS n_cells, CAST(SUM(core.n) AS BIGINT) AS n_points
+      |  FROM comp c JOIN core ON core.cell = c.cell GROUP BY c.cluster),
+      |noise AS (
+      |  SELECT CAST(-1 AS BIGINT) AS cluster, COUNT(*) AS n_cells,
+      |         CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_points
+      |  FROM cnt WHERE n < 8)
+      |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(n_cells AS BIGINT) AS n_cells,
+      |       n_points
+      |FROM (SELECT * FROM clustered UNION ALL SELECT * FROM noise)
+      |ORDER BY cluster""".stripMargin) { (s, dir) =>
+    val pt = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+    val mm = pt.agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+      min(col("y")).as("mny"), max(col("y")).as("mxy"))
+    val cellpt = pt.crossJoin(broadcast(mm)) // 1-row normalization constants
+      .select(col("vec_id"),
+        (greatest(least(floor(((col("x") - col("mnx")) * lit(8.0)) /
+          (col("mxx") - col("mnx"))).cast("long"), lit(7L)), lit(0L)) * 8 +
+          greatest(least(floor(((col("y") - col("mny")) * lit(8.0)) /
+            (col("mxy") - col("mny"))).cast("long"), lit(7L)), lit(0L)))
+          .as("cell"))
+    val cnt = cellpt.groupBy("cell").agg(count(lit(1)).as("n"))
+    val core = cnt.filter(col("n") >= 8)
+      .select(col("cell"), expr("cell DIV 8").as("cx"),
+        (col("cell") % 8).as("cy"), col("n"))
+    // bounded 64x64 adjacency (8-neighborhood incl. self — the self edge
+    // seeds isolated core cells as singleton components)
+    val a = core.select(col("cell").as("ca"), col("cx").as("cxa"), col("cy").as("cya"))
+    val b = core.select(col("cell").as("cb"), col("cx").as("cxb"), col("cy").as("cyb"))
+    val edges = a.join(broadcast(b),
+      abs(col("cxa") - col("cxb")) <= 1 && abs(col("cya") - col("cyb")) <= 1)
+      .select(col("ca").as("a"), col("cb").as("b"))
+    val comp = Dedup.components(edges)
+      .withColumnRenamed("id", "cell").withColumnRenamed("comp", "cluster")
+    val clustered = comp.join(core.select("cell", "n"), "cell")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).cast("long").as("n_points"))
+    val noise = cnt.filter(col("n") < 8)
+      .agg(count(lit(1)).as("n_cells"),
+        coalesce(sum(col("n")), lit(0L)).cast("long").as("n_points"))
+      .select(lit(-1L).as("cluster"), col("n_cells"), col("n_points"))
+    clustered.select(col("cluster").cast("long"), col("n_cells").cast("long"),
+      col("n_points"))
+      .unionAll(noise)
+      .orderBy("cluster")
+  }
+
+  /** LEAKAGE-SAFE K-FOLD ASSIGNMENT — the repair for what q_split_leakage
+    * only DETECTS: folds are assigned to duplicate CLUSTERS, not documents
+    * (fold = md5-hash of the cluster id, mod 5 — the [[Text.md5Hash32]]
+    * content-hash convention), so near-duplicate pairs can never straddle
+    * a fold boundary and cross-validation never evaluates on a copy of its
+    * own training data. Clusters come from the shared banded-MinHash
+    * candidate pipeline + [[Dedup.components]] fixpoint (exactly
+    * q_dedup_components'), mirrored in DuckDB by the recursive-CTE closure.
+    * Emits the per-fold audit a pipeline records: docs, distinct clusters,
+    * docs in multi-doc clusters (the rows that WOULD have leaked under
+    * per-doc assignment).
+    *
+    * Shape at 100 TB: everything past the component fixpoint is one keyed
+    * join (doc -> cluster), a map-side-combined per-cluster size count
+    * broadcast back, and a 5-row aggregation. No windows, no corpus sort. */
+  val clusterFolds: Q = Q(
+    "q_cluster_folds",
+    "WITH RECURSIVE " + minhashPairCtes + """,
+      |sym AS (
+      |  SELECT d1 AS a, d2 AS b FROM pairs
+      |  UNION
+      |  SELECT d2 AS a, d1 AS b FROM pairs),
+      |reach AS (
+      |  SELECT a AS id, b AS r FROM sym
+      |  UNION
+      |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+      |comp AS (SELECT id, LEAST(id, MIN(r)) AS cluster FROM reach GROUP BY id),
+      |asg AS (
+      |  SELECT p.doc_id, COALESCE(c.cluster, p.doc_id) AS cluster
+      |  FROM planted p LEFT JOIN comp c ON c.id = p.doc_id),
+      |sz AS (SELECT cluster, COUNT(*) AS csz FROM asg GROUP BY cluster),
+      |f AS (
+      |  SELECT a.doc_id, a.cluster, s.csz,
+      |         CAST(('0x' || substr(md5('fold:' || CAST(a.cluster AS VARCHAR)), 1, 8))
+      |              AS BIGINT) % 5 AS fold
+      |  FROM asg a JOIN sz s ON s.cluster = a.cluster)
+      |SELECT fold, COUNT(*) AS n_docs,
+      |       CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+      |       CAST(SUM(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_clustered_docs
+      |FROM f GROUP BY fold ORDER BY fold""".stripMargin) { (s, dir) =>
+    val (planted, pairs) = minhashPlantedAndPairs(s, dir)
+    val comp = Dedup.components(pairs)
+      .withColumnRenamed("id", "doc_id").withColumnRenamed("comp", "cluster")
+    val asg = planted.select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    val sz = asg.groupBy("cluster").agg(count(lit(1)).as("csz"))
+    asg.join(broadcast(sz), "cluster")
+      .withColumn("fold",
+        graft.functions.Text.md5Hash32(
+          concat(lit("fold:"), col("cluster").cast("string"))) % 5)
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).cast("long").as("n_clusters"),
+        sum(when(col("csz") > 1, 1L).otherwise(0L)).cast("long")
+          .as("n_clustered_docs"))
+      .orderBy("fold")
+  }
+
   val all: Seq[Q] =
     Seq(cosineTopK, annIvf, annIvfLearned, annInt8, annLsh, minhashNearDup,
       simhashNearDup, embedNearDup, dedupComponents, dedupCanonical,
       nearDupVerify, winnowPairs, quantizeRoundtrip, annRecall, splitLeakage,
-      annPq, dedupStats, semDedup, sparseCosine, rougeOverlap)
+      annPq, dedupStats, semDedup, sparseCosine, rougeOverlap, gridCluster,
+      clusterFolds)
 }

@@ -129,6 +129,38 @@ class AuditSpec extends SparkSpec {
     assert(got("events.user_id") == ((1L, 10L, 10L, 1000L, 1000000L)))
   }
 
+  test("benford gate: conforming books pass, uniform digits flag") {
+    val d = Files.createTempDirectory("graft-benford").toString
+    // BENFORD group: 1000 orders whose first-digit counts are the law's
+    // own masses at per-mille resolution (301, 176, ..., 46) -> the
+    // divergence is the quantization residue only, orders of magnitude
+    // under the 200000 gate. UNIFORM group: 112 orders per digit — the
+    // fabricated-books signature the gate exists to catch (~4e5 ppm).
+    val benford = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)
+    val rows =
+      benford.zipWithIndex.flatMap { case (n, i) =>
+        Seq.fill(n)(Row("1-BENFORD", (i + 1) * 10.0))
+      } ++
+        (1 to 9).flatMap(dd => Seq.fill(112)(Row("2-UNIFORM", dd * 10.0)))
+    writeTable(d, "orders", StructType(Seq(
+      StructField("o_orderpriority", StringType),
+      StructField("o_totalprice", DoubleType))), rows)
+    val got = AuditQueries.benfordGate.build(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val (bn, bStat, bD1, bFlag) = got("1-BENFORD")
+    assert(bn == 1000L && !bFlag && bStat < 1000L, s"benford stat $bStat")
+    assert(bD1 == 301000L)
+    val (un, uStat, uD1, uFlag) = got("2-UNIFORM")
+    assert(un == 1008L && uFlag && uStat > 200000L, s"uniform stat $uStat")
+    assert(uD1 == 112L * 1000000L / 1008L)
+    // hand-check the uniform stat: every digit observes 111111 ppm
+    val exp = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+      57992L, 51153L, 45757L)
+    val obs = 112L * 1000000L / 1008L
+    assert(uStat == exp.map(e => (obs - e) * (obs - e) / e).sum)
+  }
+
   test("audits run end-to-end on real testdata: star schema is orphan-free") {
     val fk = AuditQueries.fkIntegrity.build(spark, sf).collect()
     assert(fk.length == 4)

@@ -225,6 +225,50 @@ class CorpusSpec extends SparkSpec {
     assert(got == Seq(("A", "B", 2L, 4L, 4L, 333333L, 500000L)))
   }
 
+  test("rrf fusion: equals the fused recompute of both component rankings") {
+    val got = CorpusQueries.rrfFusion.build(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }.toSeq
+    // in-memory lexical ranking (the q_keyword_search integer tf-idf)
+    val terms = Set("spark", "query", "join", "window")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tf = docs.flatMap { case (id, text) =>
+      text.split(" ").filter(terms).map(tok => (id, tok))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val lexScore = tf.toSeq
+      .map { case ((id, tok), n) => (id, n * (1048576L / df(tok))) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val lexRk = lexScore.sortBy { case (id, sc) => (-sc, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    // in-memory dense ranking (sequential-fold cosine, the engine's tree)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toMap
+    val qv = emb(0L)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map(p => p._1 * p._2).foldLeft(0.0)(_ + _)
+    val qn = math.sqrt(dot(qv, qv))
+    val semRk = emb.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, dot(qv, v) / (qn * math.sqrt(dot(v, v)))) }
+      .sortBy { case (id, c) => (-c, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    // fuse and cut, exactly the query's integer rule
+    val expect = (lexRk.keySet ++ semRk.keySet).toSeq.map { id =>
+      val rrf = lexRk.get(id).map(r => 1000000000L / (60 + r)).getOrElse(0L) +
+        semRk.get(id).map(r => 1000000000L / (60 + r)).getOrElse(0L)
+      (id, rrf, lexRk.get(id), semRk.get(id))
+    }.sortBy { case (id, rrf, _, _) => (-rrf, id) }.take(20)
+    assert(got == expect)
+    // a doc on BOTH lists outranks one holding only a comparable single rank
+    assert(got.head._3.isDefined || got.head._4.isDefined)
+  }
+
   test("source overlap on real data: bounds and ordering hold") {
     val got = CorpusQueries.sourceOverlap.build(spark, sf)
       .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq

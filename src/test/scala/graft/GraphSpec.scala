@@ -125,6 +125,22 @@ class GraphSpec extends SparkSpec {
       (3L, 4L, 2L, 1000000L, 1000000L)))
   }
 
+  test("link predict: 2-hop non-edges scored exactly; edges excluded") {
+    // neighborhoods: 1:{2,3} 2:{1,3} 3:{1,2,4} 4:{3}. The only 2-hop
+    // NON-edges are (1,4) and (2,4), both witnessed by neighbor 3:
+    // cn = 1, jaccard = 1/(2+1-1) = 500000 ppm. Every edge pair and the
+    // support-cut node 5 must be absent.
+    val rows = GraphQueries.linkPredict.build(spark, dir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 4L), (2L, 4L)))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("common_neighbors") == 1L)
+      assert(r.getAs[Long]("deg_a") == 2L)
+      assert(r.getAs[Long]("deg_b") == 1L)
+      assert(r.getAs[Long]("jaccard_ppm") == 500000L)
+    }
+  }
+
   test("graph queries run end-to-end on real testdata") {
     val tri = GraphQueries.triangleCount.build(spark, sf).collect()
     assert(tri.head.getAs[Long]("n_triangles") > 0)

@@ -521,4 +521,67 @@ class SimilaritySpec extends SparkSpec {
       assert(f1 <= math.max(r1, p1) && f2 <= math.max(r2, p2))
     }
   }
+
+  test("grid cluster: matches an in-memory grid-DBSCAN recomputation") {
+    val got = graft.queries.SimilarityQueries.gridCluster.build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // naive recompute: same quantization, per-cell counts, core >= 8,
+    // 8-neighborhood closure by literal fixpoint
+    val pts = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getSeq[Float](1)(0).toDouble, r.getSeq[Float](1)(1).toDouble))
+    val (mnx, mxx) = (pts.map(_._1).min, pts.map(_._1).max)
+    val (mny, mxy) = (pts.map(_._2).min, pts.map(_._2).max)
+    def q(v: Double, mn: Double, mx: Double): Long =
+      math.max(math.min(math.floor(((v - mn) * 8.0) / (mx - mn)).toLong, 7L), 0L)
+    val cells = pts.map { case (x, y) => q(x, mnx, mxx) * 8 + q(y, mny, mxy) }
+    val cnt = cells.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val core = cnt.filter(_._2 >= 8).keySet
+    // closure: repeatedly pull every core cell's label down to the min of
+    // its 8-neighborhood core labels
+    var lab = core.map(c => c -> c).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      for (c <- core; d <- core
+           if math.abs(c / 8 - d / 8) <= 1 && math.abs(c % 8 - d % 8) <= 1
+           if lab(d) < lab(c)) { lab += c -> lab(d); changed = true }
+    }
+    val clusters = core.groupBy(lab).map { case (cl, cs) =>
+      (cl, cs.size.toLong, cs.toSeq.map(cnt).sum)
+    }.toSeq
+    val noiseCells = cnt.keySet.diff(core)
+    val expect = (clusters :+
+      ((-1L, noiseCells.size.toLong, noiseCells.toSeq.map(cnt).sum)))
+      .sortBy(_._1)
+    assert(got == expect, s"got $got expect $expect")
+    // conservation: every point is clustered or noise
+    assert(got.map(_._3).sum == pts.length.toLong)
+  }
+
+  test("cluster folds: fold is a function of the dedup cluster; counts exact") {
+    val got = graft.queries.SimilarityQueries.clusterFolds.build(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // recompute from the components assignment (same shared pipeline)
+    val asg = graft.queries.SimilarityQueries.dedupComponents.build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def md5h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val csz = asg.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expect = asg
+      .map { case (doc, cl) => (md5h32(s"fold:$cl") % 5, cl, csz(cl)) }
+      .groupBy(_._1).view.mapValues { xs =>
+        (xs.size.toLong, xs.map(_._2).distinct.size.toLong,
+          xs.count(_._3 > 1).toLong)
+      }.toMap
+    assert(got == expect)
+    // no cluster straddles folds: distinct clusters partition across folds
+    assert(got.values.map(_._2).sum == csz.size.toLong)
+    assert(got.values.map(_._1).sum == asg.length.toLong)
+  }
 }
