@@ -111,7 +111,8 @@ object ScaleProbe {
     "q_cosine_topk", "q_ann_ivf", "q_ann_lsh", "q_ann_int8",
     "q_ann_ivf_learned", "q_ann_recall", "q_embed_neardup",
     "q_quantize_roundtrip", "q_knn_classify", "q_ncm_classify",
-    "q_semantic_decontaminate", "q_ann_pq", "q_semdedup", "q_grid_cluster")
+    "q_semantic_decontaminate", "q_ann_pq", "q_semdedup", "q_grid_cluster",
+    "q_mmr_diversify")
 
   /** Queries that read ONLY the events table (replicated input #3). */
   private[graft] val EvQueries = Seq(
@@ -126,7 +127,7 @@ object ScaleProbe {
     "q_streak_islands", "q_ewma_daily", "q_seasonal_profile", "q_ab_lift",
     "q_pit_join", "q_twap", "q_session_concurrency", "q_mad_robust",
     "q_hist_equiwidth", "q_rfm_segments", "q_hll_by_group", "q_ks_drift",
-    "q_gini_by_type")
+    "q_gini_by_type", "q_label_windows")
 
   /** Queries that read the STAR-SCHEMA tables (lineitem / orders / part /
     * supplier / customer — replicated input #4): the graph family (the

@@ -879,9 +879,72 @@ object EventQueries {
       .orderBy("wstart")
   }
 
+  /** LEAKAGE-SAFE LABEL CONSTRUCTION — the supervised-training-set
+    * constructor every churn/propensity pipeline runs, built so no future
+    * information can reach a feature: the stream splits at the midpoint
+    * cutoff (the q_ks_drift epoch cut), FEATURES aggregate strictly-before
+    * rows only (event count, purchase count, recency in whole days at the
+    * cutoff), the LABEL is "purchased strictly after", and users with no
+    * pre-cutoff history are EXCLUDED rather than emitted with empty
+    * features — they would be unscorable at serving time. The temporal
+    * complement of q_pit_join (which makes point-in-time FEATURES safe;
+    * this makes the LABEL WINDOW safe) and q_split_leakage (which detects
+    * leakage after the fact).
+    *
+    * All-integer: microsecond epochs, day recency via integer DIV, a 0/1
+    * label from a keyed LEFT join against the distinct post-cutoff
+    * purchasers.
+    *
+    * Shape at 100 TB: one scan splits on the broadcast 1-row cutoff; the
+    * feature side is a map-side-combined per-user aggregation; the label
+    * side is a distinct on (user) of the post-cutoff purchase projection;
+    * one keyed join. No windows, no sort beyond presentation. */
+  val labelWindows: Q = Q(
+    "q_label_windows",
+    """WITH b AS (SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS lo,
+      |                  CAST(MAX(epoch_us(ts)) AS BIGINT) AS hi FROM events),
+      |pre AS (
+      |  SELECT user_id,
+      |         COUNT(*) AS n_events_before,
+      |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_purchases_before,
+      |         CAST(((lo + hi) // 2 - MAX(epoch_us(ts))) // 86400000000
+      |              AS BIGINT) AS recency_days
+      |  FROM events, b WHERE epoch_us(ts) * 2 < lo + hi
+      |  GROUP BY user_id, lo, hi),
+      |pos AS (
+      |  SELECT DISTINCT user_id FROM events, b
+      |  WHERE epoch_us(ts) * 2 >= lo + hi AND event_type = 'purchase')
+      |SELECT p.user_id, p.n_events_before, p.n_purchases_before,
+      |       p.recency_days,
+      |       CAST(CASE WHEN pos.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+      |         AS label
+      |FROM pre p LEFT JOIN pos ON pos.user_id = p.user_id
+      |ORDER BY p.user_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"))
+    val cut = ev.crossJoin(broadcast(b)) // 1-row epoch cut
+    val pre = cut.filter(unix_micros(col("ts")) * 2 < col("lo") + col("hi"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events_before"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast("long").as("n_purchases_before"),
+        expr("((MIN(lo) + MIN(hi)) DIV 2 - MAX(unix_micros(ts))) DIV 86400000000")
+          .cast("long").as("recency_days"))
+    val pos = cut.filter(unix_micros(col("ts")) * 2 >= col("lo") + col("hi") &&
+        col("event_type") === "purchase")
+      .select(col("user_id"), lit(1L).as("hit")).distinct()
+    pre.join(pos, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events_before"), col("n_purchases_before"),
+        col("recency_days"),
+        when(col("hit").isNull, 0L).otherwise(1L).as("label"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] =
     Seq(jsonExtract, windowTumbling, windowSliding, windowSession, eventFunnel,
       retentionCohorts, sessionTrajectories, hllDistinct, hllByGroup,
       bloomPrune, cmsHeavy, kmvDistinct, cdcMerge, cmsJoinSize,
-      sessionConcurrency)
+      sessionConcurrency, labelWindows)
 }

@@ -1611,10 +1611,112 @@ object SimilarityQueries {
       .orderBy("fold")
   }
 
+  /** Sequential-fold cosine between two named array expressions — the
+    * [[CosineSql]] tree parametrized over its operands, for mirrors that
+    * score pairs other than (q, e). */
+  private def cosSqlOf(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (x, y) -> x + y)
+       |    / (sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))
+       |     * sqrt(list_reduce(list_transform($b, x -> x * x), (x, y) -> x + y)))""".stripMargin
+
+  /** MMR DIVERSITY RE-RANK (maximal marginal relevance, Carbonell &
+    * Goldstein 1998) — the post-retrieval step a production RAG/search
+    * stack runs so the top results aren't five copies of the same
+    * document: from the dense top-20 candidates for the query vector,
+    * greedily select 3, each maximizing
+    * `0.5 * relevance - 0.5 * max-similarity-to-already-selected`.
+    * The greedy rounds are UNROLLED CTE-for-CTE (the q_bpe_train
+    * posture for iterative fixed points), so the whole selection is
+    * oracle-checked; every float is a shared-tree cosine and the argmax
+    * ties break on vec_id in both engines.
+    *
+    * Shape at 100 TB: the candidate set is LIMIT-bounded (20 rows at any
+    * corpus size — the production form feeds an ANN top-k here), so every
+    * round's scoring join is a broadcast over a constant-size frame; the
+    * corpus is scanned exactly once, by the candidate generator. */
+  val mmrDiversify: Q = Q(
+    "q_mmr_diversify",
+    s"""WITH q AS (
+      |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |      WHERE vec_id <> 0),
+      |cand AS (
+      |  SELECT e.vec_id, e.v,
+      |    ${CosineSql} AS rel
+      |  FROM e, q ORDER BY rel DESC, e.vec_id LIMIT 20),
+      |s1 AS (SELECT vec_id, v, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+      |r2 AS (
+      |  SELECT c.vec_id, c.v, c.rel,
+      |    ${cosSqlOf("c.v", "s1.v")} AS pen
+      |  FROM cand c, s1 WHERE c.vec_id <> s1.vec_id),
+      |s2 AS (SELECT vec_id, v, rel, pen FROM r2
+      |       ORDER BY rel * 0.5 - pen * 0.5 DESC, vec_id LIMIT 1),
+      |r3 AS (
+      |  SELECT c.vec_id, c.rel,
+      |    GREATEST(${cosSqlOf("c.v", "s1.v")},
+      |             ${cosSqlOf("c.v", "s2.v")}) AS pen
+      |  FROM cand c, s1, s2
+      |  WHERE c.vec_id <> s1.vec_id AND c.vec_id <> s2.vec_id),
+      |s3 AS (SELECT vec_id, rel, pen FROM r3
+      |       ORDER BY rel * 0.5 - pen * 0.5 DESC, vec_id LIMIT 1)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel AS relevance,
+      |         0.0 AS penalty, rel * 0.5 - 0.0 * 0.5 AS mmr FROM s1
+      |  UNION ALL
+      |  SELECT 2, vec_id, rel, pen, rel * 0.5 - pen * 0.5 FROM s2
+      |  UNION ALL
+      |  SELECT 3, vec_id, rel, pen, rel * 0.5 - pen * 0.5 FROM s3)
+      |ORDER BY rank""".stripMargin) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(Vectors.asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", Vectors.normNative(col("qv")))
+    val cand = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("vn", Vectors.normNative(col("v")))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), col("vn"),
+        Vectors.cosineFromNorms(col("qv"), col("v"), col("qn"), col("vn"))
+          .as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(20)
+    val s1 = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id").as("s1_id"), col("v").as("s1_v"),
+        col("vn").as("s1_vn"), col("rel").as("s1_rel"))
+    val r2 = cand.crossJoin(broadcast(s1)) // 1-row selected seed
+      .filter(col("vec_id") =!= col("s1_id"))
+      .select(col("vec_id"), col("v"), col("vn"), col("rel"),
+        Vectors.cosineFromNorms(col("v"), col("s1_v"), col("vn"), col("s1_vn"))
+          .as("pen"))
+    val s2 = r2.orderBy((col("rel") * 0.5 - col("pen") * 0.5).desc,
+        col("vec_id")).limit(1)
+      .select(col("vec_id").as("s2_id"), col("v").as("s2_v"),
+        col("vn").as("s2_vn"), col("rel").as("s2_rel"),
+        col("pen").as("s2_pen"))
+    val r3 = cand.crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
+      .filter(col("vec_id") =!= col("s1_id") && col("vec_id") =!= col("s2_id"))
+      .select(col("vec_id"), col("rel"),
+        greatest(
+          Vectors.cosineFromNorms(col("v"), col("s1_v"), col("vn"), col("s1_vn")),
+          Vectors.cosineFromNorms(col("v"), col("s2_v"), col("vn"), col("s2_vn")))
+          .as("pen"))
+    val s3 = r3.orderBy((col("rel") * 0.5 - col("pen") * 0.5).desc,
+        col("vec_id")).limit(1)
+    s1.select(lit(1L).as("rank"), col("s1_id").as("vec_id"),
+        col("s1_rel").as("relevance"), lit(0.0).as("penalty"),
+        (col("s1_rel") * 0.5 - lit(0.0) * 0.5).as("mmr"))
+      .unionAll(s2.select(lit(2L).as("rank"), col("s2_id").as("vec_id"),
+        col("s2_rel").as("relevance"), col("s2_pen").as("penalty"),
+        (col("s2_rel") * 0.5 - col("s2_pen") * 0.5).as("mmr")))
+      .unionAll(s3.select(lit(3L).as("rank"), col("vec_id"),
+        col("rel").as("relevance"), col("pen").as("penalty"),
+        (col("rel") * 0.5 - col("pen") * 0.5).as("mmr")))
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] =
     Seq(cosineTopK, annIvf, annIvfLearned, annInt8, annLsh, minhashNearDup,
       simhashNearDup, embedNearDup, dedupComponents, dedupCanonical,
       nearDupVerify, winnowPairs, quantizeRoundtrip, annRecall, splitLeakage,
       annPq, dedupStats, semDedup, sparseCosine, rougeOverlap, gridCluster,
-      clusterFolds)
+      clusterFolds, mmrDiversify)
 }

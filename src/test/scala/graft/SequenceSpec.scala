@@ -220,4 +220,34 @@ class SequenceSpec extends SparkSpec {
     assert(SequenceQueries.ewmaDaily.build(spark, sf).count() > 0)
     assert(SequenceQueries.seasonalProfile.build(spark, sf).count() > 0)
   }
+
+  test("label windows: features strictly pre-cutoff, labels strictly post") {
+    val got = graft.queries.EventQueries.labelWindows.build(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // naive recompute off the raw rows (Tables.t normalizes the ts vintage)
+    val ev = graft.engine.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val lo = ev.map(_._2).min
+    val hi = ev.map(_._2).max
+    val cut = (lo + hi) / 2
+    val pre = ev.filter(e => e._2 * 2 < lo + hi).groupBy(_._1)
+    val pos = ev.filter(e => e._2 * 2 >= lo + hi && e._3 == "purchase")
+      .map(_._1).toSet
+    val expect = pre.map { case (u, xs) =>
+      u -> (xs.length.toLong,
+        xs.count(_._3 == "purchase").toLong,
+        (cut - xs.map(_._2).max) / 86400000000L,
+        if (pos(u)) 1L else 0L)
+    }
+    assert(got == expect)
+    // leakage guards: every emitted user HAS pre-cutoff history, and no
+    // feature can see past the cutoff (recency is never negative)
+    assert(got.keySet == pre.keySet)
+    got.values.foreach { case (n, np, rec, lab) =>
+      assert(n > 0 && np >= 0 && np <= n && rec >= 0 && (lab == 0L || lab == 1L))
+    }
+  }
 }

@@ -559,6 +559,49 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._3).sum == pts.length.toLong)
   }
 
+  test("mmr diversify: equals the in-memory greedy recomputation") {
+    val got = graft.queries.SimilarityQueries.mmrDiversify.build(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    // in-memory greedy MMR over the same top-20 candidate set
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map(p => p._1 * p._2).foldLeft(0.0)(_ + _)
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val qv = emb(0L)
+    val cand = emb.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, cos(qv, v)) }
+      .sortBy { case (id, _, rel) => (-rel, id) }.take(20)
+    var selected = Seq.empty[(Long, Array[Double], Double, Double)]
+    for (_ <- 1 to 3) {
+      val pick = cand.filterNot(c => selected.exists(_._1 == c._1))
+        .map { case (id, v, rel) =>
+          val pen =
+            if (selected.isEmpty) 0.0
+            else selected.map(s => cos(v, s._2)).max
+          (id, v, rel, pen)
+        }
+        .sortBy { case (id, _, rel, pen) => (-(rel * 0.5 - pen * 0.5), id) }
+        .head
+      selected :+= pick
+    }
+    val expect = selected.zipWithIndex.map { case ((id, _, rel, pen), i) =>
+      ((i + 1).toLong, id, rel, pen, rel * 0.5 - pen * 0.5)
+    }
+    assert(got == expect, s"got $got expect $expect")
+    // the internal consistency the formula promises
+    got.foreach { case (_, _, rel, pen, mmr) =>
+      assert(mmr == rel * 0.5 - pen * 0.5)
+    }
+    assert(got.head._4 == 0.0)
+  }
+
   test("cluster folds: fold is a function of the dedup cluster; counts exact") {
     val got = graft.queries.SimilarityQueries.clusterFolds.build(spark, sf)
       .collect()
