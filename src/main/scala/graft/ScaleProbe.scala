@@ -326,6 +326,15 @@ object ScaleProbe {
       "vec_id", "embedding", k = 3, nProbe = 2)
   }
 
+  /** The PQ/ADC search (q_ann_pq's pipeline) with the query batch pinned
+    * to the base replica: PQ compresses rather than prunes, so its
+    * production cost is batch x corpus-codes — linear in the corpus at a
+    * constant batch, which is what this measures (the declared query's
+    * growing self-search batch is the Θ(B·N) yardstick form). */
+  private def fixedBatchPq(spark: SparkSession, dir: String): DataFrame =
+    queries.SimilarityQueries.pqSearchTopK(spark, dir,
+      col("vec_id") % 50 === 0 && col("vec_id") < Stride)
+
   /** The listener-bus drain sentinel: a SHUFFLE-FREE job (single result
     * stage over a 1-element RDD) whose stage-completed event marks the
     * point where every event from preceding jobs has been delivered (the
@@ -398,16 +407,19 @@ object ScaleProbe {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
-    // one discarded cold run (codegen/JIT), then median of steady runs —
-    // same protocol for base and scaled, so the FACTOR is load-robust
+    // one discarded cold run (codegen/JIT), then the MIN of steady runs —
+    // same protocol for base and scaled, so the FACTOR is load-robust.
+    // Min, not median: the factor is a SHAPE measurement (how work grows
+    // with data), and the best sustained run is the least contaminated
+    // estimate of it on a shared host — an r13 probe run measured
+    // q_doc_profile's median at 9.3x (vs its long-run 1.4x) because one
+    // noisy window inflated all three steady iters while the min stayed
+    // clean; Bench keeps median+spread for WALLS, where typical-case
+    // latency is the quantity of interest.
     val SteadyIters = 3
     def bench(name: String, dir: String): Double = {
       timeOnce(name, dir)
-      median((1 to SteadyIters).map(_ => timeOnce(name, dir)))
+      (1 to SteadyIters).map(_ => timeOnce(name, dir)).min
     }
 
     val rows = (DocQueries ++ EmbQueries ++ EvQueries ++ StarQueries ++
@@ -429,7 +441,8 @@ object ScaleProbe {
     // the block simply omits that entry.
     val fixedRows =
       Seq(("cosine_bruteforce", fixedBatchCosine _),
-          ("ann_ivf_learned", fixedBatchIvf _)).flatMap { case (name, build) =>
+          ("ann_ivf_learned", fixedBatchIvf _),
+          ("ann_pq", fixedBatchPq _)).flatMap { case (name, build) =>
         try {
           def benchFixed(dir: String): Double = {
             def once(): Double = {
@@ -438,7 +451,7 @@ object ScaleProbe {
               (System.nanoTime() - t0) / 1e9
             }
             once()
-            median((1 to SteadyIters).map(_ => once()))
+            (1 to SteadyIters).map(_ => once()).min
           }
           val b = benchFixed(sfDir)
           val s = benchFixed(scaledDir)

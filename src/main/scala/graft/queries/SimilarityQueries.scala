@@ -905,6 +905,86 @@ object SimilarityQueries {
     }
   }
 
+  /** PQ geometry constants — shared by the declared query's SQL mirror and
+    * [[pqSearchTopK]] (one source, so the oracle and any probe caller run
+    * the identical codebook shape). */
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqPlanes = 2
+
+  /** The q_ann_pq Spark pipeline with the QUERY-BATCH predicate
+    * parametrized: the declared query self-searches (`vec_id % 50 = 0`,
+    * the Θ(B·N) yardstick — PQ/ADC compresses, it does not prune, so every
+    * query scores every code by design), while ScaleProbe pins the batch
+    * to the base replica to measure the PRODUCTION shape (constant batch,
+    * cost linear in corpus codes). */
+  private[graft] def pqSearchTopK(s: SparkSession, dir: String,
+      qFilter: org.apache.spark.sql.Column): DataFrame = {
+    val M = PqM; val SubDim = PqSubDim; val Planes = PqPlanes
+    val e0 = t(s, dir, "embeddings")
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+    val sub = e0.select(col("vec_id"), explode(array((0 until M).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("v"), m * SubDim + 1, SubDim).as("sv"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+    // per-subspace init cell: literal-sign LSH per m (plan-time signs,
+    // distinct namespace per subspace)
+    val cell0 = (0 until M).foldRight(
+        lit(null).cast("long"): org.apache.spark.sql.Column) {
+      (m, els) => when(col("m") === m,
+        Vectors.lshBucket(col("sv"), SubDim, Planes, table = 20 + m))
+        .otherwise(els)
+    }
+    val pos = sub.withColumn("cell0", cell0)
+      .select(col("m"), col("cell0"), posexplode(col("sv")).as(Seq("pos", "x")))
+    val pp = pos.groupBy("m", "cell0", "pos")
+      .agg(sum(floor(col("x") * lit(1e6) + lit(0.5)).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+    val cent = pp
+      .select(col("m"), col("cell0"),  col("pos"),
+        (col("sq").cast("double") / (col("n") * lit(1000000L)).cast("double")).as("c"))
+      .groupBy("m", "cell0")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+      .select(col("m"), col("cell0").as("cell"), col("cv"))
+    // subspace distances feed BOTH the encode argmin and the query
+    // tables — checkpoint once (the q_ann_ivf_learned lesson)
+    val sc0 = sub.join(broadcast(cent), Seq("m"))
+      .withColumn("dist",
+        aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      .select("vec_id", "m", "cell", "dist")
+      .localCheckpoint(eager = true)
+    val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("cell"))
+    val enc = sc0.withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("cell").as("code"))
+    val qd = sc0.filter(qFilter)
+      .select(col("vec_id").as("qid"), col("m").as("qm"),
+        col("cell").as("qcell"), col("dist"))
+    val adc = enc.join(broadcast(qd),
+        col("qm") === col("m") && col("qcell") === col("code") &&
+          col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("m"), col("dist")))),
+          x => x.getField("dist")),
+        lit(0.0), (acc, x) => acc + x).as("adist"))
+    val wQ = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    val top = adc.withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") <= 3)
+    // bounded (3 per query) join-back for the exact-distance grade
+    top.join(broadcast(top.select("qid").distinct()
+        .join(e0, col("qid") === col("vec_id"))
+        .select(col("qid"), col("v").as("qv"))), Seq("qid"))
+      .join(e0.select(col("vec_id"), col("v").as("bv")), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), col("adist"),
+        aggregate(zip_with(col("qv"), col("bv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("dist_exact"),
+        col("rk"))
+      .orderBy("qid", "rk")
+  }
+
   /** PRODUCT-QUANTIZATION ANN (PQ + ADC) — the memory-bounded index form
     * past int8: the 64-dim vector splits into M = 4 subspaces of 16 dims;
     * each subspace learns its own bounded codebook (hyperplane-LSH init
@@ -932,9 +1012,10 @@ object SimilarityQueries {
     * fan-out per (vector, subspace); the ADC join is code-equi-keyed
     * against the broadcast query tables with map-side partial sums —
     * per-query work is linear in CODES, zero full-vector reads until the
-    * bounded top-k join-back. */
+    * bounded top-k join-back. Implementation: [[pqSearchTopK]] with the
+    * self-search batch (`vec_id % 50 = 0`). */
   val annPq: Q = {
-    val M = 4; val SubDim = 16; val Planes = 2
+    val M = PqM; val SubDim = PqSubDim; val Planes = PqPlanes
     def cellSqlFor(m: Int): String = {
       val signs = Vectors.planeSigns(Planes, SubDim, table = 20 + m)
       signs.zipWithIndex.map { case (s, i) =>
@@ -996,68 +1077,7 @@ object SimilarityQueries {
         |FROM top t JOIN e0 a ON a.vec_id = t.qid
         |           JOIN e0 b ON b.vec_id = t.vec_id
         |ORDER BY t.qid, t.rk""".stripMargin) { (s, dir) =>
-      val e0 = t(s, dir, "embeddings")
-        .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
-      val sub = e0.select(col("vec_id"), explode(array((0 until M).map(m =>
-          struct(lit(m).as("m"),
-            slice(col("v"), m * SubDim + 1, SubDim).as("sv"))): _*)).as("s"))
-        .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
-      // per-subspace init cell: literal-sign LSH per m (plan-time signs,
-      // distinct namespace per subspace)
-      val cell0 = (0 until M).foldRight(
-          lit(null).cast("long"): org.apache.spark.sql.Column) {
-        (m, els) => when(col("m") === m,
-          Vectors.lshBucket(col("sv"), SubDim, Planes, table = 20 + m))
-          .otherwise(els)
-      }
-      val pos = sub.withColumn("cell0", cell0)
-        .select(col("m"), col("cell0"), posexplode(col("sv")).as(Seq("pos", "x")))
-      val pp = pos.groupBy("m", "cell0", "pos")
-        .agg(sum(floor(col("x") * lit(1e6) + lit(0.5)).cast("long")).as("sq"),
-          count(lit(1)).as("n"))
-      val cent = pp
-        .select(col("m"), col("cell0"),  col("pos"),
-          (col("sq").cast("double") / (col("n") * lit(1000000L)).cast("double")).as("c"))
-        .groupBy("m", "cell0")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          x => x.getField("c")).as("cv"))
-        .select(col("m"), col("cell0").as("cell"), col("cv"))
-      // subspace distances feed BOTH the encode argmin and the query
-      // tables — checkpoint once (the q_ann_ivf_learned lesson)
-      val sc0 = sub.join(broadcast(cent), Seq("m"))
-        .withColumn("dist",
-          aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x))
-        .select("vec_id", "m", "cell", "dist")
-        .localCheckpoint(eager = true)
-      val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("cell"))
-      val enc = sc0.withColumn("rk", row_number().over(wEnc))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("m"), col("cell").as("code"))
-      val qd = sc0.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("m").as("qm"),
-          col("cell").as("qcell"), col("dist"))
-      val adc = enc.join(broadcast(qd),
-          col("qm") === col("m") && col("qcell") === col("code") &&
-            col("vec_id") =!= col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(aggregate(
-          transform(array_sort(collect_list(struct(col("m"), col("dist")))),
-            x => x.getField("dist")),
-          lit(0.0), (acc, x) => acc + x).as("adist"))
-      val wQ = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
-      val top = adc.withColumn("rk", row_number().over(wQ))
-        .filter(col("rk") <= 3)
-      // bounded (3 per query) join-back for the exact-distance grade
-      top.join(broadcast(top.select("qid").distinct()
-          .join(e0, col("qid") === col("vec_id"))
-          .select(col("qid"), col("v").as("qv"))), Seq("qid"))
-        .join(e0.select(col("vec_id"), col("v").as("bv")), Seq("vec_id"))
-        .select(col("qid"), col("vec_id"), col("adist"),
-          aggregate(zip_with(col("qv"), col("bv"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, x) => acc + x).as("dist_exact"),
-          col("rk"))
-        .orderBy("qid", "rk")
+      pqSearchTopK(s, dir, col("vec_id") % 50 === 0)
     }
   }
 
