@@ -104,7 +104,7 @@ object ScaleProbe {
     "q_fuzzy_blocklist", "q_bm25_search", "q_bpe_train", "q_quality_score",
     "q_bpe_encode", "q_containment_neardup", "q_dedup_stats",
     "q_ngram_novelty", "q_sparse_cosine", "q_rouge_overlap",
-    "q_source_overlap", "q_cluster_folds")
+    "q_source_overlap", "q_cluster_folds", "q_feature_hash")
 
   /** Queries that read ONLY the embeddings table (replicated input #2). */
   private[graft] val EmbQueries = Seq(
@@ -127,7 +127,7 @@ object ScaleProbe {
     "q_streak_islands", "q_ewma_daily", "q_seasonal_profile", "q_ab_lift",
     "q_pit_join", "q_twap", "q_session_concurrency", "q_mad_robust",
     "q_hist_equiwidth", "q_rfm_segments", "q_hll_by_group", "q_ks_drift",
-    "q_gini_by_type", "q_label_windows")
+    "q_gini_by_type", "q_label_windows", "q_bootstrap_ci")
 
   /** Queries that read the STAR-SCHEMA tables (lineitem / orders / part /
     * supplier / customer — replicated input #4): the graph family (the

@@ -1187,9 +1187,54 @@ object CorpusQueries {
     }
   }
 
+  /** FEATURE HASHING (the hashing trick, Weinberger et al. 2009) — the
+    * fixed-width featurizer a linear model over unbounded vocabulary runs:
+    * every token maps to one of 1024 buckets by content hash, with an
+    * independent SIGN hash so colliding tokens cancel in expectation
+    * instead of biasing the weight. Emitted as the COLLISION AUDIT a
+    * platform keeps about the feature space: per live bucket, the
+    * occurrence count, the distinct tokens sharing it (> 1 = collision),
+    * and the net signed mass (how much of the bucket survives sign
+    * cancellation). Both hashes are [[graft.functions.Text.md5Hash32]]
+    * under distinct salts, so the bucket geometry is bit-identical in
+    * both engines and any model trained against it is reproducible.
+    *
+    * Shape at 100 TB: one tokenize scan into a map-side-combined
+    * aggregation on a FIXED 1024-key space — the output is constant-size
+    * at any corpus scale, and the featurizer itself (bucket, sgn) is a
+    * per-row projection with no state at all. */
+  val featureHash: Q = Q(
+    "q_feature_hash",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |h AS (
+      |  SELECT tok,
+      |         CAST(('0x' || substr(md5('fh:' || tok), 1, 8)) AS BIGINT) % 1024
+      |           AS bucket,
+      |         CASE WHEN CAST(('0x' || substr(md5('fs:' || tok), 1, 8)) AS BIGINT)
+      |                   % 2 = 0
+      |              THEN 1 ELSE -1 END AS sgn
+      |  FROM tok)
+      |SELECT bucket, COUNT(*) AS n_tokens,
+      |       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+      |       CAST(SUM(sgn) AS BIGINT) AS net_signed
+      |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(col("tok"),
+        (Text.md5Hash32(concat(lit("fh:"), col("tok"))) % 1024).as("bucket"),
+        when(Text.md5Hash32(concat(lit("fs:"), col("tok"))) % 2 === 0, 1L)
+          .otherwise(-1L).as("sgn"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).cast("long").as("n_distinct"),
+        sum(col("sgn")).cast("long").as("net_signed"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] =
     Seq(decontaminate, semanticDecontaminate, mixSample, repetitionQuality,
       vocabTopk, tfidfKeywords, lengthQuantiles, quantileSketch, bpePairs,
       oovRate, keywordSearch, collocationLift, bm25Search, bpeTrain,
-      bpeEncode, sourceOverlap, rrfFusion)
+      bpeEncode, sourceOverlap, rrfFusion, featureHash)
 }

@@ -856,8 +856,106 @@ object ProfileQueries {
       .orderBy("event_type")
   }
 
+  /** DETERMINISTIC POISSON BOOTSTRAP — per-type mean event value with a
+    * bootstrap confidence band, the error bars every metrics readout at
+    * scale needs (Efron resampling in its one-pass streaming form: each of
+    * B = 16 resamples weights every row by an independent Poisson(1)
+    * multiplier, so no resample is ever materialized — the form that runs
+    * on 100 TB because it is just B weighted sums inside one scan).
+    * The Poisson draws are HASH-derived (md5-32 of "bs:<b>:<event_id>"
+    * against the exact floor(CDF·2^32) thresholds 1580030168, 3160060337,
+    * 3950075421, 4213413783, 4279248373, 4292415291 — the literal-table
+    * trick, no RNG), so both engines draw the identical weights and the
+    * whole bootstrap hash-matches. Resample means are ONE IEEE division of
+    * exact integer cents sums (the q_kmv pattern, with the GREATEST(n,1)
+    * zero guard from the q_ks_drift advice); the band is the 2nd/15th of
+    * the 16 resample means (≈ a 10-90 band), picked by a rank window over
+    * a 16-row-per-type frame.
+    *
+    * Shape at 100 TB: ONE fact scan fans each row out 16-fold (a constant,
+    * like q_window_sliding's 4x) into a map-side-combined (type, b)
+    * aggregation — 16 slim rows per type into the shuffle; everything
+    * after is bounded by types x 16. */
+  val bootstrapCi: Q = {
+    val B = 16
+    Q(
+      "q_bootstrap_ci",
+      s"""WITH d AS (
+        |  SELECT event_type, event_id,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |bs AS (SELECT UNNEST(generate_series(0, ${B - 1})) AS b),
+        |w0 AS (
+        |  SELECT d.event_type, d.cents, bs.b,
+        |         CAST(('0x' || substr(md5(
+        |           'bs:' || CAST(bs.b AS VARCHAR) || ':'
+        |                 || CAST(d.event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM d CROSS JOIN bs),
+        |w AS (
+        |  SELECT event_type, cents, b,
+        |         CASE
+        |           WHEN h <= 1580030168 THEN 0 WHEN h <= 3160060337 THEN 1
+        |           WHEN h <= 3950075421 THEN 2 WHEN h <= 4213413783 THEN 3
+        |           WHEN h <= 4279248373 THEN 4 WHEN h <= 4292415291 THEN 5
+        |           ELSE 6 END AS wt
+        |  FROM w0),
+        |m AS (
+        |  SELECT event_type, b,
+        |         CAST(SUM(wt * cents) AS DOUBLE)
+        |           / CAST(GREATEST(SUM(wt), 1) AS DOUBLE) AS bmean
+        |  FROM w GROUP BY event_type, b),
+        |r AS (
+        |  SELECT event_type, b, bmean,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY bmean, b) AS rk
+        |  FROM m),
+        |base AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |           AS mean_cents
+        |  FROM d GROUP BY event_type)
+        |SELECT base.event_type, base.n, base.mean_cents,
+        |       MAX(CASE WHEN rk = 2 THEN bmean END) AS ci_lo_cents,
+        |       MAX(CASE WHEN rk = ${B - 1} THEN bmean END) AS ci_hi_cents
+        |FROM base JOIN r ON r.event_type = base.event_type
+        |GROUP BY base.event_type, base.n, base.mean_cents
+        |ORDER BY base.event_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val bs = s.range(0, B).select(col("id").as("b"))
+      val w = d.crossJoin(broadcast(bs)) // constant 16x fan-out
+        .withColumn("h", graft.functions.Text.md5Hash32(
+          concat(lit("bs:"), col("b").cast("string"), lit(":"),
+            col("event_id").cast("string"))))
+        .withColumn("wt",
+          when(col("h") <= 1580030168L, 0L)
+            .when(col("h") <= 3160060337L, 1L)
+            .when(col("h") <= 3950075421L, 2L)
+            .when(col("h") <= 4213413783L, 3L)
+            .when(col("h") <= 4279248373L, 4L)
+            .when(col("h") <= 4292415291L, 5L)
+            .otherwise(6L))
+      val m = w.groupBy(col("event_type"), col("b"))
+        .agg((sum(col("wt") * col("cents")).cast("double") /
+          greatest(sum(col("wt")), lit(1L)).cast("double")).as("bmean"))
+      val rw = Window.partitionBy("event_type").orderBy(col("bmean"), col("b"))
+      val r = m.withColumn("rk", row_number().over(rw))
+      val base = d.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("cents")).cast("double") / count(lit(1)).cast("double"))
+            .as("mean_cents"))
+      base.join(r, "event_type")
+        .groupBy(col("event_type"), col("n"), col("mean_cents"))
+        .agg(max(when(col("rk") === 2, col("bmean"))).as("ci_lo_cents"),
+          max(when(col("rk") === B - 1, col("bmean"))).as("ci_hi_cents"))
+        .orderBy("event_type")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(tableProfile, zorderLayout, anomalyZscore, driftChisq, winsorize,
       sourceHhi, skyline, keySkewReport, groupQuantiles, madRobust,
-      histEquiwidth, modePerGroup, ksDrift, giniByType)
+      histEquiwidth, modePerGroup, ksDrift, giniByType, bootstrapCi)
 }

@@ -225,6 +225,30 @@ class CorpusSpec extends SparkSpec {
     assert(got == Seq(("A", "B", 2L, 4L, 4L, 333333L, 500000L)))
   }
 
+  test("feature hash: bucket audit equals the in-memory hashing-trick recompute") {
+    val got = CorpusQueries.featureHash.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    def md5h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().flatMap(_.getString(0).split(" "))
+    val expect = toks.groupBy(t => md5h32(s"fh:$t") % 1024).map {
+      case (b, ts) =>
+        b -> (ts.length.toLong, ts.distinct.length.toLong,
+          ts.map(t => if (md5h32(s"fs:$t") % 2 == 0) 1L else -1L).sum)
+    }
+    assert(got == expect)
+    // conservation + sign-cancellation bound
+    assert(got.values.map(_._1).sum == toks.length.toLong)
+    got.values.foreach { case (n, d, net) =>
+      assert(d >= 1 && d <= n && math.abs(net) <= n)
+    }
+  }
+
   test("rrf fusion: equals the fused recompute of both component rankings") {
     val got = CorpusQueries.rrfFusion.build(spark, sf).collect().map { r =>
       (r.getLong(0), r.getLong(1),

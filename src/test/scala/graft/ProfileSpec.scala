@@ -207,6 +207,38 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("bootstrap ci: equals the in-memory multiplier-bootstrap recompute") {
+    val got = ProfileQueries.bootstrapCi.build(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    def md5h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val ths = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L)
+    def wt(h: Long): Long = ths.indexWhere(h <= _) match {
+      case -1 => 6L; case k => k.toLong
+    }
+    val ev = graft.engine.Tables.t(spark, sf, "events")
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+    for ((tpe, rows) <- ev.groupBy(_._1)) {
+      val n = rows.length.toLong
+      val mean = rows.map(_._3).sum.toDouble / n.toDouble
+      val bmeans = (0 until 16).map { b =>
+        val ws = rows.map(r => (wt(md5h32(s"bs:$b:${r._2}")), r._3))
+        (ws.map(x => x._1 * x._2).sum.toDouble /
+          math.max(ws.map(_._1).sum, 1L).toDouble, b)
+      }.sortBy(identity)
+      val (gn, gmean, glo, ghi) = got(tpe)
+      assert(gn == n && gmean == mean, tpe)
+      assert(glo == bmeans(1)._1 && ghi == bmeans(14)._1, tpe)
+      assert(glo <= ghi)
+    }
+  }
+
   test("gini: ppm score equals the naive closed form; bounds hold") {
     val rows = ProfileQueries.giniByType.build(spark, sf).collect()
     assert(rows.nonEmpty)
