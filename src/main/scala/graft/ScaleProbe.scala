@@ -127,7 +127,8 @@ object ScaleProbe {
     "q_streak_islands", "q_ewma_daily", "q_seasonal_profile", "q_ab_lift",
     "q_pit_join", "q_twap", "q_session_concurrency", "q_mad_robust",
     "q_hist_equiwidth", "q_rfm_segments", "q_hll_by_group", "q_ks_drift",
-    "q_gini_by_type", "q_label_windows", "q_bootstrap_ci")
+    "q_gini_by_type", "q_label_windows", "q_bootstrap_ci",
+    "q_incremental_agg")
 
   /** Queries that read the STAR-SCHEMA tables (lineitem / orders / part /
     * supplier / customer — replicated input #4): the graph family (the
@@ -170,7 +171,8 @@ object ScaleProbe {
     "q_row_align_join", "q_interpolate", "q_impute_invariant",
     "q_wrangle", "q_county_series", "q_active_fraction",
     "q_cum_fraction", "q_death_rate_by_group", "q_estimator_slopes",
-    "q_mse_aligned", "q_r0_trajectory", "q_sir_simulate", "q_rrf_fusion")
+    "q_mse_aligned", "q_r0_trajectory", "q_sir_simulate", "q_rrf_fusion",
+    "q_expectations")
 
   private val Repl = 10
   // larger than any planted-twin id offset (max is 9_000_000 + base ids,

@@ -359,6 +359,129 @@ object AuditQueries {
     }
   }
 
+  /** DATA-CONTRACT EXPECTATIONS SUITE — the declarative validation report
+    * (the Great-Expectations / dbt-test shape) a platform runs after every
+    * load: one row per rule with row count, violation count, and verdict.
+    * Rule kinds covered: `not_null`, `unique` (single and composite key),
+    * `accepted_values`, and `range` — the four that make up ~all of a real
+    * contract file. The synthetic lineitem table genuinely violates its
+    * composite-key rule (duplicate (l_orderkey, l_linenumber) pairs exist
+    * by construction), so the report demonstrably CATCHES a failure rather
+    * than rubber-stamping green.
+    *
+    * Shape at 100 TB: all rules of one table fuse into ONE pruned-scan
+    * aggregation (count/sum-of-when/count-distinct computed together,
+    * map-side combined), then `stack` unpivots the 1-row aggregate into
+    * rule rows — 4 table scans total for 10 rules, each reading only the
+    * contracted columns, and the output is rule-count-sized. Adding a rule
+    * to an already-scanned table costs zero extra scans.
+    *
+    * Determinism: counts are exact integers; `unique` violations are
+    * count(*) − count(DISTINCT key) (extra copies beyond each key's
+    * first). */
+  val expectations: Q = Q(
+    "q_expectations",
+    """WITH o AS (
+      |  SELECT COUNT(*) AS n,
+      |         SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+      |         COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_uq,
+      |         SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+      |                    OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS v_rng,
+      |         SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',
+      |                    '4-NOT SPECIFIED','5-LOW') THEN 0 ELSE 1 END) AS v_av
+      |  FROM orders),
+      |c AS (
+      |  SELECT COUNT(*) AS n,
+      |         SUM(CASE WHEN c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE',
+      |                    'HOUSEHOLD','MACHINERY') THEN 0 ELSE 1 END) AS v_av
+      |  FROM customer),
+      |l AS (
+      |  SELECT COUNT(*) AS n,
+      |         COUNT(*) - COUNT(DISTINCT l_orderkey * 10 + l_linenumber) AS v_uq,
+      |         SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+      |                    OR l_quantity > 50 THEN 1 ELSE 0 END) AS v_q,
+      |         SUM(CASE WHEN l_discount IS NULL OR l_discount < 0
+      |                    OR l_discount > 1 THEN 1 ELSE 0 END) AS v_d
+      |  FROM lineitem),
+      |e AS (
+      |  SELECT COUNT(*) AS n,
+      |         SUM(CASE WHEN event_type IN ('view','click','signup','purchase',
+      |                    'error') THEN 0 ELSE 1 END) AS v_av,
+      |         SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS v_nn
+      |  FROM events),
+      |r AS (
+      |  SELECT 'orders.o_orderkey' AS target, 'not_null' AS rule,
+      |         n, v_nn AS n_violations FROM o
+      |  UNION ALL SELECT 'orders.o_orderkey', 'unique', n, v_uq FROM o
+      |  UNION ALL SELECT 'orders.o_totalprice', 'range[0,1000000]', n, v_rng FROM o
+      |  UNION ALL SELECT 'orders.o_orderpriority', 'accepted_values', n, v_av FROM o
+      |  UNION ALL SELECT 'customer.c_mktsegment', 'accepted_values', n, v_av FROM c
+      |  UNION ALL SELECT 'lineitem.(l_orderkey,l_linenumber)', 'unique', n, v_uq FROM l
+      |  UNION ALL SELECT 'lineitem.l_quantity', 'range[1,50]', n, v_q FROM l
+      |  UNION ALL SELECT 'lineitem.l_discount', 'range[0,1]', n, v_d FROM l
+      |  UNION ALL SELECT 'events.event_type', 'accepted_values', n, v_av FROM e
+      |  UNION ALL SELECT 'events.value', 'not_null', n, v_nn FROM e)
+      |SELECT target, rule, CAST(n AS BIGINT) AS n_rows,
+      |       CAST(n_violations AS BIGINT) AS n_violations,
+      |       n_violations = 0 AS passed
+      |FROM r ORDER BY target, rule""".stripMargin) { (s, dir) =>
+    def stackRules(agg: DataFrame, rules: Seq[(String, String, String)]): DataFrame = {
+      // one fused aggregate per table -> stack unpivots to rule rows
+      val k = rules.size
+      val cells = rules.map { case (target, rule, vCol) =>
+        s"'$target', '$rule', CAST(n AS BIGINT), CAST($vCol AS BIGINT)"
+      }.mkString(", ")
+      agg.select(expr(
+        s"stack($k, $cells) AS (target, rule, n_rows, n_violations)"))
+    }
+    val o = stackRules(
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_nn"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uq"),
+        sum(when(col("o_totalprice").isNull || col("o_totalprice") < 0 ||
+          col("o_totalprice") > 1000000, 1L).otherwise(0L)).as("v_rng"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"), 0L).otherwise(1L)).as("v_av")),
+      Seq(
+        ("orders.o_orderkey", "not_null", "v_nn"),
+        ("orders.o_orderkey", "unique", "v_uq"),
+        ("orders.o_totalprice", "range[0,1000000]", "v_rng"),
+        ("orders.o_orderpriority", "accepted_values", "v_av")))
+    val c = stackRules(
+      t(s, dir, "customer").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING", "FURNITURE",
+          "HOUSEHOLD", "MACHINERY"), 0L).otherwise(1L)).as("v_av")),
+      Seq(("customer.c_mktsegment", "accepted_values", "v_av")))
+    val l = stackRules(
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) -
+          countDistinct(col("l_orderkey") * 10 + col("l_linenumber"))).as("v_uq"),
+        sum(when(col("l_quantity").isNull || col("l_quantity") < 1 ||
+          col("l_quantity") > 50, 1L).otherwise(0L)).as("v_q"),
+        sum(when(col("l_discount").isNull || col("l_discount") < 0 ||
+          col("l_discount") > 1, 1L).otherwise(0L)).as("v_d")),
+      Seq(
+        ("lineitem.(l_orderkey,l_linenumber)", "unique", "v_uq"),
+        ("lineitem.l_quantity", "range[1,50]", "v_q"),
+        ("lineitem.l_discount", "range[0,1]", "v_d")))
+    val e = stackRules(
+      t(s, dir, "events").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("event_type").isin("view", "click", "signup", "purchase",
+          "error"), 0L).otherwise(1L)).as("v_av"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("v_nn")),
+      Seq(
+        ("events.event_type", "accepted_values", "v_av"),
+        ("events.value", "not_null", "v_nn")))
+    o.unionByName(c).unionByName(l).unionByName(e)
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy("target", "rule")
+  }
+
   val all: Seq[Q] =
-    Seq(fkIntegrity, orderReconcile, abLift, rfmSegments, benfordGate)
+    Seq(fkIntegrity, orderReconcile, abLift, rfmSegments, benfordGate,
+      expectations)
 }

@@ -524,6 +524,55 @@ object LakehouseQueries {
       .orderBy("l_returnflag")
   }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view refresh
+    * law every lakehouse relies on: a standing per-(event_type, day)
+    * aggregate state built from history (ts < 2024-01-21 12:00) is MERGED
+    * with the partial state of a late-arriving delta batch (the rest)
+    * instead of recomputing from the full fact table. The merge is pure
+    * monoid algebra — counts add, sums add, mins/maxes fold — so it is
+    * exact for any split point. The split is deliberately MID-day: the
+    * boundary day's (type, day) keys have rows in BOTH partials, so the
+    * cross-side fold is genuinely exercised (a day-aligned split would
+    * make the union a disjoint concatenation and prove nothing).
+    *
+    * The ORACLE is the single-pass recompute over the whole table: a hash
+    * match therefore PROVES merge(state_old, state_delta) ≡ recompute —
+    * the refresh-correctness law itself, not just a fixture.
+    *
+    * Shape at 100 TB: both sides reduce map-side to state-sized partials
+    * (one row per touched (type, day)); the merge is a union of two
+    * key-count-sized frames + one keyed re-aggregation. Refresh cost is
+    * ∝ |delta| + |touched keys| — the history is never re-scanned (here
+    * both sides read one table only because the gate is a single query;
+    * a production refresh persists `old` as the standing MV). All
+    * integer-cents. */
+  val incrementalAgg: Q = Q(
+    "q_incremental_agg",
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      |       CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |       CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+      |       CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+      |FROM events
+      |GROUP BY event_type, CAST(ts AS DATE)
+      |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+      .select(col("ts"), col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    def partial(side: DataFrame): DataFrame =
+      side.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+    val split = lit("2024-01-21 12:00:00").cast("timestamp")
+    val old = partial(ev.filter(col("ts") < split))   // the standing MV state
+    val delta = partial(ev.filter(col("ts") >= split)) // the new batch's partial
+    old.unionByName(delta) // monoid merge: state-sized union + keyed fold
+      .groupBy("event_type", "day")
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_cents")).as("min_cents"), max(col("max_cents")).as("max_cents"))
+      .orderBy("event_type", "day")
+  }
+
   val all: Seq[Q] = Seq(scd2Build, bitmapOverlap, adaptiveBloom, pitJoin, twap,
-    bucketJoin, zorderWrite)
+    bucketJoin, zorderWrite, incrementalAgg)
 }

@@ -161,6 +161,60 @@ class AuditSpec extends SparkSpec {
     assert(uStat == exp.map(e => (obs - e) * (obs - e) / e).sum)
   }
 
+  test("expectations: planted contract violations counted per rule") {
+    val d = Files.createTempDirectory("graft-exp").toString
+    writeTable(d, "orders", StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_totalprice", DoubleType),
+      StructField("o_orderpriority", StringType))),
+      Seq(
+        Row(1L, 100.0, "2-HIGH"),
+        Row(1L, 200.0, "5-LOW"),          // duplicate key
+        Row(null, 300.0, "BOGUS"),        // null key + bad value
+        Row(3L, 2000000.0, "1-URGENT")))  // out-of-range price
+    writeTable(d, "customer", StructType(Seq(
+      StructField("c_mktsegment", StringType))),
+      Seq(Row("BUILDING"), Row("YACHTS"))) // one off-contract segment
+    writeTable(d, "lineitem", StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_discount", DoubleType))),
+      Seq(
+        Row(1L, 1, 10.0, 0.05),
+        Row(1L, 1, 99.0, 1.50),  // dup composite key + qty & discount breaches
+        Row(1L, 2, 50.0, 0.0)))
+    // ts present (nanos long, the testdata layout) so Tables.t's footer
+    // branch resolves; the contract rules never read it
+    writeTable(d, "events", StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType))),
+      Seq(Row(1L, "view", 1.0), Row(2L, "teleport", null))) // bad type + null value
+    val got = AuditQueries.expectations.build(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(("orders.o_orderkey", "not_null")) == ((4L, 1L, false)))
+    // null keys are invisible to COUNT(DISTINCT): 4 rows - 2 distinct = 2
+    assert(got(("orders.o_orderkey", "unique")) == ((4L, 2L, false)))
+    assert(got(("orders.o_totalprice", "range[0,1000000]")) == ((4L, 1L, false)))
+    assert(got(("orders.o_orderpriority", "accepted_values")) == ((4L, 1L, false)))
+    assert(got(("customer.c_mktsegment", "accepted_values")) == ((2L, 1L, false)))
+    assert(got(("lineitem.(l_orderkey,l_linenumber)", "unique")) == ((3L, 1L, false)))
+    assert(got(("lineitem.l_quantity", "range[1,50]")) == ((3L, 1L, false)))
+    assert(got(("lineitem.l_discount", "range[0,1]")) == ((3L, 1L, false)))
+    assert(got(("events.event_type", "accepted_values")) == ((2L, 1L, false)))
+    assert(got(("events.value", "not_null")) == ((2L, 1L, false)))
+  }
+
+  test("expectations on real testdata: report catches the known dup-key breach") {
+    val got = AuditQueries.expectations.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(got.size == 10, "all ten contract rules evaluated")
+    // the synthetic lineitem genuinely duplicates (l_orderkey, l_linenumber)
+    val (v, passed) = got(("lineitem.(l_orderkey,l_linenumber)", "unique"))
+    assert(v > 0 && !passed, "the report CATCHES the real composite-key breach")
+    assert(got(("orders.o_orderkey", "unique")) == ((0L, true)))
+    assert(got(("events.event_type", "accepted_values")) == ((0L, true)))
+  }
+
   test("audits run end-to-end on real testdata: star schema is orphan-free") {
     val fk = AuditQueries.fkIntegrity.build(spark, sf).collect()
     assert(fk.length == 4)

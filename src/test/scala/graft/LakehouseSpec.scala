@@ -150,6 +150,30 @@ class LakehouseSpec extends SparkSpec {
     assert(math.abs(twap - 1700.0 / 38) < 1e-12)
   }
 
+  test("incremental agg: mid-split merge equals recompute, one-sided keys kept") {
+    def at(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // old-only day (10th), delta-only day (25th), and the boundary day
+    // (21st) with rows STRADDLING the 12:00 split — min on one side, max
+    // on the other, so the cross-side monoid fold is what produces them
+    val dir = eventsDir(Seq(
+      (1L, at(10, 9), "view", 5.00), (1L, at(10, 10), "view", 1.25),
+      (2L, at(25, 9), "click", 7.00),
+      (3L, at(21, 8), "view", 0.50),  // boundary day, old side (the min)
+      (3L, at(21, 11), "view", 2.00), // boundary day, old side
+      (3L, at(21, 13), "view", 9.75), // boundary day, delta side (the max)
+      (3L, at(21, 23), "view", 3.00))) // boundary day, delta side
+    val got = LakehouseQueries.incrementalAgg.build(spark, dir)
+      .as[(String, java.sql.Date, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2.toString) -> (r._3, r._4, r._5, r._6)).toMap
+    assert(got(("view", "2024-01-10")) == ((2L, 625L, 125L, 500L)),
+      "old-only key survives the merge untouched")
+    assert(got(("click", "2024-01-25")) == ((1L, 700L, 700L, 700L)),
+      "delta-only key appears through the merge")
+    assert(got(("view", "2024-01-21")) == ((4L, 1525L, 50L, 975L)),
+      "boundary day folds across the split: count/sum add, min old, max delta")
+    assert(got.size == 3)
+  }
+
   test("adaptive bloom on real data: guarantees hold, geometry from ladder") {
     val r = LakehouseQueries.adaptiveBloom.build(spark, sf)
       .as[(Double, Long, Long, Long, Long, Long, Long, Boolean)].head()
