@@ -128,7 +128,7 @@ object ScaleProbe {
     "q_pit_join", "q_twap", "q_session_concurrency", "q_mad_robust",
     "q_hist_equiwidth", "q_rfm_segments", "q_hll_by_group", "q_ks_drift",
     "q_gini_by_type", "q_label_windows", "q_bootstrap_ci",
-    "q_incremental_agg")
+    "q_incremental_agg", "q_autocorr")
 
   /** Queries that read the STAR-SCHEMA tables (lineitem / orders / part /
     * supplier / customer — replicated input #4): the graph family (the
@@ -150,7 +150,8 @@ object ScaleProbe {
     "q_bfs_hops", "q_mutual_best_match",
     "q_fk_integrity", "q_order_reconcile",
     "q_table_profile", "q_zorder_layout", "q_skyline", "q_key_skew_report",
-    "q_bucket_join", "q_zorder_write", "q_link_predict", "q_benford_gate")
+    "q_bucket_join", "q_zorder_write", "q_link_predict", "q_benford_gate",
+    "q_entity_match")
 
   /** The remaining parquet surface — multi-table joins, the TPC-H-style
     * relational core, the window/stat/pipeline kernels — probed against

@@ -168,5 +168,85 @@ object AdvancedJoinQueries {
       .orderBy("user_id", "purchase_id")
   }
 
-  val all: Seq[Q] = Seq(asofJoin, rangeJoin, asofNearest)
+  /** ENTITY MATCHING (record linkage) — the pairwise stage of entity
+    * resolution (Fellegi & Sunter 1969): candidate pairs meet ONLY through
+    * a composite blocking key (nation × segment × $2000 balance band),
+    * are scored with integer log-weight evidence — name edit distance
+    * (Spark's codegen'd `levenshtein`) and balance proximity — and
+    * classified match / possible / non_match by fixed thresholds. The
+    * transitive-closure half of resolution is [[graft.engine.Dedup]]
+    * `components` (q_dedup_components); this query is the linkage rule
+    * that FEEDS it.
+    *
+    * Shape at 100 TB: the pair space is Θ(Σ_b n_b²) over BLOCK sizes, never
+    * all-pairs — the blocking key bounds n_b, and a df-cut drops any block
+    * over 256 members (a real pipeline escalates those to a more selective
+    * key; dropping is the honest bounded behavior, same idiom as the
+    * jaccard/simhash df caps). One keyed self-join + per-pair scalar
+    * scoring; output is candidate pairs only (evidence on at least one
+    * field), not the quadratic non-evidence space.
+    *
+    * Weights (scaled ln(m/u) convention): name ≤ 2 edits +24 else −8;
+    * |Δbal| ≤ $10 +16 else −4; match ≥ 40, possible ≥ 20. All integers. */
+  val entityMatch: Q = Q(
+    "q_entity_match",
+    """WITH b AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+      |         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+      |         GREATEST(CAST(ROUND(c_acctbal * 100) AS BIGINT), 0) // 200000 AS band
+      |  FROM customer),
+      |ok AS (
+      |  SELECT c_nationkey, c_mktsegment, band FROM b
+      |  GROUP BY 1, 2, 3 HAVING COUNT(*) <= 256),
+      |bb AS (SELECT b.* FROM b JOIN ok USING (c_nationkey, c_mktsegment, band)),
+      |p AS (
+      |  SELECT a.c_custkey AS custkey_a, x.c_custkey AS custkey_b,
+      |         levenshtein(a.c_name, x.c_name) AS name_dist,
+      |         abs(a.cents - x.cents) AS bal_diff_cents
+      |  FROM bb a JOIN bb x
+      |    ON a.c_nationkey = x.c_nationkey AND a.c_mktsegment = x.c_mktsegment
+      |   AND a.band = x.band AND a.c_custkey < x.c_custkey),
+      |s AS (
+      |  SELECT *,
+      |         (CASE WHEN name_dist <= 2 THEN 24 ELSE -8 END)
+      |       + (CASE WHEN bal_diff_cents <= 1000 THEN 16 ELSE -4 END) AS score
+      |  FROM p WHERE name_dist <= 2 OR bal_diff_cents <= 1000)
+      |SELECT custkey_a, custkey_b, CAST(name_dist AS BIGINT) AS name_dist,
+      |       bal_diff_cents, CAST(score AS BIGINT) AS score,
+      |       CASE WHEN score >= 40 THEN 'match'
+      |            WHEN score >= 20 THEN 'possible'
+      |            ELSE 'non_match' END AS verdict
+      |FROM s ORDER BY custkey_a, custkey_b""".stripMargin) { (s, dir) =>
+    val b = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      // GREATEST(.,0): floor-vs-truncate never diverges on the (real)
+      // negative balances — all non-positive balances share band 0
+      .withColumn("band", expr("GREATEST(cents, 0L) DIV 200000"))
+    val blockKey = Seq("c_nationkey", "c_mktsegment", "band")
+    val ok = b.groupBy(blockKey.map(col): _*).agg(count(lit(1)).as("n_b"))
+      .filter(col("n_b") <= 256).drop("n_b") // df-cut: oversized blocks out
+    val bb = b.join(ok, blockKey)
+    val a2 = bb.select(col("c_custkey").as("custkey_b"),
+      col("c_name").as("name_b"), col("c_nationkey"), col("c_mktsegment"),
+      col("band"), col("cents").as("cents_b"))
+    val pairs = bb.join(a2, blockKey) // keyed self-join: the blocking join
+      .filter(col("c_custkey") < col("custkey_b"))
+      .select(col("c_custkey").as("custkey_a"), col("custkey_b"),
+        levenshtein(col("c_name"), col("name_b")).cast("long").as("name_dist"),
+        abs(col("cents") - col("cents_b")).as("bal_diff_cents"))
+    pairs
+      .filter(col("name_dist") <= 2 || col("bal_diff_cents") <= 1000)
+      .withColumn("score",
+        (when(col("name_dist") <= 2, 24L).otherwise(-8L) +
+          when(col("bal_diff_cents") <= 1000, 16L).otherwise(-4L)))
+      .withColumn("verdict",
+        when(col("score") >= 40, "match")
+          .when(col("score") >= 20, "possible")
+          .otherwise("non_match"))
+      .orderBy("custkey_a", "custkey_b")
+  }
+
+  val all: Seq[Q] = Seq(asofJoin, rangeJoin, asofNearest, entityMatch)
 }

@@ -464,8 +464,144 @@ object SequenceQueries {
       .orderBy("event_type", "dow")
   }
 
+  /** AUTOCORRELATION FUNCTION (ACF) — per event type, the lag-1..7
+    * autocorrelation of the daily volume series: the standard seasonality
+    * and persistence diagnostic (Box & Jenkins) behind every forecast
+    * and anomaly model. The series is the ZERO-FILLED calendar grid
+    * (global min..max day × types), so a missing day is a real 0, not a
+    * silently skipped lag step.
+    *
+    * Exactness: with n days, S = Σx, Q = Σx², Pₖ = Σ xₜ·xₜ₋ₖ and
+    * Tₖ = Σ (xₜ + xₜ₋ₖ) over defined lags, the textbook ACF numerator
+    * and denominator scale by n² to clear the mean's fraction:
+    *   Aₖ = n²·Pₖ − n·S·Tₖ + (n−k)·S²,   D = n²·Q − n·S²
+    * acf_ppm = floor(Aₖ·10⁶ / D), computed in DECIMAL(38,0) / HUGEINT
+    * (identical value trees; daily counts up to ~10¹² stay under 38
+    * digits). Aₖ may be NEGATIVE — Spark's DIV truncates while DuckDB's
+    * `//` floors, so both engines add a +10⁷·D offset first (making the
+    * numerator positive ⇒ truncate ≡ floor) and subtract 10⁷ after.
+    * A constant series (D = 0) yields NULL acf by contract.
+    *
+    * Shape at 100 TB: ONE fact scan collapses map-side to (type, day)
+    * counts; the calendar grid is types × days (broadcast-sized); the 7
+    * lag taps ride one type-partitioned window over calendar-bounded
+    * frames; the final aggregate is 7 rows per type. */
+  val autocorr: Q = Q(
+    "q_autocorr",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+      |cal AS (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+      |        FROM span),
+      |grid AS (
+      |  SELECT ty.event_type, cal.d, COALESCE(daily.cnt, 0) AS x
+      |  FROM (SELECT DISTINCT event_type FROM daily) ty
+      |  CROSS JOIN cal
+      |  LEFT JOIN daily ON daily.event_type = ty.event_type AND daily.d = cal.d),
+      |lagged AS (
+      |  SELECT event_type, x,
+      |         LAG(x, 1) OVER w AS l1, LAG(x, 2) OVER w AS l2,
+      |         LAG(x, 3) OVER w AS l3, LAG(x, 4) OVER w AS l4,
+      |         LAG(x, 5) OVER w AS l5, LAG(x, 6) OVER w AS l6,
+      |         LAG(x, 7) OVER w AS l7
+      |  FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+      |st AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |         CAST(SUM(x) AS HUGEINT) AS s, CAST(SUM(x * x) AS HUGEINT) AS q,
+      |         SUM(CASE WHEN l1 IS NULL THEN 0 ELSE x * l1 END) AS p1,
+      |         SUM(CASE WHEN l1 IS NULL THEN 0 ELSE x + l1 END) AS t1,
+      |         SUM(CASE WHEN l2 IS NULL THEN 0 ELSE x * l2 END) AS p2,
+      |         SUM(CASE WHEN l2 IS NULL THEN 0 ELSE x + l2 END) AS t2,
+      |         SUM(CASE WHEN l3 IS NULL THEN 0 ELSE x * l3 END) AS p3,
+      |         SUM(CASE WHEN l3 IS NULL THEN 0 ELSE x + l3 END) AS t3,
+      |         SUM(CASE WHEN l4 IS NULL THEN 0 ELSE x * l4 END) AS p4,
+      |         SUM(CASE WHEN l4 IS NULL THEN 0 ELSE x + l4 END) AS t4,
+      |         SUM(CASE WHEN l5 IS NULL THEN 0 ELSE x * l5 END) AS p5,
+      |         SUM(CASE WHEN l5 IS NULL THEN 0 ELSE x + l5 END) AS t5,
+      |         SUM(CASE WHEN l6 IS NULL THEN 0 ELSE x * l6 END) AS p6,
+      |         SUM(CASE WHEN l6 IS NULL THEN 0 ELSE x + l6 END) AS t6,
+      |         SUM(CASE WHEN l7 IS NULL THEN 0 ELSE x * l7 END) AS p7,
+      |         SUM(CASE WHEN l7 IS NULL THEN 0 ELSE x + l7 END) AS t7
+      |  FROM lagged GROUP BY event_type),
+      |k AS (SELECT UNNEST(generate_series(1, 7)) AS lag),
+      |ex AS (
+      |  SELECT st.event_type, k.lag, st.n,
+      |         CASE k.lag WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3
+      |              WHEN 4 THEN p4 WHEN 5 THEN p5 WHEN 6 THEN p6
+      |              ELSE p7 END AS p,
+      |         CASE k.lag WHEN 1 THEN t1 WHEN 2 THEN t2 WHEN 3 THEN t3
+      |              WHEN 4 THEN t4 WHEN 5 THEN t5 WHEN 6 THEN t6
+      |              ELSE t7 END AS tk,
+      |         s, q
+      |  FROM st CROSS JOIN k),
+      |f AS (
+      |  SELECT event_type, lag, n,
+      |         CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * CAST(p AS HUGEINT)
+      |           - CAST(n AS HUGEINT) * s * CAST(tk AS HUGEINT)
+      |           + CAST(n - lag AS HUGEINT) * s * s AS a,
+      |         CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * q
+      |           - CAST(n AS HUGEINT) * s * s AS den
+      |  FROM ex)
+      |SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+      |       CASE WHEN den = 0 THEN NULL
+      |            ELSE CAST((a * 1000000 + 10000000 * den) // den - 10000000
+      |                      AS BIGINT) END AS acf_ppm
+      |FROM f ORDER BY event_type, lag""".stripMargin) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val cal = span.select(
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val grid = daily.select("event_type").distinct()
+      .crossJoin(broadcast(cal)) // types x calendar: broadcast-sized
+      .join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val lagged = grid.select(
+      (col("event_type") +: col("x") +:
+        (1 to 7).map(k => lag(col("x"), k).over(w).as(s"l$k"))): _*)
+    val aggs =
+      Seq(count(lit(1)).as("n"),
+        sum(col("x")).cast("decimal(38,0)").as("s"),
+        sum(col("x") * col("x")).cast("decimal(38,0)").as("q")) ++
+      (1 to 7).flatMap { k =>
+        Seq(
+          sum(when(col(s"l$k").isNull, 0L)
+            .otherwise(col("x") * col(s"l$k"))).as(s"p$k"),
+          sum(when(col(s"l$k").isNull, 0L)
+            .otherwise(col("x") + col(s"l$k"))).as(s"t$k"))
+      }
+    val st = lagged.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+    val ks = s.range(1, 8).select(col("id").as("lag"))
+    val pCase = "CASE lag WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 " +
+      "WHEN 4 THEN p4 WHEN 5 THEN p5 WHEN 6 THEN p6 ELSE p7 END"
+    val tCase = "CASE lag WHEN 1 THEN t1 WHEN 2 THEN t2 WHEN 3 THEN t3 " +
+      "WHEN 4 THEN t4 WHEN 5 THEN t5 WHEN 6 THEN t6 ELSE t7 END"
+    st.crossJoin(broadcast(ks)) // 7-row lag grid per type
+      .select(col("event_type"), col("lag"), col("n"),
+        expr(s"CAST($pCase AS DECIMAL(38,0))").as("p"),
+        expr(s"CAST($tCase AS DECIMAL(38,0))").as("tk"),
+        col("s"), col("q"))
+      .select(col("event_type"), col("lag").cast("long").as("lag"),
+        col("n").cast("long").as("n_days"),
+        expr("""CASE WHEN CAST(n AS DECIMAL(38,0)) * n * q - CAST(n AS DECIMAL(38,0)) * s * s = 0
+               |     THEN NULL
+               |     ELSE CAST(((CAST(n AS DECIMAL(38,0)) * n * p
+               |                  - CAST(n AS DECIMAL(38,0)) * s * tk
+               |                  + CAST(n - lag AS DECIMAL(38,0)) * s * s) * 1000000
+               |                 + 10000000 * (CAST(n AS DECIMAL(38,0)) * n * q
+               |                               - CAST(n AS DECIMAL(38,0)) * s * s))
+               |                DIV (CAST(n AS DECIMAL(38,0)) * n * q
+               |                     - CAST(n AS DECIMAL(38,0)) * s * s) - 10000000
+               |               AS BIGINT) END""".stripMargin).as("acf_ppm"))
+      .orderBy("event_type", "lag")
+  }
+
   val all: Seq[Q] =
     Seq(eventTransitions, ohlcBars, lastTouchAttribution, conversionTime,
       cusumChangepoint, pivotEvents, meltEvents, eventPaths, streakIslands,
-      ewmaDaily, seasonalProfile)
+      ewmaDaily, seasonalProfile, autocorr)
 }

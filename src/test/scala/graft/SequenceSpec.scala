@@ -211,6 +211,35 @@ class SequenceSpec extends SparkSpec {
       "2024-01-01 02:00:00.0" -> 1L))
   }
 
+  test("autocorr: exact ppm on an alternating series, NULL for constant") {
+    def day(d: Int, i: Int) = at(d.toLong * 1440 + i)
+    // view: 2 events on even days, NONE on odd days (the zero-fill path);
+    // click: exactly 1 event every day (constant series -> D = 0 -> NULL)
+    val rows = (0 until 8).flatMap { d =>
+      val clicks = Seq(Row(1000L + d, 9L, day(d, 1), "click", 1.0, "{}"))
+      val views =
+        if (d % 2 == 0)
+          Seq(Row(2000L + d * 2, 8L, day(d, 2), "view", 1.0, "{}"),
+            Row(2001L + d * 2, 8L, day(d, 3), "view", 1.0, "{}"))
+        else Seq.empty
+      clicks ++ views
+    }
+    val got = SequenceQueries.autocorr.build(spark, writeEvents(rows)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got.size == 14, "two types x seven lags")
+    // series [2,0,2,0,2,0,2,0]: mean 1, deviations alternate +-1, so the
+    // truncated-sum ACF at lag k is (-1)^k * (8-k)/8 exactly
+    val expect = Map(1L -> -875000L, 2L -> 750000L, 3L -> -625000L,
+      4L -> 500000L, 5L -> -375000L, 6L -> 250000L, 7L -> -125000L)
+    expect.foreach { case (k, v) =>
+      assert(got(("view", k)) == ((8L, Some(v))), s"lag $k")
+    }
+    (1L to 7L).foreach { k =>
+      assert(got(("click", k)) == ((8L, None)), "constant series: NULL acf")
+    }
+  }
+
   test("sequence queries run end-to-end on real testdata") {
     assert(SequenceQueries.eventTransitions.build(spark, sf).count() > 0)
     assert(SequenceQueries.ohlcBars.build(spark, sf).count() > 0)
