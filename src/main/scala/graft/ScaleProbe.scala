@@ -104,7 +104,8 @@ object ScaleProbe {
     "q_fuzzy_blocklist", "q_bm25_search", "q_bpe_train", "q_quality_score",
     "q_bpe_encode", "q_containment_neardup", "q_dedup_stats",
     "q_ngram_novelty", "q_sparse_cosine", "q_rouge_overlap",
-    "q_source_overlap", "q_cluster_folds", "q_feature_hash")
+    "q_source_overlap", "q_cluster_folds", "q_feature_hash",
+    "q_score_calibration")
 
   /** Queries that read ONLY the embeddings table (replicated input #2). */
   private[graft] val EmbQueries = Seq(
@@ -128,7 +129,7 @@ object ScaleProbe {
     "q_pit_join", "q_twap", "q_session_concurrency", "q_mad_robust",
     "q_hist_equiwidth", "q_rfm_segments", "q_hll_by_group", "q_ks_drift",
     "q_gini_by_type", "q_label_windows", "q_bootstrap_ci",
-    "q_incremental_agg", "q_autocorr")
+    "q_incremental_agg", "q_autocorr", "q_stl_decompose")
 
   /** Queries that read the STAR-SCHEMA tables (lineitem / orders / part /
     * supplier / customer — replicated input #4): the graph family (the
@@ -151,7 +152,7 @@ object ScaleProbe {
     "q_fk_integrity", "q_order_reconcile",
     "q_table_profile", "q_zorder_layout", "q_skyline", "q_key_skew_report",
     "q_bucket_join", "q_zorder_write", "q_link_predict", "q_benford_gate",
-    "q_entity_match")
+    "q_entity_match", "q_modularity")
 
   /** The remaining parquet surface — multi-table joins, the TPC-H-style
     * relational core, the window/stat/pipeline kernels — probed against

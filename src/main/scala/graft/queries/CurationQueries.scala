@@ -940,9 +940,99 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** CLASSIFIER CALIBRATION AUDIT — the reliability diagram + expected
+    * calibration error (ECE) for the q_quality_score linear classifier:
+    * docs bucket into 10 equal-width bins of predicted probability, and
+    * each bin compares its mean prediction against the observed rate of
+    * the target property (here: the doc actually being long, ≥ 40
+    * tokens — the signal the scorer's capped-length feature is meant to
+    * carry). The audit every model-based curation stage needs before its
+    * threshold is trusted: a gate calibrated at "0.7 ⇒ 70% keep-worthy"
+    * that actually delivers 30% silently reshapes the corpus.
+    *
+    * Exactness: per-doc pred_ppm = clamp(score)·10⁶ DIV 7·10⁸ (the score
+    * ladder's ceiling), bin = pred_ppm·10 DIV 10⁶ capped at 9; per-bin
+    * means are positive-integer DIVs; gap is an integer |a−b|;
+    * ECE_ppm = Σ n_b·gap_b DIV N exactly (weighted by bin mass). All
+    * divisions have positive operands — no floor/truncate divergence.
+    *
+    * Shape at 100 TB: one document scan computes features, score, pred
+    * and bin in-row (zero shuffles), then ONE ≤10-group aggregation; the
+    * global ECE is a 1-row broadcast joined back. */
+  val scoreCalibration: Q = Q(
+    "q_score_calibration",
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |         CAST(len(tk) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_distinct(tk)) * 1000000 // len(tk) AS BIGINT) AS distinct_ppm,
+      |         CAST(list_sum(list_transform(tk, t -> len(t))) * 1000000 // len(tk) AS BIGINT) AS wlen_ppm,
+      |         CAST(len(list_filter(tk, t -> t IN ('a', 'the'))) * 1000000 // len(tk) AS BIGINT) AS stop_ppm
+      |  FROM tk),
+      |s AS (
+      |  SELECT doc_id, n_tokens,
+      |         600 * distinct_ppm + 500000 * LEAST(n_tokens, 80)
+      |           + 20 * wlen_ppm + (-900) * stop_ppm AS score
+      |  FROM f),
+      |p AS (
+      |  SELECT doc_id, n_tokens,
+      |         LEAST(GREATEST(score, 0), 699999999) * 1000000 // 700000000
+      |           AS pred_ppm
+      |  FROM s),
+      |b AS (
+      |  SELECT LEAST(pred_ppm * 10 // 1000000, 9) AS bin,
+      |         pred_ppm, CASE WHEN n_tokens >= 40 THEN 1 ELSE 0 END AS pos
+      |  FROM p),
+      |g AS (
+      |  SELECT bin, COUNT(*) AS n,
+      |         SUM(pred_ppm) // COUNT(*) AS mean_pred_ppm,
+      |         SUM(pos) * 1000000 // COUNT(*) AS obs_rate_ppm
+      |  FROM b GROUP BY bin),
+      |gg AS (
+      |  SELECT bin, n, mean_pred_ppm, obs_rate_ppm,
+      |         abs(mean_pred_ppm - obs_rate_ppm) AS gap_ppm
+      |  FROM g)
+      |SELECT bin, CAST(n AS BIGINT) AS n_docs,
+      |       CAST(mean_pred_ppm AS BIGINT) AS mean_pred_ppm,
+      |       CAST(obs_rate_ppm AS BIGINT) AS obs_rate_ppm,
+      |       CAST(gap_ppm AS BIGINT) AS gap_ppm,
+      |       CAST((SELECT SUM(n * gap_ppm) FROM gg) // (SELECT SUM(n) FROM gg)
+      |            AS BIGINT) AS ece_ppm
+      |FROM gg ORDER BY bin""".stripMargin) { (s, dir) =>
+    val b = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        expr("CAST(size(array_distinct(tk)) AS BIGINT) * 1000000 DIV size(tk)")
+          .as("distinct_ppm"),
+        expr("aggregate(tk, 0L, (a, x) -> a + length(x)) * 1000000 DIV size(tk)")
+          .as("wlen_ppm"),
+        expr("CAST(size(filter(tk, x -> x IN ('a', 'the'))) AS BIGINT) * 1000000 DIV size(tk)")
+          .as("stop_ppm"))
+      .select(col("n_tokens"),
+        expr("""600 * distinct_ppm + 500000 * LEAST(n_tokens, 80L)
+               |  + 20 * wlen_ppm + (-900) * stop_ppm""".stripMargin).as("score"))
+      .select(
+        expr("LEAST(GREATEST(score, 0L), 699999999L) * 1000000 DIV 700000000")
+          .as("pred_ppm"),
+        when(col("n_tokens") >= 40, 1L).otherwise(0L).as("pos"))
+      .withColumn("bin", expr("LEAST(pred_ppm * 10 DIV 1000000, 9L)"))
+    val g = b.groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        expr("SUM(pred_ppm) DIV COUNT(*)").as("mean_pred_ppm"),
+        expr("SUM(pos) * 1000000 DIV COUNT(*)").as("obs_rate_ppm"))
+      .withColumn("gap_ppm", abs(col("mean_pred_ppm") - col("obs_rate_ppm")))
+    val ece = g.agg(
+      expr("SUM(n * gap_ppm) DIV SUM(n)").as("ece_ppm"))
+    g.crossJoin(broadcast(ece)) // 1-row global ECE
+      .select(col("bin"), col("n").as("n_docs"), col("mean_pred_ppm"),
+        col("obs_rate_ppm"), col("gap_ppm"), col("ece_ppm"))
+      .orderBy("bin")
+  }
+
   val all: Seq[Q] =
     Seq(substringDedup, sourceCap, lmScore, blocklistScrub, piiScrub,
       curationReport, curriculumOrder, corpusDiff, budgetMixture,
       pipelineE2e, shardManifest, stratifiedSample, fuzzyBlocklist,
-      qualityScore, ngramNovelty)
+      qualityScore, ngramNovelty, scoreCalibration)
 }

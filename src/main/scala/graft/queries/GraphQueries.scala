@@ -631,7 +631,97 @@ object GraphQueries {
       .limit(30)
   }
 
+  /** PARTITION MODULARITY — Newman-Girvan modularity of the co-purchase
+    * graph under the p_brand partition: Q = Σ_c [e_c/m − (d_c/2m)²], the
+    * standard score for "does this grouping explain the link structure?"
+    * (community detection's objective, applied here as the EVALUATION
+    * operator: the engine's cluster assignments — components, grid cells,
+    * dedup clusters — get graded against the graph they came from).
+    *
+    * Exactness: per community, contrib·10⁶ = (4m·e_c − d_c²)·10⁶ / 4m²
+    * with integer counts only; the global modularity sums the integer
+    * NUMERATORS first and divides once, so it is exact (not a sum of
+    * per-community floors). Both can be negative → the +K·den offset
+    * before the floor-division (K = 10⁷), same convention as q_autocorr.
+    * Products live in DECIMAL(38,0)/HUGEINT: m ≤ 10¹⁵ keeps 4m²·10⁶
+    * under 38 digits.
+    *
+    * Shape at 100 TB: the bounded per-order pair enumeration (object
+    * scaladoc) → support-cut edges → TWO broadcast joins to the part→brand
+    * dimension → a ~|brands|-sized aggregation. No step exceeds the edge
+    * list's own shuffle. */
+  val modularity: Q = Q(
+    "q_modularity",
+    s"""WITH $basketsCte,
+      |$pairCte,
+      |$edgeCte,
+      |lab AS (SELECT p_partkey AS pk, p_brand AS brand FROM part),
+      |e AS (
+      |  SELECT b1.brand AS brand1, b2.brand AS brand2
+      |  FROM edge JOIN lab b1 ON b1.pk = edge.p1
+      |            JOIN lab b2 ON b2.pk = edge.p2),
+      |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM e),
+      |intra AS (
+      |  SELECT brand1 AS brand, COUNT(*) AS ec FROM e
+      |  WHERE brand1 = brand2 GROUP BY brand1),
+      |deg AS (
+      |  SELECT brand, CAST(SUM(d) AS HUGEINT) AS dc FROM (
+      |    SELECT brand1 AS brand, COUNT(*) AS d FROM e GROUP BY brand1
+      |    UNION ALL
+      |    SELECT brand2 AS brand, COUNT(*) AS d FROM e GROUP BY brand2) u
+      |  GROUP BY brand),
+      |c AS (
+      |  SELECT deg.brand, COALESCE(intra.ec, 0) AS ec, deg.dc, m.m
+      |  FROM deg LEFT JOIN intra ON intra.brand = deg.brand, m),
+      |x AS (
+      |  SELECT brand, ec, dc, m,
+      |         (4 * m * CAST(ec AS HUGEINT) - dc * dc) * 1000000 AS num,
+      |         4 * m * m AS den
+      |  FROM c)
+      |SELECT brand, CAST(ec AS BIGINT) AS intra_edges, CAST(dc AS BIGINT)
+      |         AS degree_sum, CAST(m AS BIGINT) AS m_edges,
+      |       CAST((num + 10000000 * den) // den - 10000000 AS BIGINT)
+      |         AS contrib_ppm,
+      |       CAST(((SELECT SUM(num) FROM x) + 10000000 * den) // den
+      |            - 10000000 AS BIGINT) AS modularity_ppm
+      |FROM x ORDER BY brand""".stripMargin) { (s, dir) =>
+    val lab = t(s, dir, "part")
+      .select(col("p_partkey").as("pk"), col("p_brand").as("brand"))
+    val e = edges(s, dir)
+      .join(broadcast(lab.withColumnRenamed("pk", "p1")
+        .withColumnRenamed("brand", "brand1")), "p1")
+      .join(broadcast(lab.withColumnRenamed("pk", "p2")
+        .withColumnRenamed("brand", "brand2")), "p2")
+      .select("brand1", "brand2")
+      .localCheckpoint(false) // edge labels read by m / intra / deg
+    val m = e.agg(count(lit(1)).cast("decimal(38,0)").as("m"))
+    val intra = e.filter(col("brand1") === col("brand2"))
+      .groupBy(col("brand1").as("brand")).agg(count(lit(1)).as("ec"))
+    val deg = e.select(col("brand1").as("brand"))
+      .unionAll(e.select(col("brand2").as("brand")))
+      .groupBy("brand").agg(count(lit(1)).cast("decimal(38,0)").as("dc"))
+    val x = deg
+      .join(intra, Seq("brand"), "left")
+      .na.fill(0L, Seq("ec"))
+      .crossJoin(broadcast(m)) // 1-row global edge count
+      .select(col("brand"), col("ec"), col("dc"), col("m"),
+        expr("(4 * m * CAST(ec AS DECIMAL(38,0)) - dc * dc) * 1000000")
+          .as("num"),
+        expr("4 * m * m").as("den"))
+    val tot = x.agg(sum(col("num")).as("tot_num"))
+    x.crossJoin(broadcast(tot)) // 1-row numerator total
+      .select(col("brand"), col("ec").cast("long").as("intra_edges"),
+        col("dc").cast("long").as("degree_sum"),
+        col("m").cast("long").as("m_edges"),
+        expr("CAST((num + 10000000 * den) DIV den - 10000000 AS BIGINT)")
+          .as("contrib_ppm"),
+        expr("CAST((tot_num + 10000000 * den) DIV den - 10000000 AS BIGINT)")
+          .as("modularity_ppm"))
+      .orderBy("brand")
+  }
+
   val all: Seq[Q] =
     Seq(basketRules, triangleCount, pageRank, kCore, graphComponents,
-      degreeHistogram, recommendTopk, bfsHops, mutualBestMatch, linkPredict)
+      degreeHistogram, recommendTopk, bfsHops, mutualBestMatch, linkPredict,
+      modularity)
 }

@@ -600,8 +600,105 @@ object SequenceQueries {
       .orderBy("event_type", "lag")
   }
 
+  /** ADDITIVE SEASONAL-TREND DECOMPOSITION — the classical STL-style
+    * split of each type's daily volume series into trend + weekly
+    * seasonal + remainder (Cleveland's decomposition in its textbook
+    * moving-average form): trend = centered 7-day moving average (NULL on
+    * the 3 edge days each side — the classical convention), seasonal =
+    * the per-ISO-weekday mean of the detrended series, remainder = what
+    * neither explains. The anomaly-detection preprocessor: a spike is
+    * only a spike relative to trend AND weekday.
+    *
+    * Exactness: everything is integer micro-units. trend_micro =
+    * Σ₇x·10⁶ DIV 7 (positive ⇒ floor ≡ truncate); detrended = x·10⁶ −
+    * trend_micro (no division); seasonal_micro = floor(Σdet / n) via the
+    * +K·n offset (K = 10¹⁵, computed in DECIMAL(38,0)/HUGEINT — det may
+    * be negative and Spark DIV truncates where DuckDB // floors);
+    * remainder = det − seasonal (subtraction only). The series is the
+    * zero-filled calendar grid (q_autocorr's convention), so gaps are
+    * real zeros. Weekday keying is ISO Monday=1 (q_seasonal_profile's
+    * convention).
+    *
+    * Shape at 100 TB: one fact scan → (type, day) counts (map-side
+    * combined); the 7-tap trend window and the dow means run over
+    * calendar-bounded frames; seasonal joins back by BROADCAST
+    * (types × 7 rows). */
+  val stlDecompose: Q = Q(
+    "q_stl_decompose",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+      |cal AS (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+      |        FROM span),
+      |grid AS (
+      |  SELECT ty.event_type, cal.d, COALESCE(daily.cnt, 0) AS x
+      |  FROM (SELECT DISTINCT event_type FROM daily) ty
+      |  CROSS JOIN cal
+      |  LEFT JOIN daily ON daily.event_type = ty.event_type AND daily.d = cal.d),
+      |tr AS (
+      |  SELECT event_type, d, x, isodow(d) AS dow,
+      |         CASE WHEN COUNT(*) OVER w = 7
+      |              THEN SUM(x) OVER w * 1000000 // 7 END AS trend_micro
+      |  FROM grid
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+      |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |det AS (
+      |  SELECT *, x * 1000000 - trend_micro AS detrended FROM tr),
+      |seas AS (
+      |  SELECT event_type, dow,
+      |         CAST((SUM(CAST(detrended AS HUGEINT))
+      |               + 1000000000000000 * COUNT(detrended))
+      |              // COUNT(detrended) - 1000000000000000 AS BIGINT)
+      |           AS seasonal_micro
+      |  FROM det WHERE detrended IS NOT NULL
+      |  GROUP BY event_type, dow)
+      |SELECT det.event_type, det.d, CAST(det.x AS BIGINT) AS x,
+      |       CAST(det.dow AS BIGINT) AS dow,
+      |       CAST(det.trend_micro AS BIGINT) AS trend_micro,
+      |       CAST(seas.seasonal_micro AS BIGINT) AS seasonal_micro,
+      |       CAST(det.detrended - seas.seasonal_micro AS BIGINT)
+      |         AS remainder_micro
+      |FROM det JOIN seas
+      |  ON seas.event_type = det.event_type AND seas.dow = det.dow
+      |ORDER BY det.event_type, det.d""".stripMargin) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val cal = span.select(
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val grid = daily.select("event_type").distinct()
+      .crossJoin(broadcast(cal)) // types x calendar: broadcast-sized
+      .join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    val det = grid
+      .withColumn("dow", weekday(col("d")) + 1) // ISO Monday = 1
+      .withColumn("c7", count(lit(1)).over(w))
+      .withColumn("s7", sum(col("x")).over(w))
+      .withColumn("trend_micro",
+        expr("CASE WHEN c7 = 7 THEN s7 * 1000000 DIV 7 END"))
+      .drop("c7", "s7")
+      .withColumn("detrended", col("x") * lit(1000000L) - col("trend_micro"))
+    val seas = det.filter(col("detrended").isNotNull)
+      .groupBy("event_type", "dow")
+      .agg(expr("""CAST((SUM(CAST(detrended AS DECIMAL(38,0)))
+                 |      + 1000000000000000 * COUNT(detrended))
+                 |     DIV COUNT(detrended) - 1000000000000000 AS BIGINT)"""
+        .stripMargin).as("seasonal_micro"))
+    det.join(broadcast(seas), Seq("event_type", "dow")) // types x 7 rows
+      .select(col("event_type"), col("d"), col("x").cast("long").as("x"),
+        col("dow").cast("long").as("dow"),
+        col("trend_micro"), col("seasonal_micro"),
+        (col("detrended") - col("seasonal_micro")).cast("long")
+          .as("remainder_micro"))
+      .orderBy("event_type", "d")
+  }
+
   val all: Seq[Q] =
     Seq(eventTransitions, ohlcBars, lastTouchAttribution, conversionTime,
       cusumChangepoint, pivotEvents, meltEvents, eventPaths, streakIslands,
-      ewmaDaily, seasonalProfile, autocorr)
+      ewmaDaily, seasonalProfile, autocorr, stlDecompose)
 }

@@ -339,4 +339,28 @@ class CurationSpec extends SparkSpec {
     assert(originals.count(_._4 > 0.9) > originals.length * 9 / 10,
       "original docs should be overwhelmingly novel")
   }
+
+  test("score calibration: bins, gaps and ECE match a hand-computed table") {
+    // docA: 80 distinct 6-char tokens -> score 760e6, clamps to the
+    //       ladder ceiling -> pred 999999, bin 9, long (pos)
+    // docB: 'the' x10 -> score -775e6, clamps to 0 -> bin 0, short
+    // docC: 20 distinct 3-char tokens x2 (n=40) -> pred 542857, bin 5, long
+    // docD: 15 distinct 3-char tokens x2 (n=30) -> pred 535714, bin 5, short
+    val docA = (0 until 80).map(i => f"tok$i%03d").mkString(" ")
+    val docB = Seq.fill(10)("the").mkString(" ")
+    val docC = (0 until 20).flatMap(i => Seq(f"w$i%02d", f"w$i%02d")).mkString(" ")
+    val docD = (0 until 15).flatMap(i => Seq(f"w$i%02d", f"w$i%02d")).mkString(" ")
+    val dir = corpusDir(Seq(
+      (0L, docA, "s"), (1L, docB, "s"), (2L, docC, "s"), (3L, docD, "s")))
+    val got = CurationQueries.scoreCalibration.build(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got(9L) == ((1L, 999999L, 1000000L, 1L, 19642L)))
+    assert(got(0L) == ((1L, 0L, 0L, 0L, 19642L)))
+    // bin 5: mean_pred = (542857 + 535714) DIV 2 = 539285, obs = 500000,
+    // gap = 39285; ECE = (2*39285 + 1*1 + 1*0) DIV 4 = 19642
+    assert(got(5L) == ((2L, 539285L, 500000L, 39285L, 19642L)))
+    assert(got.size == 3, "only populated bins appear")
+  }
 }

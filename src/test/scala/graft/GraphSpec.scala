@@ -141,6 +141,27 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("modularity: exact negative ppm on the crafted brand partition") {
+    // brands: {1,2,3} -> A, {4,5} -> B over edges {1-2, 2-3, 1-3, 3-4}:
+    // m=4, e_A=3, e_B=0, d_A=7, d_B=1
+    // Q = (3/4 - (7/8)^2) + (0 - (1/8)^2) = -1/32 -> -31250 ppm, and each
+    // community contributes floor(-1e6/64) = -15625 — the negative-path
+    // offset floor both engines must take identically
+    val partSchema = StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_brand", StringType)))
+    val parts = Seq(Row(1L, "A"), Row(2L, "A"), Row(3L, "A"),
+      Row(4L, "B"), Row(5L, "B"))
+    spark.createDataFrame(spark.sparkContext.parallelize(parts, 2), partSchema)
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = GraphQueries.modularity.build(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got("A") == ((3L, 7L, 4L, -15625L, -31250L)))
+    assert(got("B") == ((0L, 1L, 4L, -15625L, -31250L)))
+    assert(got.size == 2, "node 5 (support-cut) contributes no community row")
+  }
+
   test("graph queries run end-to-end on real testdata") {
     val tri = GraphQueries.triangleCount.build(spark, sf).collect()
     assert(tri.head.getAs[Long]("n_triangles") > 0)

@@ -240,6 +240,54 @@ class SequenceSpec extends SparkSpec {
     }
   }
 
+  test("stl: trend/seasonal/remainder match a naive recompute, edges NULL") {
+    def day(d: Int, i: Int) = at(d.toLong * 1440 + i)
+    // 14 days of "view" with a weekly sawtooth + ramp; day 5 has NO rows
+    // (the zero-fill path — days 0 and 13 anchor the calendar span).
+    // Counts: d -> (d % 7) + 1 + (if d >= 7 then 2 else 0), d5 = 0
+    val counts = (0 until 14).map(d =>
+      if (d == 5) 0 else (d % 7) + 1 + (if (d >= 7) 2 else 0))
+    val rows = for {
+      d <- 0 until 14
+      i <- 0 until counts(d)
+    } yield Row(d * 100L + i, 1L, day(d, i), "view", 1.0, "{}")
+    // day 5 must still exist on the calendar: plant a click that day so the
+    // global span covers it... the span is min..max over ALL types, and
+    // days 0 and 13 have view rows, so the span already includes day 5.
+    val got = SequenceQueries.stlDecompose.build(spark, writeEvents(rows))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getLong(5),
+          if (r.isNullAt(6)) None else Some(r.getLong(6)))).toMap
+    // naive recompute, integer micro-units exactly as documented
+    val x = counts.map(_.toLong)
+    val trend = (0 until 14).map { t =>
+      if (t < 3 || t > 10) None
+      else Some((t - 3 to t + 3).map(x).sum * 1000000L / 7L)
+    }
+    val det = (0 until 14).map(t => trend(t).map(x(t) * 1000000L - _))
+    // 2024-01-01 is a Monday: dow(d) = d % 7 + 1
+    val seas = (1 to 7).map { dw =>
+      val ds = (0 until 14).filter(_ % 7 + 1 == dw).flatMap(det(_))
+      dw.toLong -> {
+        val (s, n) = (ds.sum, ds.size)
+        // floor division (values may be negative)
+        Math.floorDiv(s, n.toLong)
+      }
+    }.toMap
+    (0 until 14).foreach { d =>
+      val key = ("view", f"2024-01-${d + 1}%02d")
+      val (gx, gdow, gtrend, gseas, grem) = got(key)
+      assert(gx == x(d), s"day $d count")
+      assert(gdow == d % 7 + 1, s"day $d ISO weekday")
+      assert(gtrend == trend(d), s"day $d trend")
+      assert(gseas == seas(d % 7 + 1L), s"day $d seasonal")
+      assert(grem == det(d).map(_ - seas(d % 7 + 1L)), s"day $d remainder")
+    }
+  }
+
   test("sequence queries run end-to-end on real testdata") {
     assert(SequenceQueries.eventTransitions.build(spark, sf).count() > 0)
     assert(SequenceQueries.ohlcBars.build(spark, sf).count() > 0)
