@@ -113,7 +113,7 @@ object ScaleProbe {
     "q_ann_ivf_learned", "q_ann_recall", "q_embed_neardup",
     "q_quantize_roundtrip", "q_knn_classify", "q_ncm_classify",
     "q_semantic_decontaminate", "q_ann_pq", "q_semdedup", "q_grid_cluster",
-    "q_mmr_diversify")
+    "q_mmr_diversify", "q_gram_matrix")
 
   /** Queries that read ONLY the events table (replicated input #3). */
   private[graft] val EvQueries = Seq(
@@ -129,7 +129,7 @@ object ScaleProbe {
     "q_pit_join", "q_twap", "q_session_concurrency", "q_mad_robust",
     "q_hist_equiwidth", "q_rfm_segments", "q_hll_by_group", "q_ks_drift",
     "q_gini_by_type", "q_label_windows", "q_bootstrap_ci",
-    "q_incremental_agg", "q_autocorr", "q_stl_decompose")
+    "q_incremental_agg", "q_autocorr", "q_stl_decompose", "q_dp_counts")
 
   /** Queries that read the STAR-SCHEMA tables (lineitem / orders / part /
     * supplier / customer — replicated input #4): the graph family (the
@@ -152,7 +152,7 @@ object ScaleProbe {
     "q_fk_integrity", "q_order_reconcile",
     "q_table_profile", "q_zorder_layout", "q_skyline", "q_key_skew_report",
     "q_bucket_join", "q_zorder_write", "q_link_predict", "q_benford_gate",
-    "q_entity_match", "q_modularity")
+    "q_entity_match", "q_modularity", "q_kanonymity")
 
   /** The remaining parquet surface — multi-table joins, the TPC-H-style
     * relational core, the window/stat/pipeline kernels — probed against

@@ -481,7 +481,77 @@ object AuditQueries {
       .orderBy("target", "rule")
   }
 
+  /** K-ANONYMITY AUDIT — the re-identification risk report (Sweeney 2002)
+    * a privacy review runs before any customer-grained release: group
+    * rows into quasi-identifier classes and count how many sit in classes
+    * smaller than k = 5 (each such row is linkable by an adversary who
+    * knows the QI tuple). Three generalization levels are audited in ONE
+    * report — the full QI (nation × segment × $1000 balance band), the
+    * band dropped, and nation dropped too — showing how coarsening buys
+    * anonymity: the release picks the first k-anonymous level.
+    *
+    * Shape at 100 TB: each level is a two-stage aggregation (QI-class
+    * sizes map-side combined, then a class-count-sized summary) over the
+    * pruned QI columns; the three levels scan once each (a rollup-style
+    * shared scan is possible but obscures the per-level plan — class
+    * counts are dimension-sized either way). The band clamps at 0 (the
+    * q_entity_match convention) so floor-vs-truncate never diverges on
+    * negative balances. */
+  val kAnonymity: Q = {
+    val k = 5
+    Q(
+      "q_kanonymity",
+      s"""WITH b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         GREATEST(CAST(ROUND(c_acctbal * 100) AS BIGINT), 0) // 100000
+        |           AS band
+        |  FROM customer),
+        |l0 AS (SELECT COUNT(*) AS sz FROM b
+        |       GROUP BY c_nationkey, c_mktsegment, band),
+        |l1 AS (SELECT COUNT(*) AS sz FROM b GROUP BY c_nationkey, c_mktsegment),
+        |l2 AS (SELECT COUNT(*) AS sz FROM b GROUP BY c_mktsegment),
+        |r AS (
+        |  SELECT 0 AS level, 'nation,segment,band' AS qi, COUNT(*) AS n_classes,
+        |         CAST(SUM(sz) AS BIGINT) AS n_rows, CAST(MIN(sz) AS BIGINT) AS min_class,
+        |         CAST(SUM(CASE WHEN sz < $k THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk
+        |  FROM l0
+        |  UNION ALL
+        |  SELECT 1, 'nation,segment', COUNT(*), CAST(SUM(sz) AS BIGINT),
+        |         CAST(MIN(sz) AS BIGINT),
+        |         CAST(SUM(CASE WHEN sz < $k THEN sz ELSE 0 END) AS BIGINT)
+        |  FROM l1
+        |  UNION ALL
+        |  SELECT 2, 'segment', COUNT(*), CAST(SUM(sz) AS BIGINT),
+        |         CAST(MIN(sz) AS BIGINT),
+        |         CAST(SUM(CASE WHEN sz < $k THEN sz ELSE 0 END) AS BIGINT)
+        |  FROM l2)
+        |SELECT CAST(level AS BIGINT) AS level, qi, CAST(n_classes AS BIGINT)
+        |         AS n_classes, n_rows, min_class, rows_at_risk,
+        |       rows_at_risk = 0 AS k_anonymous
+        |FROM r ORDER BY level""".stripMargin) { (s, dir) =>
+      val b = t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("GREATEST(CAST(ROUND(c_acctbal * 100) AS BIGINT), 0L) DIV 100000")
+            .as("band"))
+      def level(lvl: Int, qi: String, keys: Seq[String]): DataFrame =
+        b.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_classes"), sum(col("sz")).as("n_rows"),
+            min(col("sz")).as("min_class"),
+            sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("rows_at_risk"))
+          .select(lit(lvl.toLong).as("level"), lit(qi).as("qi"),
+            col("n_classes"), col("n_rows"), col("min_class"),
+            col("rows_at_risk"))
+      level(0, "nation,segment,band",
+          Seq("c_nationkey", "c_mktsegment", "band"))
+        .unionByName(level(1, "nation,segment",
+          Seq("c_nationkey", "c_mktsegment")))
+        .unionByName(level(2, "segment", Seq("c_mktsegment")))
+        .withColumn("k_anonymous", col("rows_at_risk") === 0L)
+        .orderBy("level")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(fkIntegrity, orderReconcile, abLift, rfmSegments, benfordGate,
-      expectations)
+      expectations, kAnonymity)
 }

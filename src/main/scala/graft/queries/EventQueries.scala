@@ -942,9 +942,69 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** DIFFERENTIALLY-PRIVATE COUNT RELEASE — per-(type, day) event counts
+    * with two-sided geometric noise (the discrete Laplace mechanism,
+    * Ghosh-Roughgarden-Sundararajan: the universally optimal mechanism
+    * for counts) at α = 1/2, i.e. ε = ln 2 per released cell. The noise
+    * draw is DETERMINISTIC: md5-32 of "dp:<type>:<day>" inverse-CDF'd
+    * through the exact ladder floor(CDF·2³²) — P(k) = (1/3)·2^(−|k|),
+    * whose CDF values are exact dyadic thirds, the same literal-table
+    * trick as the bootstrap's Poisson draws and the HLL ln table (no
+    * libm, no RNG — both engines draw the identical noise, so the release
+    * hash-matches). Tails clamp at ±8 (P(|K| ≥ 8) = 2/384 folds into the
+    * end buckets). noisy_n floors at 0 (counts are non-negative by
+    * post-processing, which DP permits). true_n is emitted for the AUDIT
+    * gate only — a production release drops that column.
+    *
+    * Shape at 100 TB: one fact scan → map-side-combined (type, day)
+    * counts; the noise is an in-row expression on the dimension-sized
+    * aggregate. Zero extra shuffles over the plain count. */
+  val dpCounts: Q = {
+    // thresholds t_k = floor(CDF(k) * 2^32) for k = -8..7; u >= last -> +8
+    val cdfNum = Seq( // CDF as exact fractions num/384 (k = -8..7)
+      1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, // CDF(-8..-1) = 2^(k+8)/384*...
+      256L, 320L, 352L, 368L, 376L, 380L, 382L, 383L)
+    val thresholds = cdfNum.map(n => (n * 4294967296L) / 384L)
+    def ladder(u: String) =
+      thresholds.zipWithIndex.map { case (th, i) =>
+        s"WHEN $u < ${th}L THEN ${i - 8}L"
+      }.mkString("CASE ", " ", " ELSE 8L END")
+    def ladderSql(u: String) =
+      thresholds.zipWithIndex.map { case (th, i) =>
+        s"WHEN $u < $th THEN ${i - 8}"
+      }.mkString("CASE ", " ", " ELSE 8 END")
+    Q(
+      "q_dp_counts",
+      s"""WITH c AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |u AS (
+        |  SELECT event_type, day, n,
+        |         CAST(('0x' || substr(md5('dp:' || event_type || ':'
+        |                || CAST(day AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+        |  FROM c),
+        |z AS (SELECT event_type, day, n, ${ladderSql("u")} AS noise FROM u)
+        |SELECT event_type, day, CAST(n AS BIGINT) AS true_n,
+        |       CAST(noise AS BIGINT) AS noise,
+        |       GREATEST(CAST(n + noise AS BIGINT), 0) AS noisy_n
+        |FROM z ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("u", graft.functions.Text.md5Hash32(
+          concat(lit("dp:"), col("event_type"), lit(":"),
+            col("day").cast("string"))))
+        .withColumn("noise", expr(ladder("u")))
+        .select(col("event_type"), col("day"), col("n").as("true_n"),
+          col("noise"),
+          greatest(col("n") + col("noise"), lit(0L)).as("noisy_n"))
+        .orderBy("event_type", "day")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(jsonExtract, windowTumbling, windowSliding, windowSession, eventFunnel,
       retentionCohorts, sessionTrajectories, hllDistinct, hllByGroup,
       bloomPrune, cmsHeavy, kmvDistinct, cdcMerge, cmsJoinSize,
-      sessionConcurrency, labelWindows)
+      sessionConcurrency, labelWindows, dpCounts)
 }

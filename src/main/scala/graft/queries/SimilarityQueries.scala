@@ -1733,10 +1733,80 @@ object SimilarityQueries {
       .orderBy("rank")
   }
 
+  /** EMBEDDING GRAM / COVARIANCE MATRIX — the 64×64 second-moment matrix
+    * of the (milli-quantized) embedding corpus, upper triangle only:
+    * G[i,j] = Σ_rows qᵢ·qⱼ plus the exact covariance numerator
+    * n·G[i,j] − Sᵢ·Sⱼ. The one-pass reduction every spectral step
+    * downstream of an embedding pipeline starts from — PCA, whitening,
+    * low-rank compression (PQ's rotation), drift detection between
+    * embedding model versions — computed as a DATASET aggregate (the
+    * d² accumulator shape), not a per-pair join.
+    *
+    * Exactness: components quantize to round(x·1000) integers first
+    * (|q| ≤ ~1000 for unit-norm vectors), products and sums stay integer;
+    * the covariance numerator lives in DECIMAL(38,0)/HUGEINT (n·G at
+    * 10¹² rows is ~10³⁰ — past BIGINT, inside 38 digits).
+    *
+    * Shape at 100 TB: ONE corpus scan; each row expands to its C(65,2) =
+    * 2080 upper-triangle cells via the same in-row nested-`transform`
+    * idiom as the graph pair enumeration (constant 2080× fan-out — a
+    * plan constant, not data-dependent) feeding a map-side-combined
+    * 2080-group aggregation; the 64 per-dim sums aggregate in the same
+    * pass from the diagonal cells and join back by BROADCAST. */
+  val gramMatrix: Q = Q(
+    "q_gram_matrix",
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |comp AS (
+      |  SELECT q.vec_id, u.i, q.qv[u.i] AS x
+      |  FROM q, UNNEST(range(1, len(q.qv) + 1)) AS u(i)),
+      |cells AS (
+      |  SELECT a.i AS i, b.i AS j, a.x * b.x AS p
+      |  FROM comp a JOIN comp b
+      |    ON a.vec_id = b.vec_id AND a.i <= b.i),
+      |g AS (
+      |  SELECT i, j, COUNT(*) AS n, CAST(SUM(p) AS HUGEINT) AS dot
+      |  FROM cells GROUP BY i, j),
+      |marg AS (
+      |  SELECT i, CAST(SUM(x) AS HUGEINT) AS s FROM comp GROUP BY i)
+      |SELECT CAST(g.i AS BIGINT) AS i, CAST(g.j AS BIGINT) AS j,
+      |       CAST(g.n AS BIGINT) AS n, CAST(g.dot AS BIGINT) AS dot,
+      |       CAST(g.n * g.dot - mi.s * mj.s AS BIGINT) AS cov_num
+      |FROM g JOIN marg mi ON mi.i = g.i JOIN marg mj ON mj.i = g.j
+      |ORDER BY i, j""".stripMargin) { (s, dir) =>
+    val q = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("qv"))
+    // in-row upper-triangle expansion: 1-based (i, j, q_i * q_j) structs
+    val cells = q.select(explode(expr(
+      """flatten(transform(qv, (x, i) ->
+        |  transform(slice(qv, i + 1, size(qv)), (y, j) ->
+        |    struct(i + 1 AS i, i + j + 1 AS j, x * y AS p))))""".stripMargin))
+      .as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+    val g = cells.groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("p")).cast("decimal(38,0)").as("dot"))
+    val sums = q.select(explode(expr(
+      "transform(qv, (x, i) -> struct(i + 1 AS i, x AS x))")).as("c"))
+      .select(col("c.i").as("i"), col("c.x").as("x"))
+      .groupBy("i").agg(sum(col("x")).cast("decimal(38,0)").as("s"))
+    g.join(broadcast(sums.select(col("i"), col("s").as("si"))), "i")
+      .join(broadcast(sums.select(col("i").as("j"), col("s").as("sj"))), "j")
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n").cast("long").as("n"), col("dot").cast("long").as("dot"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * dot - si * sj AS BIGINT)")
+          .as("cov_num"))
+      .orderBy("i", "j")
+  }
+
   val all: Seq[Q] =
     Seq(cosineTopK, annIvf, annIvfLearned, annInt8, annLsh, minhashNearDup,
       simhashNearDup, embedNearDup, dedupComponents, dedupCanonical,
       nearDupVerify, winnowPairs, quantizeRoundtrip, annRecall, splitLeakage,
       annPq, dedupStats, semDedup, sparseCosine, rougeOverlap, gridCluster,
-      clusterFolds, mmrDiversify)
+      clusterFolds, mmrDiversify, gramMatrix)
 }

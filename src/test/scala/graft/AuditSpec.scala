@@ -215,6 +215,53 @@ class AuditSpec extends SparkSpec {
     assert(got(("events.event_type", "accepted_values")) == ((0L, true)))
   }
 
+  test("k-anonymity: risk shrinks up the generalization ladder") {
+    val d = Files.createTempDirectory("graft-kanon").toString
+    writeTable(d, "customer", StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType), StructField("c_mktsegment", StringType))),
+      // (1, BUILDING, band0) x6 — safe at every level
+      (1 to 6).map(i => Row(i.toLong, 1, 500.0, "BUILDING")) ++
+      // (1, BUILDING, band2) x2 — at risk at level 0, merges safe at level 1
+      Seq(Row(7L, 1, 2500.0, "BUILDING"), Row(8L, 1, 2500.0, "BUILDING")) ++
+      // MACHINERY splits 3 + 2 across nations: at risk until nation drops
+      Seq(Row(9L, 2, 500.0, "MACHINERY"), Row(10L, 2, 500.0, "MACHINERY"),
+        Row(11L, 2, 500.0, "MACHINERY"),
+        Row(12L, 3, 500.0, "MACHINERY"), Row(13L, 3, 500.0, "MACHINERY")))
+    val got = AuditQueries.kAnonymity.build(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .toMap
+    assert(got(0L) == ((4L, 13L, 2L, 7L, false)), "full QI: 7 rows linkable")
+    assert(got(1L) == ((3L, 13L, 2L, 5L, false)), "band dropped: bal pair merges")
+    assert(got(2L) == ((2L, 13L, 5L, 0L, true)), "segment-only IS 5-anonymous")
+  }
+
+  test("dp counts: noise equals the md5 inverse-CDF ladder, release >= 0") {
+    import graft.queries.EventQueries
+    val got = EventQueries.dpCounts.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    def md5h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val cdfNum = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L,
+      256L, 320L, 352L, 368L, 376L, 380L, 382L, 383L)
+    val ths = cdfNum.map(n => n * 4294967296L / 384L)
+    def draw(u: Long): Long = ths.indexWhere(u < _) match {
+      case -1 => 8L; case k => k.toLong - 8L
+    }
+    assert(got.nonEmpty)
+    got.foreach { case (tpe, day, n, noise, noisy) =>
+      assert(noise == draw(md5h32(s"dp:$tpe:$day")), s"$tpe/$day noise draw")
+      assert(noisy == math.max(n + noise, 0L), s"$tpe/$day post-processing")
+      assert(math.abs(noise) <= 8)
+    }
+    assert(got.exists(_._4 != 0L), "the mechanism actually perturbs")
+  }
+
   test("audits run end-to-end on real testdata: star schema is orphan-free") {
     val fk = AuditQueries.fkIntegrity.build(spark, sf).collect()
     assert(fk.length == 4)

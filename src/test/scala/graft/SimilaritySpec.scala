@@ -627,4 +627,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.map(_._2).sum == csz.size.toLong)
     assert(got.values.map(_._1).sum == asg.length.toLong)
   }
+
+  test("gram matrix: hand-computed triangle, marginals and covariance") {
+    val d = java.nio.file.Files.createTempDirectory("graft-gram").toString
+    Seq(
+      (1L, Seq(1.0f, 2.0f, -1.0f), 0),
+      (2L, Seq(0.5f, 0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = graft.queries.SimilarityQueries.gramMatrix.build(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // q1 = [1000, 2000, -1000], q2 = [500, 0, 1000]; S = [1500, 2000, 0]
+    assert(got((1L, 1L)) == ((2L, 1250000L, 250000L)))
+    assert(got((1L, 2L)) == ((2L, 2000000L, 1000000L)))
+    assert(got((1L, 3L)) == ((2L, -500000L, -1000000L)))
+    assert(got((2L, 2L)) == ((2L, 4000000L, 4000000L)))
+    assert(got((2L, 3L)) == ((2L, -2000000L, -4000000L)))
+    assert(got((3L, 3L)) == ((2L, 2000000L, 4000000L)))
+    assert(got.size == 6, "upper triangle only: C(4,2) = 6 cells for d=3")
+  }
 }
