@@ -105,7 +105,7 @@ object StreamBench {
           name == "ohlc" || name == "streaks" ||
           name == "pit_lookup" || name == "concurrency" ||
           name == "scd2_apply" || name == "bitmap_registers" ||
-          name == "ks_registers") s"$work/events"
+          name == "ks_registers" || name == "daily_mv") s"$work/events"
         else if (name == "semantic_hits") s"$work/vecs"
         else s"$work/docs"
       val t0 = System.nanoTime()
@@ -160,6 +160,8 @@ object StreamBench {
           df.select(col("event_id"), col("user_id"), col("ts"),
             col("value")).as[streaming.AnomEvent]).toDF()),
       run("ohlc", nEvents)(df => streaming.Streams.ohlcBars(df)),
+      run("daily_mv", nEvents, mode = "complete")(df =>
+        streaming.Streams.dailyMvState(df)),
       run("streaks", nEvents)(df =>
         streaming.Streams.activityStreaks(
           df.select(col("user_id"), col("ts")).as[streaming.DayEvent]).toDF()),

@@ -584,6 +584,26 @@ object Streams {
       .select(col("w.start").as("wstart"), col("event_type"),
         col("n_events"), col("open"), col("high"), col("low"), col("close"))
 
+  /** Streaming MATERIALIZED-VIEW state — the online half of
+    * q_incremental_agg: per-(event_type, day) count/sum/min/max over
+    * integer cents, maintained incrementally under Update/Complete
+    * output. Each micro-batch's partial folds into standing state by the
+    * SAME monoid algebra the batch query's union+re-aggregate uses
+    * (counts add, sums add, mins/maxes fold — all order-free), so after
+    * any micro-batch split the state table is bit-identical to the batch
+    * MV over the same rows (StreamingSpec proves it across a mid-day
+    * split). One slim row of state per touched (type, day); a production
+    * deployment adds a watermark to evict closed days. */
+  def dailyMvState(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+        min(round(col("value") * 100).cast("long")).as("min_cents"),
+        max(round(col("value") * 100).cast("long")).as("max_cents"))
+      .select(col("event_type"), to_date(col("w.start")).as("day"),
+        col("n"), col("sum_cents"), col("min_cents"), col("max_cents"))
+
   /** Streaming HLL register maintenance — the incremental form of
     * q_hll_distinct's register bank for a continuously-arriving key
     * stream: `groupBy(bucket).max(rank)` under Update/Complete output

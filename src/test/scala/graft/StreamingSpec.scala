@@ -1194,4 +1194,47 @@ class StreamingSpec extends SparkSpec {
       (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L, 5.0),
       (Timestamp.valueOf("2024-01-01 11:00:00"), "click", 1L, 7.0)))
   }
+
+  test("dailyMvState: streamed MV bit-matches q_incremental_agg at a mid-day split") {
+    implicit val ctx = spark.sqlContext
+    def at(d: Int, h: Int, tpe: String, v: Double) = StreamEvent(
+      1L, Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00"), tpe, v)
+    // the q_incremental_agg fixture shape: old-only day, delta-only day,
+    // and a boundary day whose rows straddle the batch split (min on one
+    // side, max on the other)
+    val older = Seq(
+      at(10, 9, "view", 5.00), at(10, 10, "view", 1.25),
+      at(21, 8, "view", 0.50), at(21, 11, "view", 2.00))
+    val newer = Seq(
+      at(25, 9, "click", 7.00),
+      at(21, 13, "view", 9.75), at(21, 23, "view", 3.00))
+    val in = MemoryStream[StreamEvent]
+    val q = Streams.dailyMvState(in.toDF())
+      .writeStream.format("memory").queryName("mv").outputMode("complete").start()
+    try {
+      in.addData(older: _*)
+      q.processAllAvailable()
+      in.addData(newer: _*) // the delta batch folds INTO standing state
+      q.processAllAvailable()
+      val streamed = spark.table("mv")
+        .as[(String, java.sql.Date, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2.toString, r._3, r._4, r._5, r._6)).toSet
+      // batch MV over the same rows, through the parquet contract
+      import org.apache.spark.sql.functions.{col, lit, unix_micros}
+      val dir = java.nio.file.Files.createTempDirectory("stream-mv").toString
+      (older ++ newer).toDF()
+        .select(unix_micros(col("ts")).as("event_id"),
+          (unix_micros(col("ts")) * 1000).as("ts"), col("user_id"),
+          col("event_type"), col("value"), lit("{}").as("props"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = graft.queries.LakehouseQueries.incrementalAgg
+        .build(spark, dir)
+        .as[(String, java.sql.Date, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2.toString, r._3, r._4, r._5, r._6)).toSet
+      assert(streamed == batch,
+        s"stream-only: ${streamed diff batch}, batch-only: ${batch diff streamed}")
+      assert(streamed.exists(r => r._2 == "2024-01-21" && r._3 == 4L),
+        "the boundary day folded across the micro-batch split")
+    } finally q.stop()
+  }
 }
