@@ -152,7 +152,7 @@ object ScaleProbe {
     "q_fk_integrity", "q_order_reconcile",
     "q_table_profile", "q_zorder_layout", "q_skyline", "q_key_skew_report",
     "q_bucket_join", "q_zorder_write", "q_link_predict", "q_benford_gate",
-    "q_entity_match", "q_modularity", "q_kanonymity")
+    "q_entity_match", "q_modularity", "q_kanonymity", "q_entity_resolve")
 
   /** The remaining parquet surface — multi-table joins, the TPC-H-style
     * relational core, the window/stat/pipeline kernels — probed against

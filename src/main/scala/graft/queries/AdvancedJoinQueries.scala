@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Det.dsum
@@ -188,9 +189,11 @@ object AdvancedJoinQueries {
     *
     * Weights (scaled ln(m/u) convention): name ≤ 2 edits +24 else −8;
     * |Δbal| ≤ $10 +16 else −4; match ≥ 40, possible ≥ 20. All integers. */
-  val entityMatch: Q = Q(
-    "q_entity_match",
-    """WITH b AS (
+  /** Shared blocking+scoring CTE chain (b -> ok -> bb -> p -> s): the ONE
+    * linkage rule both the pairwise readout and the resolution pipeline
+    * mirror, so the rule audited is the rule resolved. */
+  private val linkCtes =
+    """b AS (
       |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
       |         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
       |         GREATEST(CAST(ROUND(c_acctbal * 100) AS BIGINT), 0) // 200000 AS band
@@ -210,20 +213,21 @@ object AdvancedJoinQueries {
       |  SELECT *,
       |         (CASE WHEN name_dist <= 2 THEN 24 ELSE -8 END)
       |       + (CASE WHEN bal_diff_cents <= 1000 THEN 16 ELSE -4 END) AS score
-      |  FROM p WHERE name_dist <= 2 OR bal_diff_cents <= 1000)
-      |SELECT custkey_a, custkey_b, CAST(name_dist AS BIGINT) AS name_dist,
-      |       bal_diff_cents, CAST(score AS BIGINT) AS score,
-      |       CASE WHEN score >= 40 THEN 'match'
-      |            WHEN score >= 20 THEN 'possible'
-      |            ELSE 'non_match' END AS verdict
-      |FROM s ORDER BY custkey_a, custkey_b""".stripMargin) { (s, dir) =>
-    val b = t(s, dir, "customer")
+      |  FROM p WHERE name_dist <= 2 OR bal_diff_cents <= 1000)""".stripMargin
+
+  /** Customer base with cents + clamped band (Spark twin of CTE `b`). */
+  private def custBase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_mktsegment"),
         round(col("c_acctbal") * 100).cast("long").as("cents"))
       // GREATEST(.,0): floor-vs-truncate never diverges on the (real)
       // negative balances — all non-positive balances share band 0
       .withColumn("band", expr("GREATEST(cents, 0L) DIV 200000"))
+
+  /** Scored candidate pairs (Spark twin of CTE chain b..s). */
+  private def scoredCandidates(s: SparkSession, dir: String): DataFrame = {
+    val b = custBase(s, dir)
     val blockKey = Seq("c_nationkey", "c_mktsegment", "band")
     val ok = b.groupBy(blockKey.map(col): _*).agg(count(lit(1)).as("n_b"))
       .filter(col("n_b") <= 256).drop("n_b") // df-cut: oversized blocks out
@@ -231,16 +235,27 @@ object AdvancedJoinQueries {
     val a2 = bb.select(col("c_custkey").as("custkey_b"),
       col("c_name").as("name_b"), col("c_nationkey"), col("c_mktsegment"),
       col("band"), col("cents").as("cents_b"))
-    val pairs = bb.join(a2, blockKey) // keyed self-join: the blocking join
+    bb.join(a2, blockKey) // keyed self-join: the blocking join
       .filter(col("c_custkey") < col("custkey_b"))
       .select(col("c_custkey").as("custkey_a"), col("custkey_b"),
         levenshtein(col("c_name"), col("name_b")).cast("long").as("name_dist"),
         abs(col("cents") - col("cents_b")).as("bal_diff_cents"))
-    pairs
       .filter(col("name_dist") <= 2 || col("bal_diff_cents") <= 1000)
       .withColumn("score",
         (when(col("name_dist") <= 2, 24L).otherwise(-8L) +
           when(col("bal_diff_cents") <= 1000, 16L).otherwise(-4L)))
+  }
+
+  val entityMatch: Q = Q(
+    "q_entity_match",
+    s"""WITH $linkCtes
+      |SELECT custkey_a, custkey_b, CAST(name_dist AS BIGINT) AS name_dist,
+      |       bal_diff_cents, CAST(score AS BIGINT) AS score,
+      |       CASE WHEN score >= 40 THEN 'match'
+      |            WHEN score >= 20 THEN 'possible'
+      |            ELSE 'non_match' END AS verdict
+      |FROM s ORDER BY custkey_a, custkey_b""".stripMargin) { (s, dir) =>
+    scoredCandidates(s, dir)
       .withColumn("verdict",
         when(col("score") >= 40, "match")
           .when(col("score") >= 20, "possible")
@@ -248,5 +263,65 @@ object AdvancedJoinQueries {
       .orderBy("custkey_a", "custkey_b")
   }
 
-  val all: Seq[Q] = Seq(asofJoin, rangeJoin, asofNearest, entityMatch)
+  /** ENTITY RESOLUTION (golden records) — the full pipeline downstream of
+    * [[entityMatch]]: match-verdict pairs (score ≥ 40) close transitively
+    * through [[graft.engine.Dedup]] `components` (the same O(log d)
+    * pointer-jumping fixpoint the dedup family uses), and each resulting
+    * entity emits ONE golden record by survivorship policy —
+    * keep-richest-balance, ties to the smallest key; the entity id is the
+    * cluster's min member key. Only multi-record entities are emitted:
+    * they ARE the merge worklist (singletons are already golden).
+    *
+    * Shape at 100 TB: match pairs are block-bounded (entityMatch
+    * scaladoc); the closure is keyed-shuffle rounds over the PAIR set
+    * only; survivorship is a map-side max(struct) per cluster (the
+    * q_dedup_canonical shape — no per-cluster window); customer
+    * attributes join back on the bounded matched-id set, never the full
+    * dimension. The oracle mirrors closure recursively and picks the
+    * same survivor with a rank window, so clustering AND policy
+    * hash-match. */
+  val entityResolve: Q = Q(
+    "q_entity_resolve",
+    s"""WITH RECURSIVE $linkCtes,
+      |m AS (SELECT custkey_a AS a, custkey_b AS b2 FROM s WHERE score >= 40),
+      |sym AS (
+      |  SELECT a, b2 AS b FROM m
+      |  UNION
+      |  SELECT b2 AS a, a AS b FROM m),
+      |reach AS (
+      |  SELECT a AS id, b AS r FROM sym
+      |  UNION
+      |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+      |comp AS (SELECT id, LEAST(id, MIN(r)) AS cluster FROM reach GROUP BY id),
+      |mem AS (
+      |  SELECT comp.id, comp.cluster, bb.c_name, bb.c_nationkey, bb.cents
+      |  FROM comp JOIN bb ON bb.c_custkey = comp.id),
+      |g AS (SELECT cluster, COUNT(*) AS n_records FROM mem GROUP BY cluster),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |           PARTITION BY cluster ORDER BY cents DESC, id ASC) AS rn
+      |  FROM mem)
+      |SELECT rk.cluster AS entity_id, CAST(g.n_records AS BIGINT) AS n_records,
+      |       rk.id AS custkey_kept, rk.c_name AS name_kept,
+      |       rk.c_nationkey AS nation_kept, rk.cents AS cents_kept
+      |FROM rk JOIN g USING (cluster) WHERE rk.rn = 1
+      |ORDER BY entity_id""".stripMargin) { (s, dir) =>
+    val matches = scoredCandidates(s, dir).filter(col("score") >= 40)
+      .select(col("custkey_a"), col("custkey_b"))
+    val comp = graft.engine.Dedup.components(matches)
+      .toDF("c_custkey", "cluster")
+    val mem = comp.join(custBase(s, dir), "c_custkey") // bounded matched ids
+    mem.groupBy("cluster")
+      .agg(count(lit(1)).as("n_records"),
+        max(struct(col("cents"), (-col("c_custkey")).as("nk"),
+          col("c_custkey").as("k"), col("c_name"), col("c_nationkey")))
+          .as("w")) // survivorship: one slim row per cluster, map-side
+      .select(col("cluster").as("entity_id"), col("n_records"),
+        col("w.k").as("custkey_kept"), col("w.c_name").as("name_kept"),
+        col("w.c_nationkey").as("nation_kept"), col("w.cents").as("cents_kept"))
+      .orderBy("entity_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(asofJoin, rangeJoin, asofNearest, entityMatch, entityResolve)
 }
