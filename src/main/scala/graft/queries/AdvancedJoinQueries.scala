@@ -246,6 +246,11 @@ object AdvancedJoinQueries {
           when(col("bal_diff_cents") <= 1000, 16L).otherwise(-4L)))
   }
 
+  /** ENTITY MATCHING (record linkage) — see [[linkCtes]]: blocked,
+    * integer-scored candidate pairs classified match / possible /
+    * non_match by the Fellegi-Sunter threshold ladder. The pairwise
+    * readout a linkage rule is tuned against; [[entityResolve]] is the
+    * pipeline that consumes it. */
   val entityMatch: Q = Q(
     "q_entity_match",
     s"""WITH $linkCtes
@@ -264,13 +269,18 @@ object AdvancedJoinQueries {
   }
 
   /** ENTITY RESOLUTION (golden records) — the full pipeline downstream of
-    * [[entityMatch]]: match-verdict pairs (score ≥ 40) close transitively
-    * through [[graft.engine.Dedup]] `components` (the same O(log d)
+    * [[entityMatch]]: accepted links (score ≥ 20 — match AND possible;
+    * non_match pairs are rejected links) close transitively through
+    * [[graft.engine.Dedup]] `components` (the same O(log d)
     * pointer-jumping fixpoint the dedup family uses), and each resulting
     * entity emits ONE golden record by survivorship policy —
-    * keep-richest-balance, ties to the smallest key; the entity id is the
-    * cluster's min member key. Only multi-record entities are emitted:
-    * they ARE the merge worklist (singletons are already golden).
+    * keep-richest-balance, ties to the smallest key; the entity id is
+    * the cluster's min member key. Entities whose weakest contributing
+    * link is below the match threshold carry `needs_review = true` — the
+    * clerical-review queue of a real MDM pipeline (auto-merge only what
+    * every link supports at match strength). Only multi-record entities
+    * are emitted: they ARE the merge worklist (singletons are already
+    * golden).
     *
     * Shape at 100 TB: match pairs are block-bounded (entityMatch
     * scaladoc); the closure is keyed-shuffle rounds over the PAIR set
@@ -283,7 +293,8 @@ object AdvancedJoinQueries {
   val entityResolve: Q = Q(
     "q_entity_resolve",
     s"""WITH RECURSIVE $linkCtes,
-      |m AS (SELECT custkey_a AS a, custkey_b AS b2 FROM s WHERE score >= 40),
+      |m AS (SELECT custkey_a AS a, custkey_b AS b2, score FROM s
+      |      WHERE score >= 20),
       |sym AS (
       |  SELECT a, b2 AS b FROM m
       |  UNION
@@ -297,28 +308,40 @@ object AdvancedJoinQueries {
       |  SELECT comp.id, comp.cluster, bb.c_name, bb.c_nationkey, bb.cents
       |  FROM comp JOIN bb ON bb.c_custkey = comp.id),
       |g AS (SELECT cluster, COUNT(*) AS n_records FROM mem GROUP BY cluster),
+      |ls AS (
+      |  SELECT comp.cluster, MIN(m.score) AS min_link FROM m
+      |  JOIN comp ON comp.id = m.a GROUP BY comp.cluster),
       |rk AS (
       |  SELECT *, ROW_NUMBER() OVER (
       |           PARTITION BY cluster ORDER BY cents DESC, id ASC) AS rn
       |  FROM mem)
       |SELECT rk.cluster AS entity_id, CAST(g.n_records AS BIGINT) AS n_records,
       |       rk.id AS custkey_kept, rk.c_name AS name_kept,
-      |       rk.c_nationkey AS nation_kept, rk.cents AS cents_kept
-      |FROM rk JOIN g USING (cluster) WHERE rk.rn = 1
+      |       rk.c_nationkey AS nation_kept, rk.cents AS cents_kept,
+      |       ls.min_link < 40 AS needs_review
+      |FROM rk JOIN g USING (cluster) JOIN ls USING (cluster)
+      |WHERE rk.rn = 1
       |ORDER BY entity_id""".stripMargin) { (s, dir) =>
-    val matches = scoredCandidates(s, dir).filter(col("score") >= 40)
-      .select(col("custkey_a"), col("custkey_b"))
-    val comp = graft.engine.Dedup.components(matches)
+    val links = scoredCandidates(s, dir).filter(col("score") >= 20)
+      .select(col("custkey_a"), col("custkey_b"), col("score"))
+      .localCheckpoint(false) // read by the closure AND the review flag
+    val comp = graft.engine.Dedup.components(
+        links.select("custkey_a", "custkey_b"))
       .toDF("c_custkey", "cluster")
-    val mem = comp.join(custBase(s, dir), "c_custkey") // bounded matched ids
+    val mem = comp.join(custBase(s, dir), "c_custkey") // bounded linked ids
+    val review = links
+      .join(comp.withColumnRenamed("c_custkey", "custkey_a"), "custkey_a")
+      .groupBy("cluster").agg(min(col("score")).as("min_link"))
     mem.groupBy("cluster")
       .agg(count(lit(1)).as("n_records"),
         max(struct(col("cents"), (-col("c_custkey")).as("nk"),
           col("c_custkey").as("k"), col("c_name"), col("c_nationkey")))
           .as("w")) // survivorship: one slim row per cluster, map-side
+      .join(review, "cluster")
       .select(col("cluster").as("entity_id"), col("n_records"),
         col("w.k").as("custkey_kept"), col("w.c_name").as("name_kept"),
-        col("w.c_nationkey").as("nation_kept"), col("w.cents").as("cents_kept"))
+        col("w.c_nationkey").as("nation_kept"), col("w.cents").as("cents_kept"),
+        (col("min_link") < 40).as("needs_review"))
       .orderBy("entity_id")
   }
 

@@ -58,28 +58,29 @@ class EntityMatchSpec extends SparkSpec {
     assert(got.size == 14, "all 15 in-block pairs minus the non-evidence one")
   }
 
-  test("entity resolve: transitive closure + keep-richest survivorship") {
+  test("entity resolve: closure over accepted links, survivorship, review flag") {
     val rows = Seq(
-      // cluster {1,2,3,8}: all pairs among them score 40 (ladder fixture)
+      // {1,2,3,8} link at match strength; 4 joins through possible links
       Row(1L, "Customer#000000010", 1, 5000.00, "BUILDING"),
       Row(2L, "Customer#000000011", 1, 5004.00, "BUILDING"),
-      Row(3L, "Customer#000000099", 1, 5008.00, "BUILDING"), // richest
+      Row(3L, "Customer#000000099", 1, 5008.00, "BUILDING"),
       Row(8L, "Customer#000000010", 1, 5000.50, "BUILDING"),
-      Row(4L, "Customer#000000012", 1, 5950.00, "BUILDING"), // possible only
+      Row(4L, "Customer#000000012", 1, 5950.00, "BUILDING"), // possible; richest
       Row(5L, "Customer#000000777", 1, 5003.00, "BUILDING"), // non_match only
-      // cluster {20,21}: exact balance tie -> smaller key survives
+      // cluster {20,21}: match-strength link, exact balance tie
       Row(20L, "Customer#000000500", 5, 1000.00, "BUILDING"),
       Row(21L, "Customer#000000501", 5, 1000.00, "BUILDING"))
     val got = AdvancedJoinQueries.entityResolve
       .build(spark, writeCustomers(rows)).collect()
       .map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getString(3), r.getInt(4), r.getLong(5)))
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getInt(4), r.getLong(5),
+          r.getBoolean(6)))
       .toMap
-    assert(got(1L) == ((4L, 3L, "Customer#000000099", 1, 500800L)),
-      "chain closes over all four; the richest balance is kept")
-    assert(got(20L) == ((2L, 20L, "Customer#000000500", 5, 100000L)),
-      "balance tie breaks to the smaller key")
-    assert(got.size == 2, "possible/non_match records never form entities")
+    assert(got(1L) == ((5L, 4L, "Customer#000000012", 1, 595000L, true)),
+      "possible links pull 4 into the entity; weakest link flags review")
+    assert(got(20L) == ((2L, 20L, "Customer#000000500", 5, 100000L, false)),
+      "all-match entity auto-merges; balance tie breaks to the smaller key")
+    assert(got.size == 2, "rejected (non_match) links never form entities")
   }
 
   test("df-cut: a block over 256 members is dropped, small blocks survive") {
