@@ -129,7 +129,8 @@ object ScaleProbe {
     "q_pit_join", "q_twap", "q_session_concurrency", "q_mad_robust",
     "q_hist_equiwidth", "q_rfm_segments", "q_hll_by_group", "q_ks_drift",
     "q_gini_by_type", "q_label_windows", "q_bootstrap_ci",
-    "q_incremental_agg", "q_autocorr", "q_stl_decompose", "q_dp_counts")
+    "q_incremental_agg", "q_autocorr", "q_stl_decompose", "q_dp_counts",
+    "q_holt_forecast", "q_multitouch")
 
   /** Queries that read the STAR-SCHEMA tables (lineitem / orders / part /
     * supplier / customer — replicated input #4): the graph family (the
@@ -186,7 +187,7 @@ object ScaleProbe {
     "q_wrangle", "q_county_series", "q_active_fraction",
     "q_cum_fraction", "q_death_rate_by_group", "q_estimator_slopes",
     "q_mse_aligned", "q_r0_trajectory", "q_sir_simulate", "q_rrf_fusion",
-    "q_expectations")
+    "q_expectations", "q_window_ntile")
 
   private val Repl = 10
   // larger than any planted-twin id offset (max is 9_000_000 + base ids,

@@ -16,6 +16,14 @@ import graft.engine.Tables.t
   * metric is either an exact value pick (min_by/max_by), an integer, or a
   * Det decimal sum, so the oracles hash-match.
   */
+/** Daily input row for the Holt fold (one per (type, calendar day)). */
+final case class HwIn(event_type: String, d: java.sql.Date, x: Long)
+
+/** One smoothed day: level/trend state plus the one-step-ahead forecast
+  * this state implies for the NEXT day. */
+final case class HwOut(event_type: String, d: java.sql.Date, x: Long,
+    level_micro: Long, trend_micro: Long, forecast_next_micro: Long)
+
 object SequenceQueries {
 
   /** MARKOV TRANSITION MATRIX — counts and exact-ppm probabilities of each
@@ -697,8 +705,152 @@ object SequenceQueries {
       .orderBy("event_type", "d")
   }
 
+  /** HOLT LINEAR FORECAST — double exponential smoothing (Holt 1957) of
+    * each type's daily volume with dyadic coefficients α = 1/2, β = 1/4,
+    * in integer micro-units with FLOOR division at every step:
+    *   l_t = ⌊(10⁶·x_t + l_{t−1} + b_{t−1}) / 2⌋
+    *   b_t = ⌊((l_t − l_{t−1}) + 3·b_{t−1}) / 4⌋
+    * seeded l_0 = 10⁶·x_0, b_0 = 0; each day also emits the one-step-ahead
+    * forecast its state implies (l_t + b_t — what the model predicts for
+    * tomorrow). The level recurrence is order-sensitive, so it runs as the
+    * engine's sanctioned PER-KEY SEQUENTIAL FOLD (`groupByKey(type)
+    * .flatMapGroups`, the Sir.simulatePerKey posture): one pass over each
+    * type's CALENDAR-BOUNDED series (days per type are bounded by the time
+    * range, not the fact count — the same bound every daily-grid query
+    * leans on). The oracle replays the identical integer recurrence as a
+    * recursive CTE; JVM integer `/` and DuckDB integer `//` both
+    * TRUNCATE toward zero, so NEGATIVE trend states agree bit-for-bit
+    * with no offset machinery (the smoothing is defined over truncating
+    * division — deterministic and engine-identical, which is the
+    * contract that matters).
+    * Headroom: micro-unit states overflow Long only past ~9·10¹² events
+    * per (type, day).
+    *
+    * Shape at 100 TB: one fact scan → map-side-combined (type, day)
+    * counts; the fold touches only the dimension-sized grid (types ×
+    * days), one task per type. */
+  val holtForecast: Q = Q(
+    "q_holt_forecast",
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+      |cal AS (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+      |        FROM span),
+      |grid AS (
+      |  SELECT ty.event_type, cal.d, COALESCE(daily.cnt, 0) AS x,
+      |         ROW_NUMBER() OVER (PARTITION BY ty.event_type
+      |                            ORDER BY cal.d) AS rn
+      |  FROM (SELECT DISTINCT event_type FROM daily) ty
+      |  CROSS JOIN cal
+      |  LEFT JOIN daily ON daily.event_type = ty.event_type AND daily.d = cal.d),
+      |hw AS (
+      |  SELECT event_type, rn, d, x,
+      |         1000000 * x AS l, CAST(0 AS BIGINT) AS b
+      |  FROM grid WHERE rn = 1
+      |  UNION ALL
+      |  SELECT g.event_type, g.rn, g.d, g.x,
+      |         (1000000 * g.x + hw.l + hw.b) // 2 AS l,
+      |         (((1000000 * g.x + hw.l + hw.b) // 2 - hw.l) + 3 * hw.b) // 4 AS b
+      |  FROM hw JOIN grid g
+      |    ON g.event_type = hw.event_type AND g.rn = hw.rn + 1)
+      |SELECT event_type, d, CAST(x AS BIGINT) AS x,
+      |       CAST(l AS BIGINT) AS level_micro, CAST(b AS BIGINT) AS trend_micro,
+      |       CAST(l + b AS BIGINT) AS forecast_next_micro
+      |FROM hw ORDER BY event_type, d""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val cal = span.select(
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val grid = daily.select("event_type").distinct()
+      .crossJoin(broadcast(cal)) // types x calendar: broadcast-sized
+      .join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+      .as[HwIn]
+    grid.groupByKey(_.event_type).flatMapGroups { (_, it) =>
+      val series = it.toArray.sortBy(_.d.getTime) // calendar-bounded
+      var l = 1000000L * series.head.x
+      var b = 0L
+      series.iterator.zipWithIndex.map { case (row, i) =>
+        if (i > 0) {
+          val l1 = (1000000L * row.x + l + b) / 2L
+          b = ((l1 - l) + 3L * b) / 4L
+          l = l1
+        }
+        HwOut(row.event_type, row.d, row.x, l, b, l + b)
+      }
+    }.toDF()
+      .orderBy("event_type", "d")
+  }
+
+  /** MULTI-TOUCH (linear) ATTRIBUTION — the credit-splitting complement
+    * of [[lastTouchAttribution]]: every view/click in the 2 hours
+    * STRICTLY before a purchase shares the conversion credit equally
+    * (credit per touch = 10⁶ DIV n_touches ppm — the linear model;
+    * the ≤ (n−1) ppm floor remainder per purchase is deliberately
+    * unassigned, documented rather than smeared). The channel report
+    * aggregates touches and credit per touch type.
+    *
+    * Shape at 100 TB: the touch↔purchase meeting uses the RANGE-JOIN
+    * bucket idiom (q_range_join): time bucketized at the window width, so
+    * each purchase probes exactly two (user, bucket) cells — keyed
+    * equi-join, never an inequality product. Then one purchase-sized
+    * aggregation for n_touches, a keyed join back, and a
+    * channel-count-sized rollup. */
+  val multiTouch: Q = Q(
+    "q_multitouch",
+    """WITH p AS (
+      |  SELECT user_id, event_id AS pid, ts AS pts
+      |  FROM events WHERE event_type = 'purchase'),
+      |tc AS (
+      |  SELECT user_id, ts AS tts, event_type AS channel
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |hit AS (
+      |  SELECT p.pid, tc.channel
+      |  FROM p JOIN tc
+      |    ON p.user_id = tc.user_id
+      |   AND tc.tts >= p.pts - INTERVAL 2 HOUR AND tc.tts < p.pts),
+      |n AS (SELECT pid, COUNT(*) AS n_touches FROM hit GROUP BY pid),
+      |credit AS (
+      |  SELECT hit.channel, hit.pid, 1000000 // n.n_touches AS c
+      |  FROM hit JOIN n USING (pid))
+      |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |       CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
+      |       CAST(SUM(c) AS BIGINT) AS credit_ppm
+      |FROM credit GROUP BY channel ORDER BY channel""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val W = 7200000000L // 2h in micros = the bucket width
+    def bucketOf(ts: org.apache.spark.sql.Column) = {
+      val us = unix_micros(ts)
+      ((us - pmod(us, lit(W))) / W).cast("long")
+    }
+    val touches = ev.filter(col("event_type").isin("view", "click")).select(
+      col("user_id"), col("ts").as("tts"), col("event_type").as("channel"),
+      bucketOf(col("ts")).as("bucket"))
+    val probes = ev.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("event_id").as("pid"), col("ts").as("pts"),
+      explode(array(bucketOf(col("ts")) - 1, bucketOf(col("ts")))).as("bucket"))
+    val hit = probes.join(touches, Seq("user_id", "bucket"))
+      .filter(col("tts") >= col("pts") - expr(s"INTERVAL 2 HOURS") &&
+        col("tts") < col("pts"))
+      .select(col("pid"), col("channel"))
+    val n = hit.groupBy("pid").agg(count(lit(1)).as("n_touches"))
+    hit.join(n, "pid")
+      .withColumn("c", expr("1000000 DIV n_touches"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("pid")).as("n_purchases"),
+        sum(col("c")).cast("long").as("credit_ppm"))
+      .orderBy("channel")
+  }
+
   val all: Seq[Q] =
     Seq(eventTransitions, ohlcBars, lastTouchAttribution, conversionTime,
       cusumChangepoint, pivotEvents, meltEvents, eventPaths, streakIslands,
-      ewmaDaily, seasonalProfile, autocorr, stlDecompose)
+      ewmaDaily, seasonalProfile, autocorr, stlDecompose, holtForecast,
+      multiTouch)
 }

@@ -310,7 +310,56 @@ object WindowQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** DISTRIBUTION-RANK family — ntile / percent_rank / cume_dist, the
+    * quartile-bucketing and percentile-position windows a leaderboard or
+    * scorecard needs (completes the ranking family next to
+    * [[windowRank]]). percent_rank and cume_dist are re-derived as EXACT
+    * ppm integers from rank()/count() — `(rank−1)·10⁶ DIV (n−1)` and
+    * `rn·10⁶ DIV n` — rather than the builtins' IEEE doubles, so the
+    * oracle hash-matches without float tolerance; a single-row partition
+    * reports percent_rank 0 (the n = 1 guard), and cume_dist's tie
+    * semantics reduce to row_number because the (cents, suppkey) order is
+    * a unique total order. ntile(4) itself is the builtin (its frame
+    * arithmetic is integer-deterministic in both engines under the same
+    * total order).
+    *
+    * Shape at 100 TB: one window pass per (nation) partition over a
+    * unique (acctbal, suppkey) total order — partition-local sorts; the
+    * per-partition count rides the same window, no second scan. */
+  val windowNtile: Q = Q(
+    "q_window_ntile",
+    """SELECT s_nationkey, s_suppkey,
+      |       CAST(ROUND(s_acctbal * 100) AS BIGINT) AS cents,
+      |       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      |       CASE WHEN COUNT(*) OVER p = 1 THEN 0
+      |            ELSE (RANK() OVER w - 1) * 1000000
+      |                   // (COUNT(*) OVER p - 1) END AS pct_rank_ppm,
+      |       ROW_NUMBER() OVER w * 1000000 // COUNT(*) OVER p AS cume_ppm
+      |  FROM supplier
+      |  WINDOW
+      |    w AS (PARTITION BY s_nationkey
+      |          ORDER BY CAST(ROUND(s_acctbal * 100) AS BIGINT), s_suppkey),
+      |    p AS (PARTITION BY s_nationkey)
+      |ORDER BY s_nationkey, cents, s_suppkey""".stripMargin) { (s, dir) =>
+    val cents = round(col("s_acctbal") * 100).cast("long")
+    val w = Window.partitionBy("s_nationkey").orderBy(col("cents"), col("s_suppkey"))
+    val p = Window.partitionBy("s_nationkey")
+    t(s, dir, "supplier")
+      .select(col("s_nationkey"), col("s_suppkey"), cents.as("cents"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(p))
+      .withColumn("cume_n", row_number().over(w).cast("long"))
+      .select(col("s_nationkey"), col("s_suppkey"), col("cents"),
+        col("quartile"),
+        expr("CASE WHEN n = 1 THEN 0L ELSE (rnk - 1) * 1000000 DIV (n - 1) END")
+          .as("pct_rank_ppm"),
+        expr("cume_n * 1000000 DIV n").as("cume_ppm"))
+      .orderBy("s_nationkey", "cents", "s_suppkey")
+  }
+
   val all: Seq[Q] = Seq(
     windowLag, windowCumsum, windowRank, windowMovAvg, firstLast, tailSlice,
-    rowAlignJoin, interpolate, imputeInvariant, cumFraction, windowTimeRange)
+    rowAlignJoin, interpolate, imputeInvariant, cumFraction, windowTimeRange,
+    windowNtile)
 }

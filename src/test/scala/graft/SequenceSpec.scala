@@ -288,6 +288,51 @@ class SequenceSpec extends SparkSpec {
     }
   }
 
+  test("holt: hand-computed level/trend recurrence incl. negative truncation") {
+    def day(d: Int, i: Int) = at(d.toLong * 1440 + i)
+    // view: [1,0,0,0] (decay drives the trend negative and forces the
+    // truncate-vs-floor distinction on day 3); click: constant 1/day
+    // (level pinned at 1e6, trend 0) and anchors the calendar span
+    val rows = Seq(Row(1L, 1L, day(0, 1), "view", 1.0, "{}")) ++
+      (0 until 4).map(d => Row(10L + d, 2L, day(d, 2), "click", 1.0, "{}"))
+    val got = SequenceQueries.holtForecast.build(spark, writeEvents(rows))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(("view", "2024-01-01")) == ((1L, 1000000L, 0L, 1000000L)))
+    assert(got(("view", "2024-01-02")) == ((0L, 500000L, -125000L, 375000L)))
+    assert(got(("view", "2024-01-03")) == ((0L, 187500L, -171875L, 15625L)))
+    // l3 = 15625/2 = 7812 (trunc); b3 = -695313/4 = -173828 — TRUNCATED
+    // toward zero (a flooring engine would emit -173829)
+    assert(got(("view", "2024-01-04")) == ((0L, 7812L, -173828L, -166016L)))
+    (1 to 4).foreach { d =>
+      assert(got(("click", f"2024-01-$d%02d")) == ((1L, 1000000L, 0L, 1000000L)),
+        "constant series: level pinned, zero trend")
+    }
+  }
+
+  test("multitouch: equal credit split, window bounds, exact ppm") {
+    val d = writeEvents(Seq(
+      // user 1: view + click inside the 2h window of two purchases
+      Row(1L, 1L, at(0), "view", 1.0, "{}"),
+      Row(2L, 1L, at(30), "click", 1.0, "{}"),
+      Row(3L, 1L, at(60), "purchase", 5.0, "{}"),
+      Row(4L, 1L, at(61), "purchase", 6.0, "{}"),
+      // user 2: touch 200 min before the purchase — outside the window
+      Row(5L, 2L, at(0), "view", 1.0, "{}"),
+      Row(6L, 2L, at(200), "purchase", 7.0, "{}"),
+      // user 3: touch exactly AT the purchase instant — strictly-before excludes
+      Row(7L, 3L, at(5), "view", 1.0, "{}"),
+      Row(8L, 3L, at(5), "purchase", 8.0, "{}")))
+    val got = SequenceQueries.multiTouch.build(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // each purchase of user 1 had n=2 touches -> 500000 ppm per touch
+    assert(got("view") == ((2L, 2L, 1000000L)))
+    assert(got("click") == ((2L, 2L, 1000000L)))
+    assert(got.size == 2, "out-of-window and same-instant touches earn nothing")
+  }
+
   test("sequence queries run end-to-end on real testdata") {
     assert(SequenceQueries.eventTransitions.build(spark, sf).count() > 0)
     assert(SequenceQueries.ohlcBars.build(spark, sf).count() > 0)
