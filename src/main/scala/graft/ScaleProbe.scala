@@ -105,7 +105,7 @@ object ScaleProbe {
     "q_bpe_encode", "q_containment_neardup", "q_dedup_stats",
     "q_ngram_novelty", "q_sparse_cosine", "q_rouge_overlap",
     "q_source_overlap", "q_cluster_folds", "q_feature_hash",
-    "q_score_calibration")
+    "q_score_calibration", "q_minhash_recall")
 
   /** Queries that read ONLY the embeddings table (replicated input #2). */
   private[graft] val EmbQueries = Seq(
@@ -130,7 +130,7 @@ object ScaleProbe {
     "q_hist_equiwidth", "q_rfm_segments", "q_hll_by_group", "q_ks_drift",
     "q_gini_by_type", "q_label_windows", "q_bootstrap_ci",
     "q_incremental_agg", "q_autocorr", "q_stl_decompose", "q_dp_counts",
-    "q_holt_forecast", "q_multitouch")
+    "q_holt_forecast", "q_multitouch", "q_seasonal_anomaly")
 
   /** Queries that read the STAR-SCHEMA tables (lineitem / orders / part /
     * supplier / customer — replicated input #4): the graph family (the
@@ -187,7 +187,7 @@ object ScaleProbe {
     "q_wrangle", "q_county_series", "q_active_fraction",
     "q_cum_fraction", "q_death_rate_by_group", "q_estimator_slopes",
     "q_mse_aligned", "q_r0_trajectory", "q_sir_simulate", "q_rrf_fusion",
-    "q_expectations", "q_window_ntile")
+    "q_expectations", "q_window_ntile", "q_join_full")
 
   private val Repl = 10
   // larger than any planted-twin id offset (max is 9_000_000 + base ids,

@@ -346,9 +346,62 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** FULL OUTER JOIN — the one join flavor the family still lacked
+    * (inner/broadcast/shuffle/semi/anti are all declared elsewhere):
+    * customers ⟗ their per-customer order rollup, summarized per
+    * (match_status, segment). `both` rows carry the rollup, `left_only`
+    * rows are customers who never ordered (their order columns NULL —
+    * the report counts them), and a hypothetical `right_only` side would
+    * surface orphan orders (the FK audit proves there are none, so its
+    * absence here is itself evidence).
+    *
+    * Shape at 100 TB: the rollup is map-side combined to one row per
+    * ordering customer; the full outer join shuffles both sides on the
+    * key (no broadcast — BOTH null sides must survive, which a broadcast
+    * join cannot produce for the streamed side); the summary is a
+    * segment-count-sized aggregate. */
+  val joinFull: Q = Q(
+    "q_join_full",
+    """WITH o AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |j AS (
+      |  SELECT c.c_mktsegment,
+      |         CASE WHEN c.c_custkey IS NULL THEN 'right_only'
+      |              WHEN o.o_custkey IS NULL THEN 'left_only'
+      |              ELSE 'both' END AS match_status,
+      |         o.n_orders, o.cents
+      |  FROM customer c FULL OUTER JOIN o ON o.o_custkey = c.c_custkey)
+      |SELECT match_status, c_mktsegment,
+      |       CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |       CAST(COALESCE(SUM(n_orders), 0) AS BIGINT) AS n_orders,
+      |       CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS cents
+      |FROM j GROUP BY match_status, c_mktsegment
+      |ORDER BY match_status, c_mktsegment""".stripMargin) { (s, dir) =>
+    val o = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).cast("long")
+          .as("cents"))
+    val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    c.join(o, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(col("c_mktsegment"),
+        when(col("c_custkey").isNull, "right_only")
+          .when(col("o_custkey").isNull, "left_only")
+          .otherwise("both").as("match_status"),
+        col("n_orders"), col("cents"))
+      .groupBy("match_status", "c_mktsegment")
+      .agg(count(lit(1)).as("n_keys"),
+        coalesce(sum(col("n_orders")), lit(0L)).cast("long").as("n_orders"),
+        coalesce(sum(col("cents")), lit(0L)).cast("long").as("cents"))
+      .orderBy("match_status", "c_mktsegment")
+  }
+
   val all: Seq[Q] = Seq(
     topkRevenue, pricingSummary, filterProject, joinBroadcastStar, joinShuffle,
     joinSemi, joinAnti, distinctValues, dedupGroupMax, scalarLookup,
     lookupBroadcastKey, setOps, rollupAgg, groupingSetsAgg, cubeAgg,
-    countDistinctAgg)
+    countDistinctAgg, joinFull)
 }

@@ -631,9 +631,12 @@ object SequenceQueries {
     * combined); the 7-tap trend window and the dow means run over
     * calendar-bounded frames; seasonal joins back by BROADCAST
     * (types × 7 rows). */
-  val stlDecompose: Q = Q(
-    "q_stl_decompose",
-    """WITH daily AS (
+  /** Shared STL CTE chain (daily → grid → trend → detrended → seasonal →
+    * per-day remainder): single-sourced between the decomposition readout
+    * and the seasonal anomaly gate, so the residuals gated ARE the
+    * residuals reported. */
+  private val stlCtes =
+    """daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
       |  FROM events GROUP BY 1, 2),
       |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
@@ -660,16 +663,34 @@ object SequenceQueries {
       |              // COUNT(detrended) - 1000000000000000 AS BIGINT)
       |           AS seasonal_micro
       |  FROM det WHERE detrended IS NOT NULL
-      |  GROUP BY event_type, dow)
-      |SELECT det.event_type, det.d, CAST(det.x AS BIGINT) AS x,
-      |       CAST(det.dow AS BIGINT) AS dow,
-      |       CAST(det.trend_micro AS BIGINT) AS trend_micro,
-      |       CAST(seas.seasonal_micro AS BIGINT) AS seasonal_micro,
-      |       CAST(det.detrended - seas.seasonal_micro AS BIGINT)
-      |         AS remainder_micro
-      |FROM det JOIN seas
-      |  ON seas.event_type = det.event_type AND seas.dow = det.dow
-      |ORDER BY det.event_type, det.d""".stripMargin) { (s, dir) =>
+      |  GROUP BY event_type, dow),
+      |remf AS (
+      |  SELECT det.event_type, det.d, det.x, det.dow, det.trend_micro,
+      |         seas.seasonal_micro,
+      |         det.detrended - seas.seasonal_micro AS remainder_micro
+      |  FROM det JOIN seas
+      |    ON seas.event_type = det.event_type AND seas.dow = det.dow)""".stripMargin
+
+  val stlDecompose: Q = Q(
+    "q_stl_decompose",
+    s"""WITH $stlCtes
+      |SELECT event_type, d, CAST(x AS BIGINT) AS x,
+      |       CAST(dow AS BIGINT) AS dow,
+      |       CAST(trend_micro AS BIGINT) AS trend_micro,
+      |       CAST(seasonal_micro AS BIGINT) AS seasonal_micro,
+      |       CAST(remainder_micro AS BIGINT) AS remainder_micro
+      |FROM remf
+      |ORDER BY event_type, d""".stripMargin) { (s, dir) =>
+    stlFrame(s, dir)
+      .select(col("event_type"), col("d"), col("x").cast("long").as("x"),
+        col("dow").cast("long").as("dow"),
+        col("trend_micro"), col("seasonal_micro"), col("remainder_micro"))
+      .orderBy("event_type", "d")
+  }
+
+  /** Spark twin of the [[stlCtes]] chain, through the remainder. */
+  private def stlFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val daily = t(s, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("cnt"))
@@ -697,12 +718,8 @@ object SequenceQueries {
                  |     DIV COUNT(detrended) - 1000000000000000 AS BIGINT)"""
         .stripMargin).as("seasonal_micro"))
     det.join(broadcast(seas), Seq("event_type", "dow")) // types x 7 rows
-      .select(col("event_type"), col("d"), col("x").cast("long").as("x"),
-        col("dow").cast("long").as("dow"),
-        col("trend_micro"), col("seasonal_micro"),
-        (col("detrended") - col("seasonal_micro")).cast("long")
-          .as("remainder_micro"))
-      .orderBy("event_type", "d")
+      .withColumn("remainder_micro",
+        (col("detrended") - col("seasonal_micro")).cast("long"))
   }
 
   /** HOLT LINEAR FORECAST — double exponential smoothing (Holt 1957) of
@@ -848,9 +865,68 @@ object SequenceQueries {
       .orderBy("channel")
   }
 
+  /** SEASONAL-ADJUSTED ANOMALY GATE — the composition the STL split
+    * exists for: a day is anomalous only relative to trend AND weekday,
+    * so the gate runs the robust MAD rule (the q_mad_robust convention:
+    * `percentile`/`quantile_cont` medians over integers, dev > 3·MAD)
+    * over the STL REMAINDERS instead of raw counts — a Monday dip or a
+    * steady ramp never false-alarms. Single-sourced with
+    * q_stl_decompose through [[stlCtes]]/[[stlFrame]]. Per-type summary:
+    * scored days, median/MAD of the remainder, anomaly count, the worst
+    * deviation and its day (ties to the earliest day).
+    *
+    * Shape at 100 TB: everything after the daily collapse is
+    * calendar-bounded (the STL frame), two keyed percentile passes over
+    * ≤ days-per-type rows, and a type-count-sized summary. */
+  val seasonalAnomaly: Q = Q(
+    "q_seasonal_anomaly",
+    s"""WITH $stlCtes,
+      |rem AS (
+      |  SELECT event_type, d, remainder_micro FROM remf
+      |  WHERE remainder_micro IS NOT NULL),
+      |m AS (SELECT event_type, quantile_cont(remainder_micro, 0.5) AS med
+      |      FROM rem GROUP BY event_type),
+      |dd AS (SELECT rem.event_type, rem.d, rem.remainder_micro, m.med,
+      |              ABS(CAST(rem.remainder_micro AS DOUBLE) - m.med) AS dev
+      |       FROM rem JOIN m ON m.event_type = rem.event_type),
+      |sm AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      |       FROM dd GROUP BY event_type),
+      |rk AS (SELECT dd.*, sm.mad,
+      |              ROW_NUMBER() OVER (PARTITION BY dd.event_type
+      |                                 ORDER BY dd.dev DESC, dd.d) AS rn
+      |       FROM dd JOIN sm ON sm.event_type = dd.event_type)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+      |       MIN(med) AS med, MIN(mad) AS mad,
+      |       CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_anomalies,
+      |       MAX(dev) AS max_dev,
+      |       MAX(CASE WHEN rn = 1 THEN d END) AS worst_day
+      |FROM rk GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val rem = stlFrame(s, dir)
+      .filter(col("remainder_micro").isNotNull)
+      .select(col("event_type"), col("d"), col("remainder_micro"))
+    val m = rem.groupBy(col("event_type").as("mtype"))
+      .agg(percentile(col("remainder_micro"), lit(0.5)).as("med"))
+    val dd = rem.join(broadcast(m), col("event_type") === col("mtype"))
+      .select(col("event_type"), col("d"), col("med"),
+        abs(col("remainder_micro").cast("double") - col("med")).as("dev"))
+    val sm = dd.groupBy(col("event_type").as("stype"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    dd.join(broadcast(sm), col("event_type") === col("stype"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        min(col("med")).as("med"), min(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L))
+          .as("n_anomalies"),
+        max(col("dev")).as("max_dev"),
+        max_by(col("d"), struct(col("dev"),
+          expr("0 - datediff(d, DATE'1970-01-01')"))).as("worst_day"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] =
     Seq(eventTransitions, ohlcBars, lastTouchAttribution, conversionTime,
       cusumChangepoint, pivotEvents, meltEvents, eventPaths, streakIslands,
       ewmaDaily, seasonalProfile, autocorr, stlDecompose, holtForecast,
-      multiTouch)
+      multiTouch, seasonalAnomaly)
 }

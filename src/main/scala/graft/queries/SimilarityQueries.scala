@@ -1803,10 +1803,95 @@ object SimilarityQueries {
       .orderBy("i", "j")
   }
 
+  /** MINHASH CANDIDATE QUALITY — precision/recall of the banded-MinHash
+    * candidate pairs against EXACT 3-gram Jaccard ≥ 0.5 ground truth, the
+    * q_ann_recall grading applied to the dedup side: before trusting a
+    * banding config at 100 TB, measure what fraction of true near-dups
+    * the bands surface (recall — band misses are silent corpus
+    * contamination) and how much verify work they waste (precision).
+    * Ground truth is computed over the same planted corpus on the
+    * df-capped shared-shingle block space — every positive-Jaccard pair
+    * shares a shingle, so within the df-cut (the identical cut the
+    * candidate pipelines themselves apply) the truth set is complete.
+    *
+    * Shape at 100 TB: both pair spaces are block-bounded (bands / shared
+    * shingles with df ≤ 200); the exact-Jaccard pass joins shingle sets
+    * only for ALREADY-BLOCKED pairs (|pairs| × shingles-per-doc, never
+    * all-pairs). An EVAL query — production runs it on a sampled slice,
+    * like q_ann_recall. */
+  val minhashRecall: Q = Q(
+    "q_minhash_recall",
+    "WITH " + minhashPairCtes + """,
+      |dsh AS (SELECT DISTINCT doc_id, tok FROM sh),
+      |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+      |keptsh AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT *, COUNT(*) OVER (PARTITION BY tok) AS df FROM dsh)
+      |  WHERE df <= 200),
+      |bp AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM keptsh a JOIN keptsh b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+      |shared AS (
+      |  SELECT bp.d1, bp.d2, COUNT(*) AS inter
+      |  FROM bp JOIN dsh s1 ON s1.doc_id = bp.d1
+      |          JOIN dsh s2 ON s2.doc_id = bp.d2 AND s2.tok = s1.tok
+      |  GROUP BY bp.d1, bp.d2),
+      |truth AS (
+      |  SELECT shared.d1, shared.d2
+      |  FROM shared JOIN sz z1 ON z1.doc_id = shared.d1
+      |              JOIN sz z2 ON z2.doc_id = shared.d2
+      |  WHERE inter * 1000000 // (z1.n_sh + z2.n_sh - inter) >= 500000),
+      |tc AS (SELECT COUNT(*) AS n_truth FROM truth),
+      |cc AS (SELECT COUNT(*) AS n_cand FROM pairs),
+      |hc AS (SELECT COUNT(*) AS n_hits FROM truth JOIN pairs
+      |        ON pairs.d1 = truth.d1 AND pairs.d2 = truth.d2)
+      |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+      |       CAST(n_cand AS BIGINT) AS n_candidates,
+      |       CAST(n_hits AS BIGINT) AS n_hits,
+      |       CAST(CASE WHEN n_cand = 0 THEN 0
+      |            ELSE n_hits * 1000000 // n_cand END AS BIGINT) AS precision_ppm,
+      |       CAST(CASE WHEN n_truth = 0 THEN 0
+      |            ELSE n_hits * 1000000 // n_truth END AS BIGINT) AS recall_ppm
+      |FROM tc, cc, hc""".stripMargin) { (s, dir) =>
+    val (planted, cand) = minhashPlantedAndPairs(s, dir)
+    val toks = planted.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val dsh = toks.select(col("doc_id"), explode(expr(
+      """CASE WHEN size(toks) < 3 THEN array(array_join(toks, ' '))
+        |ELSE transform(sequence(0, size(toks) - 3),
+        |       i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) END"""
+        .stripMargin)).as("tok")).distinct()
+    val sz = dsh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hot = dsh.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 200).select("tok") // the shared df-cut
+    val keptsh = dsh.join(hot, "tok")
+    val bp = keptsh.select(col("doc_id").as("d1"), col("tok"))
+      .join(keptsh.select(col("doc_id").as("d2"), col("tok")), "tok")
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val shared = bp
+      .join(dsh.select(col("doc_id").as("d1"), col("tok")), "d1")
+      .join(dsh.select(col("doc_id").as("d2"), col("tok")), Seq("d2", "tok"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    val truth = shared
+      .join(sz.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+      .join(sz.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+      .filter(expr("inter * 1000000 DIV (n1 + n2 - inter) >= 500000"))
+      .select("d1", "d2")
+    val tc = truth.agg(count(lit(1)).as("n_truth"))
+    val cc = cand.agg(count(lit(1)).as("n_cand"))
+    val hc = truth.join(cand, Seq("d1", "d2")).agg(count(lit(1)).as("n_hits"))
+    tc.crossJoin(cc).crossJoin(hc) // three 1-row aggregates
+      .select(col("n_truth"), col("n_cand").as("n_candidates"), col("n_hits"),
+        expr("CASE WHEN n_cand = 0 THEN 0L ELSE n_hits * 1000000 DIV n_cand END")
+          .as("precision_ppm"),
+        expr("CASE WHEN n_truth = 0 THEN 0L ELSE n_hits * 1000000 DIV n_truth END")
+          .as("recall_ppm"))
+  }
+
   val all: Seq[Q] =
     Seq(cosineTopK, annIvf, annIvfLearned, annInt8, annLsh, minhashNearDup,
       simhashNearDup, embedNearDup, dedupComponents, dedupCanonical,
       nearDupVerify, winnowPairs, quantizeRoundtrip, annRecall, splitLeakage,
       annPq, dedupStats, semDedup, sparseCosine, rougeOverlap, gridCluster,
-      clusterFolds, mmrDiversify, gramMatrix)
+      clusterFolds, mmrDiversify, gramMatrix, minhashRecall)
 }

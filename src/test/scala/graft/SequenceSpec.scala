@@ -333,6 +333,26 @@ class SequenceSpec extends SparkSpec {
     assert(got.size == 2, "out-of-window and same-instant touches earn nothing")
   }
 
+  test("seasonal anomaly: planted spike flagged, constant series silent") {
+    def day(d: Int, i: Int) = at(d.toLong * 1440 + i)
+    // view: flat 3/day over 4 weeks with day 15 spiked to 30;
+    // click: constant 1/day (MAD = 0 and dev = 0 -> no anomaly rows)
+    val rows = (0 until 28).flatMap { d =>
+      val nView = if (d == 15) 30 else 3
+      (0 until nView).map(i => Row(d * 1000L + i, 1L, day(d, i + 1), "view", 1.0, "{}")) :+
+        Row(d * 1000L + 900L, 2L, day(d, 600), "click", 1.0, "{}")
+    }
+    val got = SequenceQueries.seasonalAnomaly.build(spark, writeEvents(rows))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4), r.getDate(6).toString))
+      .toMap
+    val (nScored, nAnom, worst) = got("view")
+    assert(nScored == 22, "28 days minus 3 NULL-trend edge days each side")
+    assert(nAnom >= 1, "the planted spike must flag")
+    assert(worst == "2024-01-16", "worst deviation lands on the spike day")
+    assert(got("click")._2 == 0, "a constant series never false-alarms")
+  }
+
   test("sequence queries run end-to-end on real testdata") {
     assert(SequenceQueries.eventTransitions.build(spark, sf).count() > 0)
     assert(SequenceQueries.ohlcBars.build(spark, sf).count() > 0)

@@ -628,6 +628,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.map(_._1).sum == asg.length.toLong)
   }
 
+  test("minhash recall: planted twins ground the eval, metrics are sane") {
+    val r = graft.queries.SimilarityQueries.minhashRecall.build(spark, sf)
+      .collect().head
+    val (truth, cand, hits) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (prec, rec) = (r.getLong(3), r.getLong(4))
+    assert(truth > 0, "planted twins guarantee a non-empty truth set")
+    assert(hits <= math.min(truth, cand))
+    assert(prec >= 0 && prec <= 1000000 && rec >= 0 && rec <= 1000000)
+    assert(rec >= 500000,
+      "8x2 banding must surface the majority of Jaccard>=0.5 truth " +
+        s"(got $rec ppm — a recall collapse means the banding broke)")
+    assert(prec == (if (cand == 0) 0L else hits * 1000000L / cand))
+    assert(rec == (if (truth == 0) 0L else hits * 1000000L / truth))
+  }
+
   test("gram matrix: hand-computed triangle, marginals and covariance") {
     val d = java.nio.file.Files.createTempDirectory("graft-gram").toString
     Seq(
