@@ -130,7 +130,8 @@ object ScaleProbe {
     "q_hist_equiwidth", "q_rfm_segments", "q_hll_by_group", "q_ks_drift",
     "q_gini_by_type", "q_label_windows", "q_bootstrap_ci",
     "q_incremental_agg", "q_autocorr", "q_stl_decompose", "q_dp_counts",
-    "q_holt_forecast", "q_multitouch", "q_seasonal_anomaly")
+    "q_holt_forecast", "q_multitouch", "q_seasonal_anomaly",
+    "q_forecast_backtest", "q_cohort_ltv")
 
   /** Queries that read the STAR-SCHEMA tables (lineitem / orders / part /
     * supplier / customer — replicated input #4): the graph family (the

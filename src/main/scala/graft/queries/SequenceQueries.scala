@@ -746,9 +746,11 @@ object SequenceQueries {
     * Shape at 100 TB: one fact scan → map-side-combined (type, day)
     * counts; the fold touches only the dimension-sized grid (types ×
     * days), one task per type. */
-  val holtForecast: Q = Q(
-    "q_holt_forecast",
-    """WITH RECURSIVE daily AS (
+  /** Shared Holt CTE chain (daily grid -> the hw recursive smoothing):
+    * single-sourced between the forecast readout and the backtest, so the
+    * model evaluated IS the model shipped. */
+  private val holtCtes =
+    """daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
       |  FROM events GROUP BY 1, 2),
       |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
@@ -770,11 +772,22 @@ object SequenceQueries {
       |         (1000000 * g.x + hw.l + hw.b) // 2 AS l,
       |         (((1000000 * g.x + hw.l + hw.b) // 2 - hw.l) + 3 * hw.b) // 4 AS b
       |  FROM hw JOIN grid g
-      |    ON g.event_type = hw.event_type AND g.rn = hw.rn + 1)
+      |    ON g.event_type = hw.event_type AND g.rn = hw.rn + 1)""".stripMargin
+
+  val holtForecast: Q = Q(
+    "q_holt_forecast",
+    s"""WITH RECURSIVE $holtCtes
       |SELECT event_type, d, CAST(x AS BIGINT) AS x,
       |       CAST(l AS BIGINT) AS level_micro, CAST(b AS BIGINT) AS trend_micro,
       |       CAST(l + b AS BIGINT) AS forecast_next_micro
       |FROM hw ORDER BY event_type, d""".stripMargin) { (s, dir) =>
+    holtFrame(s, dir).orderBy("event_type", "d")
+  }
+
+  /** Spark twin of [[holtCtes]]: the per-type sequential fold, one output
+    * row per (type, calendar day). */
+  private def holtFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val daily = t(s, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
@@ -801,7 +814,6 @@ object SequenceQueries {
         HwOut(row.event_type, row.d, row.x, l, b, l + b)
       }
     }.toDF()
-      .orderBy("event_type", "d")
   }
 
   /** MULTI-TOUCH (linear) ATTRIBUTION — the credit-splitting complement
@@ -924,9 +936,115 @@ object SequenceQueries {
       .orderBy("event_type")
   }
 
+  /** FORECAST BACKTEST — one-step-ahead evaluation of the Holt model
+    * against what actually happened: each day's implied forecast
+    * (lₜ + bₜ) meets the NEXT day's actual, per type, as mean absolute
+    * error in micro-units, next to the naive persistence baseline
+    * (tomorrow = today — the bar any forecast must beat) and the skill
+    * ratio MAE_model·10⁶ DIV MAE_naive (< 10⁶ ⇒ the model beats naive).
+    * Single-sourced with q_holt_forecast through [[holtCtes]]/
+    * [[holtFrame]], so the model evaluated IS the model shipped. All
+    * integer: errors are |10⁶·x_{t+1} − forecast| sums with one integral
+    * divide per mean.
+    *
+    * Shape at 100 TB: the backtest join is holt-output ⋈ holt-output on
+    * (type, d+1) — calendar-bounded frames, a type-count-sized summary. */
+  val forecastBacktest: Q = Q(
+    "q_forecast_backtest",
+    s"""WITH RECURSIVE $holtCtes,
+      |f AS (SELECT event_type, rn, d, x, l + b AS fc FROM hw),
+      |j AS (
+      |  SELECT f.event_type,
+      |         ABS(1000000 * nx.x - f.fc) AS err,
+      |         ABS(1000000 * nx.x - 1000000 * f.x) AS err_naive
+      |  FROM f JOIN f nx
+      |    ON nx.event_type = f.event_type AND nx.rn = f.rn + 1)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_evals,
+      |       CAST(SUM(err) // COUNT(*) AS BIGINT) AS mae_micro,
+      |       CAST(SUM(err_naive) // COUNT(*) AS BIGINT) AS mae_naive_micro,
+      |       CAST(SUM(err) * 1000000 // GREATEST(SUM(err_naive), 1) AS BIGINT)
+      |         AS skill_ppm
+      |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val f = holtFrame(s, dir)
+      .select(col("event_type"), col("d"), col("x"),
+        col("forecast_next_micro").as("fc"))
+    val nx = f.select(col("event_type"), date_sub(col("d"), 1).as("d"),
+      col("x").as("x_next"))
+    f.join(nx, Seq("event_type", "d")) // (type, d) meets next day's actual
+      .select(col("event_type"),
+        abs(lit(1000000L) * col("x_next") - col("fc")).as("err"),
+        abs(lit(1000000L) * col("x_next") - lit(1000000L) * col("x"))
+          .as("err_naive"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_evals"),
+        expr("SUM(err) DIV COUNT(*)").as("mae_micro"),
+        expr("SUM(err_naive) DIV COUNT(*)").as("mae_naive_micro"),
+        expr("SUM(err) * 1000000 DIV GREATEST(SUM(err_naive), 1)")
+          .as("skill_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** COHORT LTV CURVES — the product-analytics readout next to
+    * q_retention_cohorts: users cohorted by first-activity ISO week,
+    * purchase revenue accumulated over cohort age in weeks, and LTV as
+    * exact cents-per-user (cumulative cents DIV cohort size). Ages with
+    * zero revenue emit no row; the running sum is over OBSERVED ages,
+    * which is identical because absent ages contribute nothing.
+    *
+    * Shape at 100 TB: one scan for first-activity weeks (map-side
+    * min-combined per user), one purchase scan joined to the per-user
+    * cohort (keyed), a (cohort, age) aggregation, then a running-sum
+    * window over calendar-bounded frames with the cohort-size dimension
+    * broadcast back. */
+  val cohortLtv: Q = Q(
+    "q_cohort_ltv",
+    """WITH first AS (
+      |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+      |  FROM events GROUP BY user_id),
+      |size_ AS (SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY cohort),
+      |rev AS (
+      |  SELECT f.cohort,
+      |         (CAST(date_trunc('week', e.ts) AS DATE) - f.cohort) // 7 AS age_weeks,
+      |         CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM events e JOIN first f ON f.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort, age_weeks, rev_cents,
+      |         CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age_weeks)
+      |              AS BIGINT) AS cum_cents
+      |  FROM rev)
+      |SELECT cum.cohort AS cohort, CAST(cum.age_weeks AS BIGINT) AS age_weeks,
+      |       CAST(size_.cohort_size AS BIGINT) AS cohort_size,
+      |       cum.rev_cents, cum.cum_cents,
+      |       cum.cum_cents // size_.cohort_size AS ltv_cents_per_user
+      |FROM cum JOIN size_ ON size_.cohort = cum.cohort
+      |ORDER BY cohort, age_weeks""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val first = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort"))
+    val size = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(first, "user_id")
+      .groupBy(col("cohort"),
+        expr("datediff(CAST(date_trunc('week', ts) AS DATE), cohort) DIV 7")
+          .as("age_weeks"))
+      .agg(sum(round(col("value") * 100).cast("long")).cast("long")
+        .as("rev_cents"))
+    val w = Window.partitionBy("cohort").orderBy("age_weeks")
+    rev
+      .withColumn("cum_cents", sum(col("rev_cents")).over(w).cast("long"))
+      .join(broadcast(size), "cohort") // cohort-count-sized dimension
+      .select(col("cohort"), col("age_weeks").cast("long").as("age_weeks"),
+        col("cohort_size").cast("long").as("cohort_size"),
+        col("rev_cents"), col("cum_cents"),
+        expr("cum_cents DIV cohort_size").as("ltv_cents_per_user"))
+      .orderBy("cohort", "age_weeks")
+  }
+
   val all: Seq[Q] =
     Seq(eventTransitions, ohlcBars, lastTouchAttribution, conversionTime,
       cusumChangepoint, pivotEvents, meltEvents, eventPaths, streakIslands,
       ewmaDaily, seasonalProfile, autocorr, stlDecompose, holtForecast,
-      multiTouch, seasonalAnomaly)
+      multiTouch, seasonalAnomaly, forecastBacktest, cohortLtv)
 }

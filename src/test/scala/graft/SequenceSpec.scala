@@ -353,6 +353,48 @@ class SequenceSpec extends SparkSpec {
     assert(got("click")._2 == 0, "a constant series never false-alarms")
   }
 
+  test("cohort ltv: first-activity cohorts, cumulative cents, per-user DIV") {
+    def day(d: Int, i: Int) = at(d.toLong * 1440 + i)
+    val d = writeEvents(Seq(
+      // cohort week 0 (Mon 2024-01-01): users 1 (buyer) and 2 (free rider)
+      Row(1L, 1L, day(0, 1), "purchase", 10.0, "{}"),
+      Row(2L, 1L, day(15, 1), "purchase", 20.0, "{}"), // age 2 weeks
+      Row(3L, 2L, day(1, 1), "view", 1.0, "{}"),
+      // cohort week 1: user 3 buys in their first week
+      Row(4L, 3L, day(8, 1), "purchase", 5.0, "{}")))
+    val got = SequenceQueries.cohortLtv.build(spark, d).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(("2024-01-01", 0L)) == ((2L, 1000L, 1000L, 500L)))
+    assert(got(("2024-01-01", 2L)) == ((2L, 2000L, 3000L, 1500L)),
+      "cumulative skips the empty week 1; free rider halves the LTV")
+    assert(got(("2024-01-08", 0L)) == ((1L, 500L, 500L, 500L)))
+    assert(got.size == 3)
+  }
+
+  test("forecast backtest: reported MAEs equal a recompute from the model output") {
+    val fc = SequenceQueries.holtForecast.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(5)))
+    val got = SequenceQueries.forecastBacktest.build(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for ((tpe, rows) <- fc.groupBy(_._1)) {
+      val ordered = rows.sortBy(_._2)
+      val pairs = ordered.zip(ordered.drop(1))
+      val errs = pairs.map { case ((_, _, _, f), (_, _, xn, _)) =>
+        math.abs(1000000L * xn - f)
+      }
+      val naive = pairs.map { case ((_, _, x, _), (_, _, xn, _)) =>
+        math.abs(1000000L * xn - 1000000L * x)
+      }
+      val (n, mae, maeN, skill) = got(tpe)
+      assert(n == pairs.length.toLong, tpe)
+      assert(mae == errs.sum / n, tpe)
+      assert(maeN == naive.sum / n, tpe)
+      assert(skill == errs.sum * 1000000L / math.max(naive.sum, 1L), tpe)
+    }
+  }
+
   test("sequence queries run end-to-end on real testdata") {
     assert(SequenceQueries.eventTransitions.build(spark, sf).count() > 0)
     assert(SequenceQueries.ohlcBars.build(spark, sf).count() > 0)
