@@ -1809,33 +1809,32 @@ object SimilarityQueries {
     * banding config at 100 TB, measure what fraction of true near-dups
     * the bands surface (recall — band misses are silent corpus
     * contamination) and how much verify work they waste (precision).
-    * Ground truth is computed over the same planted corpus on the
-    * df-capped shared-shingle block space — every positive-Jaccard pair
-    * shares a shingle, so within the df-cut (the identical cut the
-    * candidate pipelines themselves apply) the truth set is complete.
+    * Ground truth is exact Jaccard over the DF-CAPPED shingle
+    * vocabulary (df ≤ 200, the identical cut the candidate pipelines
+    * apply): hot shingles are boilerplate that carries no near-dup
+    * signal, so scoring over the informative vocabulary is the
+    * measurement a production dedup actually wants — and every pair with
+    * positive capped-Jaccard shares a kept shingle, so the block space
+    * contains the complete truth set by construction.
     *
-    * Shape at 100 TB: both pair spaces are block-bounded (bands / shared
-    * shingles with df ≤ 200); the exact-Jaccard pass joins shingle sets
-    * only for ALREADY-BLOCKED pairs (|pairs| × shingles-per-doc, never
-    * all-pairs). An EVAL query — production runs it on a sampled slice,
-    * like q_ann_recall. */
+    * Shape at 100 TB: both pair spaces are block-bounded (bands /
+    * shared kept shingles); intersections fall out of the SAME block
+    * join that enumerates the pairs (one keyed self-join + one
+    * aggregation — no per-pair set join). An EVAL query — production
+    * runs it on a sampled slice, like q_ann_recall. */
   val minhashRecall: Q = Q(
     "q_minhash_recall",
     "WITH " + minhashPairCtes + """,
       |dsh AS (SELECT DISTINCT doc_id, tok FROM sh),
-      |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
       |keptsh AS (
       |  SELECT doc_id, tok FROM (
       |    SELECT *, COUNT(*) OVER (PARTITION BY tok) AS df FROM dsh)
       |  WHERE df <= 200),
-      |bp AS (
-      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      |  FROM keptsh a JOIN keptsh b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM keptsh GROUP BY doc_id),
       |shared AS (
-      |  SELECT bp.d1, bp.d2, COUNT(*) AS inter
-      |  FROM bp JOIN dsh s1 ON s1.doc_id = bp.d1
-      |          JOIN dsh s2 ON s2.doc_id = bp.d2 AND s2.tok = s1.tok
-      |  GROUP BY bp.d1, bp.d2),
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      |  FROM keptsh a JOIN keptsh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
       |truth AS (
       |  SELECT shared.d1, shared.d2
       |  FROM shared JOIN sz z1 ON z1.doc_id = shared.d1
@@ -1860,17 +1859,14 @@ object SimilarityQueries {
         |ELSE transform(sequence(0, size(toks) - 3),
         |       i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) END"""
         .stripMargin)).as("tok")).distinct()
-    val sz = dsh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val hot = dsh.groupBy("tok").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 200).select("tok") // the shared df-cut
     val keptsh = dsh.join(hot, "tok")
-    val bp = keptsh.select(col("doc_id").as("d1"), col("tok"))
+      .localCheckpoint(false) // read by sizes AND the block join
+    val sz = keptsh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = keptsh.select(col("doc_id").as("d1"), col("tok"))
       .join(keptsh.select(col("doc_id").as("d2"), col("tok")), "tok")
       .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    val shared = bp
-      .join(dsh.select(col("doc_id").as("d1"), col("tok")), "d1")
-      .join(dsh.select(col("doc_id").as("d2"), col("tok")), Seq("d2", "tok"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
     val truth = shared
       .join(sz.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
