@@ -671,6 +671,11 @@ object SequenceQueries {
       |  FROM det JOIN seas
       |    ON seas.event_type = det.event_type AND seas.dow = det.dow)""".stripMargin
 
+  /** ADDITIVE SEASONAL-TREND DECOMPOSITION — the classical STL-style
+    * split of each type's daily volume into trend (centered 7-day MA,
+    * NULL edge days) + per-ISO-weekday seasonal + remainder, all in
+    * integer micro-units over the zero-filled calendar grid; see
+    * [[stlCtes]] for the single-sourced chain the anomaly gate shares. */
   val stlDecompose: Q = Q(
     "q_stl_decompose",
     s"""WITH $stlCtes
@@ -774,6 +779,11 @@ object SequenceQueries {
       |  FROM hw JOIN grid g
       |    ON g.event_type = hw.event_type AND g.rn = hw.rn + 1)""".stripMargin
 
+  /** HOLT LINEAR FORECAST — double exponential smoothing (α = 1/2,
+    * β = 1/4) of each type's daily volume in integer micro-units under
+    * truncating division, run as the sanctioned per-key sequential fold;
+    * each day also emits its one-step-ahead forecast. See [[holtCtes]]
+    * for the single-sourced recursive chain the backtest shares. */
   val holtForecast: Q = Q(
     "q_holt_forecast",
     s"""WITH RECURSIVE $holtCtes
