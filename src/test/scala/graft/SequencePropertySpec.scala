@@ -83,6 +83,93 @@ class SequencePropertySpec extends SparkSpec {
     assert(got == naive)
   }
 
+  /** Random events spread across ~25 calendar days (the stock generator
+    * spans only ~7 hours — a single grid day, which would make every
+    * daily-series property vacuous: NULL trends, n = 1 ACF). */
+  private def randomDailyEvents(seed: Int, n: Int): Seq[Ev] = {
+    val rnd = new scala.util.Random(seed)
+    val base = 1704067200000000L // 2024-01-01 UTC in micros
+    (0 until n).map { i =>
+      Ev(i.toLong, rnd.nextInt(8).toLong,
+        base + rnd.nextInt(25 * 86400).toLong * 1000000L,
+        types(rnd.nextInt(types.size)), rnd.nextInt(20000) / 100.0)
+    }
+  }
+
+  /** Daily zero-filled grid per type over the GLOBAL calendar span —
+    * the shared precondition of the time-series queries under test. */
+  private def dailyGrids(evs: Seq[Ev]): Map[String, Seq[Long]] = {
+    def dayOf(us: Long) = us / 86400000000L
+    val days = evs.map(e => dayOf(e.tsUs))
+    val (d0, d1) = (days.min, days.max)
+    val byTypeDay = evs.groupBy(e => (e.tpe, dayOf(e.tsUs)))
+      .view.mapValues(_.size.toLong).toMap
+    evs.map(_.tpe).distinct.map { tpe =>
+      tpe -> (d0 to d1).map(d => byTypeDay.getOrElse((tpe, d), 0L))
+    }.toMap
+  }
+
+  test("autocorr matches the BigInt closed form on random daily series") {
+    val evs = randomDailyEvents(13, 320)
+    val got = SequenceQueries.autocorr.build(spark, write(evs)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    for ((tpe, xs) <- dailyGrids(evs); k <- 1 to 7) {
+      val n = BigInt(xs.size); val S = BigInt(xs.sum)
+      val Qs = xs.map(x => BigInt(x) * x).sum
+      val den = n * n * Qs - n * S * S
+      val naive =
+        if (den == 0) None
+        else {
+          val pairs = xs.drop(k).zip(xs)
+          val P = pairs.map { case (a, b) => BigInt(a) * b }.sum
+          val T = pairs.map { case (a, b) => BigInt(a) + b }.sum
+          val A = n * n * P - n * S * T + (n - k) * S * S
+          // the query's +K*den offset realizes FLOOR division in both engines
+          def floorDiv(a: BigInt, b: BigInt): BigInt = {
+            val q = a / b
+            if (a % b != 0 && (a < 0) != (b < 0)) q - 1 else q
+          }
+          Some(floorDiv(A * 1000000, den).toLong)
+        }
+      assert(got((tpe, k.toLong)) == naive, s"$tpe lag $k")
+    }
+  }
+
+  test("holt fold matches a naive truncating recurrence on random series") {
+    val evs = randomDailyEvents(14, 245)
+    val got = SequenceQueries.holtForecast.build(spark, write(evs)).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // the query orders by (type, d); collect preserves that order per type
+    for ((tpe, xs) <- dailyGrids(evs)) {
+      var l = 1000000L * xs.head; var b = 0L
+      val naive = xs.zipWithIndex.map { case (x, i) =>
+        if (i > 0) {
+          val l1 = (1000000L * x + l + b) / 2L // truncating, like DuckDB //
+          b = ((l1 - l) + 3L * b) / 4L
+          l = l1
+        }
+        (l, b)
+      }
+      assert(got(tpe).toSeq == naive, tpe)
+    }
+  }
+
+  test("stl identity: trend + seasonal + remainder rebuilds the series") {
+    val evs = randomDailyEvents(15, 270)
+    val rows = SequenceQueries.stlDecompose.build(spark, write(evs)).collect()
+    rows.foreach { r =>
+      if (!r.isNullAt(4)) {
+        // x*1e6 == trend + seasonal + remainder, by construction EXACTLY
+        assert(r.getLong(2) * 1000000L ==
+          r.getLong(4) + r.getLong(5) + r.getLong(6),
+          s"${r.getString(0)} ${r.getDate(1)}")
+      }
+    }
+    assert(rows.exists(!_.isNullAt(4)), "interior days exist")
+  }
+
   test("cusum matches the literal statistic on random events") {
     val evs = randomEvents(13, 4, 40)
     val dir = write(evs)
