@@ -105,15 +105,16 @@ object ScaleProbe {
     "q_bpe_encode", "q_containment_neardup", "q_dedup_stats",
     "q_ngram_novelty", "q_sparse_cosine", "q_rouge_overlap",
     "q_source_overlap", "q_cluster_folds", "q_feature_hash",
-    "q_score_calibration", "q_minhash_recall")
+    "q_score_calibration", "q_minhash_recall", "q_incremental_neardup",
+    "q_image_neardup")
 
   /** Queries that read ONLY the embeddings table (replicated input #2). */
   private[graft] val EmbQueries = Seq(
     "q_cosine_topk", "q_ann_ivf", "q_ann_lsh", "q_ann_int8",
     "q_ann_ivf_learned", "q_ann_recall", "q_embed_neardup",
     "q_quantize_roundtrip", "q_knn_classify", "q_ncm_classify",
-    "q_semantic_decontaminate", "q_ann_pq", "q_semdedup", "q_grid_cluster",
-    "q_mmr_diversify", "q_gram_matrix")
+    "q_semantic_decontaminate", "q_ann_pq", "q_ann_ivfpq", "q_semdedup",
+    "q_grid_cluster", "q_mmr_diversify", "q_gram_matrix")
 
   /** Queries that read ONLY the events table (replicated input #3). */
   private[graft] val EvQueries = Seq(
@@ -131,7 +132,7 @@ object ScaleProbe {
     "q_gini_by_type", "q_label_windows", "q_bootstrap_ci",
     "q_incremental_agg", "q_autocorr", "q_stl_decompose", "q_dp_counts",
     "q_holt_forecast", "q_multitouch", "q_seasonal_anomaly",
-    "q_forecast_backtest", "q_cohort_ltv")
+    "q_forecast_backtest", "q_cohort_ltv", "q_kll_quantiles")
 
   /** Queries that read the STAR-SCHEMA tables (lineitem / orders / part /
     * supplier / customer — replicated input #4): the graph family (the
@@ -351,6 +352,14 @@ object ScaleProbe {
     * growing self-search batch is the Θ(B·N) yardstick form). */
   private def fixedBatchPq(spark: SparkSession, dir: String): DataFrame =
     queries.SimilarityQueries.pqSearchTopK(spark, dir,
+      col("vec_id") % 50 === 0 && col("vec_id") < Stride)
+
+  /** The composed IVF+PQ search (q_ann_ivfpq's pipeline) with the query
+    * batch pinned to the base replica: coarse-cell pruning on top of the
+    * PQ codes, so even the corpus-side cost per query shrinks by the cell
+    * count — the production IVFADC shape. */
+  private def fixedBatchIvfPq(spark: SparkSession, dir: String): DataFrame =
+    queries.SimilarityQueries.ivfPqSearchTopK(spark, dir,
       col("vec_id") % 50 === 0 && col("vec_id") < Stride)
 
   /** The listener-bus drain sentinel: a SHUFFLE-FREE job (single result

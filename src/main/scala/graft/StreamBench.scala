@@ -35,6 +35,7 @@ object StreamBench {
   private val EvRepl = 200 // 20M events — matches SCALING.json's stress block
   private val DocRepl = 40 // 200k docs through the per-row streaming ops
   private val EmbRepl = 500 // 1M vectors — matches the stress embeddings block
+  private val CustRepl = 10 // 150k customers through the per-block ER state
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,6 +76,12 @@ object StreamBench {
     val nVecs = spark.read.parquet(s"$work/vecs").count()
     // the bounded benchmark side comes from the BASE table, exactly as the
     // batch query selects it — replication grows only the streamed corpus
+    ScaleProbe.scaledStar(spark, sfDir, CustRepl).toMap.apply("customer")
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_mktsegment"), col("c_acctbal").cast("double").as("c_acctbal"))
+      .write.mode("overwrite").parquet(s"$work/custs")
+    val nCusts = spark.read.parquet(s"$work/custs").count()
     val bench = engine.Tables.t(spark, sfDir, "embeddings")
       .filter(col("vec_id") % 97 === 0 && col("vec_id") < 1000)
       .select(col("vec_id").as("bid"),
@@ -107,6 +114,7 @@ object StreamBench {
           name == "scd2_apply" || name == "bitmap_registers" ||
           name == "ks_registers" || name == "daily_mv") s"$work/events"
         else if (name == "semantic_hits") s"$work/vecs"
+        else if (name == "golden_records") s"$work/custs"
         else s"$work/docs"
       val t0 = System.nanoTime()
       val q = build(src(in)).writeStream
@@ -197,7 +205,13 @@ object StreamBench {
         streaming.Streams.semanticHits(
           df.select(col("vec_id"),
             functions.Vectors.asDouble(col("embedding")).as("v")),
-          bench)))
+          bench)),
+      // incremental entity resolution: per-block union-find state; the
+      // replicated customers are verbatim name-twins, so this measures the
+      // heavy direction (blocks filling toward the 256 df-cut)
+      run("golden_records", nCusts)(df =>
+        streaming.Streams.goldenRecords(
+          df.as[streaming.CustArrival]).toDF()))
 
     val json = s"""{"sf":"$sfDir","events":$nEvents,"docs":$nDocs,""" +
       s""""ev_replication":$EvRepl,"doc_replication":$DocRepl,""" +

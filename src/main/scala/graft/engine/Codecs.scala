@@ -184,6 +184,31 @@ object Codecs {
       if (counts(c) == 0) 0f else (sums(c) / counts(c)).toFloat)
   }
 
+  /** 64-bit perceptual AVERAGE HASH (aHash) of a raster: 8x8 mean-pooled
+    * luma cells ([[grayFeatures]]), bit i set iff cell i exceeds the mean
+    * of the 64 cells. Near-identical images differ in a few bits (Hamming
+    * distance), unrelated ones in ~32 — the classic cheap image near-dup
+    * fingerprint. Deterministic: double arithmetic over a fixed pooling
+    * and a fixed comparison, no RNG. The banded-candidate near-dup over
+    * these hashes is the q_image_neardup shape (its declared query runs
+    * the same aHash construction over the byte-luma stand-in payloads so
+    * the DuckDB oracle can mirror it; this raster form is pinned by
+    * MultimodalSpec on real P6 frames). */
+  def aHash64(r: Raster): Long = {
+    val cells = grayFeatures(r, 8)
+    var mean = 0.0
+    var i = 0
+    while (i < 64) { mean += cells(i); i += 1 }
+    mean /= 64.0
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      if (cells(i) > mean) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
   // ----------------------------------------------------------------- audio
 
   private def le16(b: Array[Byte], i: Int): Int =

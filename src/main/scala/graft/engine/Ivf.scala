@@ -47,19 +47,38 @@ object Ivf {
     Index(assigned, centroids)
   }
 
+  /** Hard ceiling on the driver-side query batch [[searchTopK]] collects:
+    * the utility is for BOUNDED evaluation batches (ScaleProbe, IvfSpec);
+    * an unbounded `queryPred` must fail loudly instead of OOMing the
+    * driver. Unbounded query sets belong on the keyed cell equi-join
+    * (the q_ann_ivf shape), which never collects. */
+  val MaxQueryBatch: Int = 100000
+
   /** Top-k cosine neighbors for each query vector, scanning only the
     * `nProbe` cells nearest the query (by centroid distance). Queries are
     * taken from the index itself via a predicate on the id (self-search,
-    * the evaluation shape); the query side is broadcast. */
+    * the evaluation shape); the query side is broadcast. The batch is
+    * guarded at `maxQueryBatch` rows ([[MaxQueryBatch]] by default): the
+    * check counts AT MOST maxQueryBatch + 1 rows (a `limit` before the
+    * count, so the guard itself never scans an unbounded result) and
+    * throws before any collect can materialize an oversized batch. */
   def searchTopK(index: Index, queryPred: org.apache.spark.sql.Column,
-      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      maxQueryBatch: Int = MaxQueryBatch): DataFrame = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
     require(nProbe >= 1 && nProbe <= index.centroids.length)
+    require(maxQueryBatch >= 1, s"maxQueryBatch must be positive (got $maxQueryBatch)")
     require(index.assigned.schema(idCol).dataType ==
       org.apache.spark.sql.types.LongType,
       s"searchTopK requires a LongType id column, got " +
         index.assigned.schema(idCol).dataType)
+    val batchProbe = index.assigned.filter(queryPred)
+      .select(col(idCol)).limit(maxQueryBatch + 1).count()
+    require(batchProbe <= maxQueryBatch,
+      s"searchTopK query batch exceeds maxQueryBatch=$maxQueryBatch rows; " +
+        "this utility collects the batch driver-side — use the keyed cell " +
+        "equi-join (the q_ann_ivf shape) for unbounded query sets")
     // nProbe nearest cells per query are decided driver-side against the
     // bounded centroid table (nCells x dim doubles — a broadcast-scale
     // object by construction)

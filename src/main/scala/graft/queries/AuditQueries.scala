@@ -377,8 +377,14 @@ object AuditQueries {
     * to an already-scanned table costs zero extra scans.
     *
     * Determinism: counts are exact integers; `unique` violations are
-    * count(*) − count(DISTINCT key) (extra copies beyond each key's
-    * first). */
+    * count(rows with a fully non-null key) − count(DISTINCT key) — extra
+    * copies beyond each key's first, NULL-keyed rows exempt (the dbt
+    * convention; the not_null rule owns those). The composite key is
+    * counted as a true (orderkey, linenumber) pair distinct — no
+    * arithmetic encoding, so no undeclared 0–9 linenumber invariant
+    * (Spark's multi-column COUNT(DISTINCT a, b) skips any-null rows,
+    * which the oracle mirrors with an explicit CASE guard around the
+    * struct). */
   val expectations: Q = Q(
     "q_expectations",
     """WITH o AS (
@@ -397,7 +403,11 @@ object AuditQueries {
       |  FROM customer),
       |l AS (
       |  SELECT COUNT(*) AS n,
-      |         COUNT(*) - COUNT(DISTINCT l_orderkey * 10 + l_linenumber) AS v_uq,
+      |         COUNT(CASE WHEN l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+      |                    THEN 1 END)
+      |           - COUNT(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+      |                                  AND l_linenumber IS NOT NULL
+      |                                 THEN (l_orderkey, l_linenumber) END) AS v_uq,
       |         SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
       |                    OR l_quantity > 50 THEN 1 ELSE 0 END) AS v_q,
       |         SUM(CASE WHEN l_discount IS NULL OR l_discount < 0
@@ -457,8 +467,9 @@ object AuditQueries {
     val l = stackRules(
       t(s, dir, "lineitem").agg(
         count(lit(1)).as("n"),
-        (count(lit(1)) -
-          countDistinct(col("l_orderkey") * 10 + col("l_linenumber"))).as("v_uq"),
+        (sum(when(col("l_orderkey").isNotNull && col("l_linenumber").isNotNull,
+          1L).otherwise(0L)) -
+          countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_uq"),
         sum(when(col("l_quantity").isNull || col("l_quantity") < 1 ||
           col("l_quantity") > 50, 1L).otherwise(0L)).as("v_q"),
         sum(when(col("l_discount").isNull || col("l_discount") < 0 ||

@@ -942,19 +942,26 @@ object EventQueries {
       .orderBy("user_id")
   }
 
-  /** DIFFERENTIALLY-PRIVATE COUNT RELEASE — per-(type, day) event counts
-    * with two-sided geometric noise (the discrete Laplace mechanism,
-    * Ghosh-Roughgarden-Sundararajan: the universally optimal mechanism
-    * for counts) at α = 1/2, i.e. ε = ln 2 per released cell. The noise
-    * draw is DETERMINISTIC: md5-32 of "dp:<type>:<day>" inverse-CDF'd
-    * through the exact ladder floor(CDF·2³²) — P(k) = (1/3)·2^(−|k|),
-    * whose CDF values are exact dyadic thirds, the same literal-table
-    * trick as the bootstrap's Poisson draws and the HLL ln table (no
-    * libm, no RNG — both engines draw the identical noise, so the release
+  /** DISCRETE-LAPLACE COUNT-RELEASE SIMULATION — per-(type, day) event
+    * counts perturbed by the two-sided geometric noise SHAPE of the
+    * discrete Laplace mechanism (Ghosh-Roughgarden-Sundararajan) at
+    * α = 1/2. **This is an engine-equivalence SIMULATION of the release
+    * pipeline, NOT a differential-privacy mechanism**: the "noise" is a
+    * deterministic public function of the released group key (md5-32 of
+    * "dp:<type>:<day>"), so an adversary recomputes it exactly and no ε
+    * guarantee of any kind holds. Determinism is what the cross-engine
+    * oracle requires; a production deployment replaces the md5 draw with
+    * a cryptographically random u ~ U[0, 2³²) per cell — everything
+    * downstream of the draw (the inverse-CDF ladder, clamping,
+    * post-processing) is the real mechanism and is what this query
+    * tests. The ladder is floor(CDF·2³²) — P(k) = (1/3)·2^(−|k|), whose
+    * CDF values are exact dyadic thirds, the same literal-table trick as
+    * the bootstrap's Poisson draws and the HLL ln table (no libm — both
+    * engines evaluate the identical expression, so the release
     * hash-matches). Tails clamp at ±8 (P(|K| ≥ 8) = 2/384 folds into the
     * end buckets). noisy_n floors at 0 (counts are non-negative by
-    * post-processing, which DP permits). true_n is emitted for the AUDIT
-    * gate only — a production release drops that column.
+    * post-processing). true_n is emitted for the AUDIT gate only — a
+    * production release drops that column.
     *
     * Shape at 100 TB: one fact scan → map-side-combined (type, day)
     * counts; the noise is an in-row expression on the dimension-sized

@@ -483,12 +483,18 @@ object SequenceQueries {
     * Tₖ = Σ (xₜ + xₜ₋ₖ) over defined lags, the textbook ACF numerator
     * and denominator scale by n² to clear the mean's fraction:
     *   Aₖ = n²·Pₖ − n·S·Tₖ + (n−k)·S²,   D = n²·Q − n·S²
-    * acf_ppm = floor(Aₖ·10⁶ / D), computed in DECIMAL(38,0) / HUGEINT
-    * (identical value trees; daily counts up to ~10¹² stay under 38
-    * digits). Aₖ may be NEGATIVE — Spark's DIV truncates while DuckDB's
-    * `//` floors, so both engines add a +10⁷·D offset first (making the
-    * numerator positive ⇒ truncate ≡ floor) and subtract 10⁷ after.
-    * A constant series (D = 0) yields NULL acf by contract.
+    * acf_ppm = floor(Aₖ·10⁶ / D). Every product and sum is computed in
+    * DECIMAL(38,0) / HUGEINT with x WIDENED BEFORE the first multiply
+    * (sum(xd·xd), never sum(x·x) in Long), so the two engines hold
+    * identical value trees end-to-end and the Spark side cannot wrap a
+    * Long where the oracle widens: daily counts up to ~10⁹ across a
+    * 30-year calendar stay exact (Aₖ·10⁶ ≤ ~4·10⁶·n³·X² < 10³⁸).
+    * Aₖ may be NEGATIVE — BOTH engines' integer division truncates
+    * toward zero (Spark DIV and DuckDB `//` alike), so both add a
+    * +10⁷·D offset first (making the numerator positive, where truncate
+    * and floor coincide — i.e. the offset REALIZES floor semantics) and
+    * subtract 10⁷ after. A constant series (D = 0) yields NULL acf by
+    * contract.
     *
     * Shape at 100 TB: ONE fact scan collapses map-side to (type, day)
     * counts; the calendar grid is types × days (broadcast-sized); the 7
@@ -516,21 +522,22 @@ object SequenceQueries {
       |  FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY d)),
       |st AS (
       |  SELECT event_type, COUNT(*) AS n,
-      |         CAST(SUM(x) AS HUGEINT) AS s, CAST(SUM(x * x) AS HUGEINT) AS q,
-      |         SUM(CASE WHEN l1 IS NULL THEN 0 ELSE x * l1 END) AS p1,
-      |         SUM(CASE WHEN l1 IS NULL THEN 0 ELSE x + l1 END) AS t1,
-      |         SUM(CASE WHEN l2 IS NULL THEN 0 ELSE x * l2 END) AS p2,
-      |         SUM(CASE WHEN l2 IS NULL THEN 0 ELSE x + l2 END) AS t2,
-      |         SUM(CASE WHEN l3 IS NULL THEN 0 ELSE x * l3 END) AS p3,
-      |         SUM(CASE WHEN l3 IS NULL THEN 0 ELSE x + l3 END) AS t3,
-      |         SUM(CASE WHEN l4 IS NULL THEN 0 ELSE x * l4 END) AS p4,
-      |         SUM(CASE WHEN l4 IS NULL THEN 0 ELSE x + l4 END) AS t4,
-      |         SUM(CASE WHEN l5 IS NULL THEN 0 ELSE x * l5 END) AS p5,
-      |         SUM(CASE WHEN l5 IS NULL THEN 0 ELSE x + l5 END) AS t5,
-      |         SUM(CASE WHEN l6 IS NULL THEN 0 ELSE x * l6 END) AS p6,
-      |         SUM(CASE WHEN l6 IS NULL THEN 0 ELSE x + l6 END) AS t6,
-      |         SUM(CASE WHEN l7 IS NULL THEN 0 ELSE x * l7 END) AS p7,
-      |         SUM(CASE WHEN l7 IS NULL THEN 0 ELSE x + l7 END) AS t7
+      |         SUM(CAST(x AS HUGEINT)) AS s,
+      |         SUM(CAST(x AS HUGEINT) * x) AS q,
+      |         SUM(CASE WHEN l1 IS NULL THEN 0 ELSE CAST(x AS HUGEINT) * l1 END) AS p1,
+      |         SUM(CASE WHEN l1 IS NULL THEN 0 ELSE CAST(x AS HUGEINT) + l1 END) AS t1,
+      |         SUM(CASE WHEN l2 IS NULL THEN 0 ELSE CAST(x AS HUGEINT) * l2 END) AS p2,
+      |         SUM(CASE WHEN l2 IS NULL THEN 0 ELSE CAST(x AS HUGEINT) + l2 END) AS t2,
+      |         SUM(CASE WHEN l3 IS NULL THEN 0 ELSE CAST(x AS HUGEINT) * l3 END) AS p3,
+      |         SUM(CASE WHEN l3 IS NULL THEN 0 ELSE CAST(x AS HUGEINT) + l3 END) AS t3,
+      |         SUM(CASE WHEN l4 IS NULL THEN 0 ELSE CAST(x AS HUGEINT) * l4 END) AS p4,
+      |         SUM(CASE WHEN l4 IS NULL THEN 0 ELSE CAST(x AS HUGEINT) + l4 END) AS t4,
+      |         SUM(CASE WHEN l5 IS NULL THEN 0 ELSE CAST(x AS HUGEINT) * l5 END) AS p5,
+      |         SUM(CASE WHEN l5 IS NULL THEN 0 ELSE CAST(x AS HUGEINT) + l5 END) AS t5,
+      |         SUM(CASE WHEN l6 IS NULL THEN 0 ELSE CAST(x AS HUGEINT) * l6 END) AS p6,
+      |         SUM(CASE WHEN l6 IS NULL THEN 0 ELSE CAST(x AS HUGEINT) + l6 END) AS t6,
+      |         SUM(CASE WHEN l7 IS NULL THEN 0 ELSE CAST(x AS HUGEINT) * l7 END) AS p7,
+      |         SUM(CASE WHEN l7 IS NULL THEN 0 ELSE CAST(x AS HUGEINT) + l7 END) AS t7
       |  FROM lagged GROUP BY event_type),
       |k AS (SELECT UNNEST(generate_series(1, 7)) AS lag),
       |ex AS (
@@ -571,16 +578,21 @@ object SequenceQueries {
     val lagged = grid.select(
       (col("event_type") +: col("x") +:
         (1 to 7).map(k => lag(col("x"), k).over(w).as(s"l$k"))): _*)
+    // Widen BEFORE the first multiply: sum(xd*xd) in DECIMAL(38,0), never
+    // sum(x*x) in Long — matches the oracle's HUGEINT value tree so large
+    // daily counts widen instead of wrapping (r13 advice).
+    val xd = col("x").cast("decimal(38,0)")
     val aggs =
       Seq(count(lit(1)).as("n"),
-        sum(col("x")).cast("decimal(38,0)").as("s"),
-        sum(col("x") * col("x")).cast("decimal(38,0)").as("q")) ++
+        sum(xd).cast("decimal(38,0)").as("s"),
+        sum(xd * xd).cast("decimal(38,0)").as("q")) ++
       (1 to 7).flatMap { k =>
+        val lk = col(s"l$k").cast("decimal(38,0)")
         Seq(
-          sum(when(col(s"l$k").isNull, 0L)
-            .otherwise(col("x") * col(s"l$k"))).as(s"p$k"),
-          sum(when(col(s"l$k").isNull, 0L)
-            .otherwise(col("x") + col(s"l$k"))).as(s"t$k"))
+          sum(when(col(s"l$k").isNull, lit(0).cast("decimal(38,0)"))
+            .otherwise(xd * lk)).as(s"p$k"),
+          sum(when(col(s"l$k").isNull, lit(0).cast("decimal(38,0)"))
+            .otherwise(xd + lk)).as(s"t$k"))
       }
     val st = lagged.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
     val ks = s.range(1, 8).select(col("id").as("lag"))
@@ -621,7 +633,9 @@ object SequenceQueries {
     * Σ₇x·10⁶ DIV 7 (positive ⇒ floor ≡ truncate); detrended = x·10⁶ −
     * trend_micro (no division); seasonal_micro = floor(Σdet / n) via the
     * +K·n offset (K = 10¹⁵, computed in DECIMAL(38,0)/HUGEINT — det may
-    * be negative and Spark DIV truncates where DuckDB // floors);
+    * be negative, and BOTH engines' integer division truncates toward
+    * zero, so the offset exists to realize consistent FLOOR semantics on
+    * negative numerators, not to paper over an engine difference);
     * remainder = det − seasonal (subtraction only). The series is the
     * zero-filled calendar grid (q_autocorr's convention), so gaps are
     * real zeros. Weekday keying is ISO Monday=1 (q_seasonal_profile's

@@ -350,7 +350,11 @@ object SimilarityQueries {
         concat(col("text"), lit(" twinmarker")).as("text")))
   }
 
-  private def minhashPairCtes: String = {
+  /** [[minhashPairCtes]] with the twin-planting CTE parametrized, so
+    * epoch-split queries (q_incremental_neardup) reuse the identical
+    * shingle → signature → band → hot-bucket-skip → pair machinery over
+    * their own planted corpus. */
+  private def minhashPairCtesWith(planted: String): String = {
     val slotsSql = (0 until MinhashK).map { s =>
       val j = s / 8
       val i = s % 8
@@ -361,7 +365,7 @@ object SimilarityQueries {
          |        mh_${2 * b} || ',' || mh_${2 * b + 1} AS bk
          |  FROM sig""".stripMargin
     }.mkString("\n  UNION ALL\n  ")
-    s"""$plantedCte,
+    s"""$planted,
        |tokarr AS (
        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM planted),
        |sh AS (
@@ -385,6 +389,8 @@ object SimilarityQueries {
        |  FROM kept a JOIN kept b
        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private def minhashPairCtes: String = minhashPairCtesWith(plantedCte)
 
   /** Correctness-gate-scoped memo for the shared candidate pipeline: FIVE
     * dedup-family queries (minhash_neardup, dedup_components,
@@ -919,14 +925,34 @@ object SimilarityQueries {
     * to the base replica to measure the PRODUCTION shape (constant batch,
     * cost linear in corpus codes). */
   private[graft] def pqSearchTopK(s: SparkSession, dir: String,
-      qFilter: org.apache.spark.sql.Column): DataFrame = {
+      qFilter: org.apache.spark.sql.Column): DataFrame =
+    pqPipeline(s, dir, qFilter, coarse = false)
+
+  /** The q_ann_ivfpq Spark pipeline: [[pqPipeline]] with the coarse IVF
+    * cell restriction on — each query's ADC join touches only codes in its
+    * own coarse cell, retiring the scan-every-code term that makes plain
+    * PQ super-linear at self-search. */
+  private[graft] def ivfPqSearchTopK(s: SparkSession, dir: String,
+      qFilter: org.apache.spark.sql.Column): DataFrame =
+    pqPipeline(s, dir, qFilter, coarse = true)
+
+  /** Shared PQ/ADC pipeline. With `coarse = true` the `label` column rides
+    * along as the IVF coarse cell: codes carry their vector's label, query
+    * distance tables carry the query's, and the ADC join adds the coarse
+    * equality — composition of the q_ann_ivf cell pruning with the q_ann_pq
+    * quantized scoring (IVFADC, Jégou et al. 2011 §IV). Codebooks stay
+    * corpus-global (shared across coarse cells), so the fit is unchanged
+    * and the two paths' ADC scores are directly comparable. */
+  private def pqPipeline(s: SparkSession, dir: String,
+      qFilter: org.apache.spark.sql.Column, coarse: Boolean): DataFrame = {
     val M = PqM; val SubDim = PqSubDim; val Planes = PqPlanes
+    val carry = if (coarse) Seq("vec_id", "label") else Seq("vec_id")
     val e0 = t(s, dir, "embeddings")
-      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
-    val sub = e0.select(col("vec_id"), explode(array((0 until M).map(m =>
+      .select(carry.map(col) :+ Vectors.asDouble(col("embedding")).as("v"): _*)
+    val sub = e0.select(carry.map(col) :+ explode(array((0 until M).map(m =>
         struct(lit(m).as("m"),
-          slice(col("v"), m * SubDim + 1, SubDim).as("sv"))): _*)).as("s"))
-      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+          slice(col("v"), m * SubDim + 1, SubDim).as("sv"))): _*)).as("s"): _*)
+      .select(carry.map(col) ++ Seq(col("s.m").as("m"), col("s.sv").as("sv")): _*)
     // per-subspace init cell: literal-sign LSH per m (plan-time signs,
     // distinct namespace per subspace)
     val cell0 = (0 until M).foldRight(
@@ -953,18 +979,22 @@ object SimilarityQueries {
       .withColumn("dist",
         aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x))
-      .select("vec_id", "m", "cell", "dist")
+      .select(carry.map(col) ++ Seq(col("m"), col("cell"), col("dist")): _*)
       .localCheckpoint(eager = true)
     val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("cell"))
     val enc = sc0.withColumn("rk", row_number().over(wEnc))
       .filter(col("rk") === 1)
-      .select(col("vec_id"), col("m"), col("cell").as("code"))
+      .select(carry.map(col) ++ Seq(col("m"), col("cell").as("code")): _*)
     val qd = sc0.filter(qFilter)
-      .select(col("vec_id").as("qid"), col("m").as("qm"),
-        col("cell").as("qcell"), col("dist"))
-    val adc = enc.join(broadcast(qd),
-        col("qm") === col("m") && col("qcell") === col("code") &&
-          col("vec_id") =!= col("qid"))
+      .select(Seq(col("vec_id").as("qid"), col("m").as("qm"),
+        col("cell").as("qcell"), col("dist")) ++
+        (if (coarse) Seq(col("label").as("qlabel")) else Nil): _*)
+    val joinCond = {
+      val base = col("qm") === col("m") && col("qcell") === col("code") &&
+        col("vec_id") =!= col("qid")
+      if (coarse) base && col("qlabel") === col("label") else base
+    }
+    val adc = enc.join(broadcast(qd), joinCond)
       .groupBy("qid", "vec_id")
       .agg(aggregate(
         transform(array_sort(collect_list(struct(col("m"), col("dist")))),
@@ -1078,6 +1108,103 @@ object SimilarityQueries {
         |           JOIN e0 b ON b.vec_id = t.vec_id
         |ORDER BY t.qid, t.rk""".stripMargin) { (s, dir) =>
       pqSearchTopK(s, dir, col("vec_id") % 50 === 0)
+    }
+  }
+
+  /** COMPOSED IVF + PQ SEARCH (IVFADC, Jégou et al. 2011 §IV) — the two
+    * production halves run TOGETHER the way a 100-TB vector index deploys
+    * them: the coarse inverted file prunes (each query meets only codes in
+    * its own coarse cell — here the `label` cell, q_ann_ivf's convention)
+    * and product quantization compresses (candidates are scored from 4
+    * codes through the query's broadcast ADC distance tables, never from
+    * the float vectors). This retires the one super-linear shape left in
+    * SCALING: plain PQ must scan EVERY code per query (compression without
+    * pruning — Θ(B·N) at self-search), while here each query's ADC join
+    * touches 1/cells of the code table, so even the growing self-search
+    * batch probes near-linear. Codebooks stay corpus-global (shared across
+    * coarse cells, the codebook-sharing IVFADC variant), so the fit is
+    * q_ann_pq's bit-for-bit and the ADC scores are directly comparable
+    * across the two paths. `dist_exact` rides along to grade quantization
+    * error in place; SimilaritySpec grades recall against the exact-L2
+    * same-cell truth and the global exact-L2 truth.
+    *
+    * Determinism: identical value trees to q_ann_pq (exact integer-ratio
+    * centroids, sequential zip folds, subspace-ordered ADC sums); the
+    * coarse restriction only FILTERS the candidate set, adding no float
+    * arithmetic — every column hash-matches.
+    *
+    * Shape at 100 TB: codebooks broadcast (M x 2^planes x subDim doubles);
+    * encoding one scan; the ADC join is (coarse cell, subspace, code)-keyed
+    * against broadcast query tables with map-side partial sums; per-query
+    * work is |cell|/64 bytes-equivalent of codes. Implementation:
+    * [[ivfPqSearchTopK]] with the self-search batch. */
+  val annIvfPq: Q = {
+    val M = PqM; val SubDim = PqSubDim; val Planes = PqPlanes
+    def cellSqlFor(m: Int): String = {
+      val signs = Vectors.planeSigns(Planes, SubDim, table = 20 + m)
+      signs.zipWithIndex.map { case (s, i) =>
+        val arr = s.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
+        s"""(CASE WHEN list_reduce(list_transform(list_zip(sv, [$arr]),
+           |        p -> p[1] * p[2]), (x, y) -> x + y) > 0
+           |      THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+      }.mkString(" +\n      ")
+    }
+    val cellCase = (0 until M)
+      .map(m => s"WHEN $m THEN (\n      ${cellSqlFor(m)})")
+      .mkString(s"CASE m\n      ", "\n      ", "\n      END")
+    Q(
+      "q_ann_ivfpq",
+      s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, label, m,
+        |         list_slice(v, m * $SubDim + 1, m * $SubDim + $SubDim) AS sv
+        |  FROM e0 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) ms),
+        |b AS (
+        |  SELECT vec_id, label, m, sv,
+        |    $cellCase AS cell0
+        |  FROM sub),
+        |pos AS (
+        |  SELECT m, cell0, unnest(sv) AS x, generate_subscripts(sv, 1) AS pos FROM b),
+        |pp AS (
+        |  SELECT m, cell0, pos,
+        |         CAST(SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+        |         COUNT(*) AS n
+        |  FROM pos GROUP BY m, cell0, pos),
+        |cent AS (
+        |  SELECT m, cell0 AS cell,
+        |         list(CAST(sq AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) ORDER BY pos) AS cv
+        |  FROM pp GROUP BY m, cell0),
+        |sc0 AS (
+        |  SELECT s.vec_id, s.label, s.m, c.cell,
+        |         list_reduce(list_transform(list_zip(s.sv, c.cv),
+        |                                    p -> (p[1] - p[2]) * (p[1] - p[2])),
+        |                     (x, y) -> x + y) AS dist
+        |  FROM sub s JOIN cent c ON c.m = s.m),
+        |enc AS (
+        |  SELECT vec_id, label, m, cell AS code FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cell) AS rk
+        |    FROM sc0) WHERE rk = 1),
+        |qd AS (SELECT vec_id AS qid, label AS qlabel, m, cell, dist
+        |       FROM sc0 WHERE vec_id % 50 = 0),
+        |adc AS (
+        |  SELECT q.qid, c.vec_id,
+        |         list_reduce(list(q.dist ORDER BY q.m), (x, y) -> x + y) AS adist
+        |  FROM enc c JOIN qd q ON q.m = c.m AND q.cell = c.code
+        |                       AND q.qlabel = c.label AND c.vec_id <> q.qid
+        |  GROUP BY q.qid, c.vec_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk
+        |  FROM adc),
+        |top AS (SELECT qid, vec_id, adist, rk FROM ranked WHERE rk <= 3)
+        |SELECT t.qid, t.vec_id, t.adist,
+        |       list_reduce(list_transform(list_zip(a.v, b.v),
+        |                                  p -> (p[1] - p[2]) * (p[1] - p[2])),
+        |                   (x, y) -> x + y) AS dist_exact,
+        |       t.rk
+        |FROM top t JOIN e0 a ON a.vec_id = t.qid
+        |           JOIN e0 b ON b.vec_id = t.vec_id
+        |ORDER BY t.qid, t.rk""".stripMargin) { (s, dir) =>
+      ivfPqSearchTopK(s, dir, col("vec_id") % 50 === 0)
     }
   }
 
@@ -1884,10 +2011,108 @@ object SimilarityQueries {
           .as("recall_ppm"))
   }
 
+  /** INCREMENTAL NEAR-DUP — a NEW crawl batch probed against the STANDING
+    * MinHash band index of the existing corpus, the recurring-crawl shape
+    * every production pipeline runs weekly (q_incremental_dedup covers the
+    * exact-fingerprint case; this is its near-duplicate sibling — a standing
+    * corpus is never re-near-deduped from scratch). doc_id % 5 == 0 plays
+    * the new batch, the rest the historical corpus (q_incremental_dedup's
+    * epoch split); planted CROSS-EPOCH near-twins (+8000000: one-token-
+    * appended copies of index docs landing in the batch) and IN-BATCH
+    * near-twins (+9000000: copies of batch docs) guarantee all three
+    * verdicts at every scale. Candidates come from the SHARED banded-
+    * MinHash machinery (identical shingle/signature/band/hot-bucket-skip
+    * CTEs as q_minhash_neardup), verified by the shared Levenshtein ≥ 0.9
+    * contract, and every batch doc resolves to a three-way verdict:
+    * `dup_of_index` (verified match in the standing index — matched_doc
+    * the smallest such), `dup_in_batch` (no index match; verified match
+    * earlier in the batch), or `new`.
+    *
+    * Shape at 100 TB: the standing index is the materialized (band, bk,
+    * doc) table a production system stores; probing is a keyed equi-join of
+    * the BATCH's band keys against it (batch-sized left side), in-batch
+    * candidates meet through the same keys, and the expensive verify pass
+    * scores only the bounded candidate set — the corpus is never rescanned
+    * pairwise. */
+  val incrementalNearDup: Q = {
+    val isBatch = "(%s %% 5 = 0 OR %s >= 8000000)"
+    def b(c: String) = isBatch.format(c, c)
+    val incPlantedCte =
+      """planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 8000000 AS doc_id, text || ' nearix' AS text
+        |  FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 11 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 9000000 AS doc_id, text || ' nearbt' AS text
+        |  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 13 = 2)""".stripMargin
+    Q(
+      "q_incremental_neardup",
+      "WITH " + minhashPairCtesWith(incPlantedCte) + s""",
+        |ver AS (
+        |  SELECT p.d1, p.d2
+        |  FROM pairs p
+        |  JOIN planted a ON a.doc_id = p.d1
+        |  JOIN planted b ON b.doc_id = p.d2
+        |  WHERE 1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+        |          / GREATEST(length(a.text), length(b.text)) >= 0.9),
+        |crossm AS (
+        |  SELECT CASE WHEN ${b("d1")} THEN d1 ELSE d2 END AS bdoc,
+        |         MIN(CASE WHEN ${b("d1")} THEN d2 ELSE d1 END) AS index_doc
+        |  FROM ver WHERE ${b("d1")} <> ${b("d2")}
+        |  GROUP BY 1),
+        |inb AS (
+        |  SELECT d2 AS bdoc, MIN(d1) AS first_match FROM ver
+        |  WHERE ${b("d1")} AND ${b("d2")} GROUP BY d2),
+        |batch AS (SELECT doc_id FROM planted WHERE ${b("doc_id")})
+        |SELECT bt.doc_id,
+        |       CASE WHEN cm.index_doc IS NOT NULL THEN 'dup_of_index'
+        |            WHEN inb.first_match IS NOT NULL THEN 'dup_in_batch'
+        |            ELSE 'new' END AS verdict,
+        |       COALESCE(cm.index_doc, inb.first_match) AS matched_doc
+        |FROM batch bt
+        |LEFT JOIN crossm cm ON cm.bdoc = bt.doc_id
+        |LEFT JOIN inb ON inb.bdoc = bt.doc_id
+        |ORDER BY bt.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs
+        .unionAll(docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 11 === 1)
+          .select((col("doc_id") + 8000000).as("doc_id"),
+            concat(col("text"), lit(" nearix")).as("text")))
+        .unionAll(docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 13 === 2)
+          .select((col("doc_id") + 9000000).as("doc_id"),
+            concat(col("text"), lit(" nearbt")).as("text")))
+      val sig = Similarity.withMinhashSignature(planted, "text", k = MinhashK)
+        .drop("text")
+      val pairs = Similarity.lshCandidatePairs(sig, "doc_id", k = MinhashK,
+        bands = MinhashBands, bandKey = cols => concat_ws(",", cols: _*))
+      def isB(c: org.apache.spark.sql.Column) = c % 5 === 0 || c >= 8000000L
+      val ver = levenshteinVerdicts(s, planted, pairs)
+        .filter(col("similarity") >= 0.9)
+        .select("d1", "d2")
+      val crossm = ver.filter(isB(col("d1")) =!= isB(col("d2")))
+        .select(when(isB(col("d1")), col("d1")).otherwise(col("d2")).as("bdoc"),
+          when(isB(col("d1")), col("d2")).otherwise(col("d1")).as("idoc"))
+        .groupBy("bdoc").agg(min("idoc").as("index_doc"))
+      val inb = ver.filter(isB(col("d1")) && isB(col("d2")))
+        .groupBy(col("d2").as("bdoc")).agg(min("d1").as("first_match"))
+      planted.filter(isB(col("doc_id"))).select("doc_id")
+        .join(crossm, col("doc_id") === crossm("bdoc"), "left").drop("bdoc")
+        .join(inb, col("doc_id") === inb("bdoc"), "left").drop("bdoc")
+        .select(col("doc_id"),
+          when(col("index_doc").isNotNull, "dup_of_index")
+            .when(col("first_match").isNotNull, "dup_in_batch")
+            .otherwise("new").as("verdict"),
+          coalesce(col("index_doc"), col("first_match")).as("matched_doc"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(cosineTopK, annIvf, annIvfLearned, annInt8, annLsh, minhashNearDup,
       simhashNearDup, embedNearDup, dedupComponents, dedupCanonical,
       nearDupVerify, winnowPairs, quantizeRoundtrip, annRecall, splitLeakage,
-      annPq, dedupStats, semDedup, sparseCosine, rougeOverlap, gridCluster,
-      clusterFolds, mmrDiversify, gramMatrix, minhashRecall)
+      annPq, annIvfPq, dedupStats, semDedup, sparseCosine, rougeOverlap,
+      gridCluster, clusterFolds, mmrDiversify, gramMatrix, minhashRecall,
+      incrementalNearDup)
 }

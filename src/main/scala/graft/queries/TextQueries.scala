@@ -370,6 +370,137 @@ object TextQueries {
       .orderBy("media_id", "slot")
   }
 
+  /** PERCEPTUAL-HASH IMAGE NEAR-DUP — average-hash (aHash) deduplication
+    * over the image payloads of the media table, the cheap image-dedup
+    * pass every multimodal corpus pipeline runs before training: pool the
+    * payload's luma sequence into 64 cells, hash each image to the 64-bit
+    * "cell above the mean" signature, band the hash into 4 x 16-bit keys so
+    * candidates meet through a (band, value) EQUI-JOIN (never an all-pairs
+    * product), and emit candidate pairs within Hamming <= 6 — near-identical
+    * images differ in a few bits, unrelated ones in ~32.
+    *
+    * The testdata payloads are byte-luma stand-ins (UTF-8 text bytes, per
+    * Multimodal.mediaFromDocuments), so the "luma" here is the character
+    * code sequence — which makes the ENTIRE pipeline (pooling, hash,
+    * banding, Hamming verdicts) oracle-checkable in DuckDB. The real
+    * raster path is the same construction over 8x8 grid-pooled Rec.601
+    * luma ([[graft.engine.Codecs.aHash64]]) and is pinned by MultimodalSpec
+    * on crafted P6 frames (planted near-identical frames land within the
+    * same Hamming bound). Planted twins here: every 20th image doc gets an
+    * exact copy (+7500000, Hamming 0) and every 10th a one-character
+    * perturbation (+7000000, length-preserving so pooling windows align —
+    * a few bits flip), so near-dup pairs exist at every scale.
+    *
+    * Determinism: integer micro-unit cell means (sum*10^6 DIV window),
+    * integer mean comparison (cell*64 > total — no division), integer band
+    * packing; the only text function is ascii(char), identical in both
+    * engines on the synthetic ASCII corpus.
+    *
+    * Shape at 100 TB: one scan computes the 64-cell hash IN-ROW (HOFs over
+    * a per-row codes array — no explode of the payload), the 4-band
+    * fan-out is constant, hot buckets are df-cut at 200 (the
+    * q_minhash_neardup convention), and the Hamming verify joins band rows
+    * back only for the bounded candidate set. */
+  val imageNearDup: Q = Q(
+    "q_image_neardup",
+    """WITH img AS (
+      |  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 7000000 AS media_id, 'Z' || substr(text, 2) AS text
+      |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 7500000 AS media_id, text
+      |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 20 = 0),
+      |c0 AS (
+      |  SELECT media_id,
+      |         list_transform(range(1, len(text) + 1),
+      |                        p -> CAST(ascii(substr(text, p, 1)) AS BIGINT)) AS codes,
+      |         CAST(len(text) AS BIGINT) AS L
+      |  FROM img),
+      |cells AS (
+      |  SELECT media_id,
+      |         list_transform(range(0, 64), i ->
+      |           CASE WHEN (i + 1) * L // 64 > i * L // 64
+      |                THEN list_reduce(list_slice(codes, i * L // 64 + 1,
+      |                                            (i + 1) * L // 64),
+      |                                 (x, y) -> x + y) * 1000000
+      |                     // ((i + 1) * L // 64 - i * L // 64)
+      |                ELSE CAST(0 AS BIGINT) END) AS cs
+      |  FROM c0),
+      |hb AS (
+      |  SELECT media_id, cs, list_reduce(cs, (x, y) -> x + y) AS tot
+      |  FROM cells),
+      |bands AS (
+      |  SELECT media_id, b.band,
+      |         list_reduce(list_transform(range(0, 16), j ->
+      |           CASE WHEN cs[CAST(b.band * 16 + j + 1 AS BIGINT)] * 64 > tot
+      |                THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END),
+      |           (x, y) -> x + y) AS bval
+      |  FROM hb CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+      |kept AS (
+      |  SELECT media_id, band, bval FROM (
+      |    SELECT *, COUNT(*) OVER (PARTITION BY band, bval) AS occ FROM bands)
+      |  WHERE occ <= 200),
+      |pairs AS (
+      |  SELECT DISTINCT a.media_id AS d1, b.media_id AS d2
+      |  FROM kept a JOIN kept b ON a.band = b.band AND a.bval = b.bval
+      |                          AND a.media_id < b.media_id),
+      |ham AS (
+      |  SELECT p.d1, p.d2,
+      |         CAST(SUM(bit_count(xor(x.bval, y.bval))) AS BIGINT) AS hamming
+      |  FROM pairs p
+      |  JOIN bands x ON x.media_id = p.d1
+      |  JOIN bands y ON y.media_id = p.d2 AND y.band = x.band
+      |  GROUP BY p.d1, p.d2)
+      |SELECT d1, d2, hamming FROM ham WHERE hamming <= 6
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val img = base.select(col("doc_id").as("media_id"), col("text"))
+      .unionAll(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 7000000).as("media_id"),
+          concat(lit("Z"), expr("substring(text, 2)")).as("text")))
+      .unionAll(base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 7500000).as("media_id"), col("text")))
+    val bands = img
+      .withColumn("codes", expr(
+        "transform(sequence(1, length(text)), p -> CAST(ascii(substring(text, p, 1)) AS BIGINT))"))
+      .withColumn("L", length(col("text")).cast("long"))
+      .withColumn("cs", expr(
+        """transform(sequence(0, 63), i ->
+          |  CASE WHEN (i + 1) * L DIV 64 > i * L DIV 64
+          |       THEN aggregate(slice(codes, CAST(i * L DIV 64 + 1 AS INT),
+          |                            CAST((i + 1) * L DIV 64 - i * L DIV 64 AS INT)),
+          |                      CAST(0 AS BIGINT), (x, y) -> x + y) * 1000000
+          |            DIV ((i + 1) * L DIV 64 - i * L DIV 64)
+          |       ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .withColumn("tot", expr("aggregate(cs, CAST(0 AS BIGINT), (x, y) -> x + y)"))
+      .select(col("media_id"), col("cs"), col("tot"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .select(col("media_id"), col("band"), expr(
+        """aggregate(transform(sequence(0, 15), j ->
+          |  CASE WHEN element_at(cs, band * 16 + j + 1) * 64 > tot
+          |       THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END),
+          |  CAST(0 AS BIGINT), (x, y) -> x + y)""".stripMargin).as("bval"))
+    val wOcc = Window.partitionBy("band", "bval")
+    val kept = bands.withColumn("occ", count(lit(1)).over(wOcc))
+      .filter(col("occ") <= 200).drop("occ")
+    val pairs = kept.select(col("media_id").as("d1"), col("band"), col("bval"))
+      .join(kept.select(col("media_id").as("d2"), col("band"), col("bval")),
+        Seq("band", "bval"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    pairs
+      .join(bands.select(col("media_id").as("d1"), col("band").as("bx"),
+        col("bval").as("v1")), "d1")
+      .join(bands.select(col("media_id").as("m2"), col("band").as("by"),
+        col("bval").as("v2")), col("d2") === col("m2") && col("bx") === col("by"))
+      .groupBy("d1", "d2")
+      .agg(sum(expr("bit_count(v1 ^ v2)")).cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy("d1", "d2")
+  }
+
   /** Token counting both ways (brief: whitespace + a BPE-ish regex): the
     * regex count tallies alpha runs, digit runs, and single symbols — the
     * pre-merge granularity a BPE tokenizer starts from. */
@@ -790,5 +921,5 @@ object TextQueries {
     Seq(dedupExact, textStats, langId, docProfile, jaccardNearDup, mediaMeta,
       tokenCounts, fingerprintRolling, winnowFingerprint, trainSplit,
       shuffleOrder, packShards, chunkDocs, dedupNormalized, labelMismatch,
-      incrementalDedup, frameSample, containmentNearDup)
+      incrementalDedup, frameSample, containmentNearDup, imageNearDup)
 }

@@ -529,6 +529,103 @@ private[streaming] class SessionProcessor(gapMs: Long)
   }
 }
 
+/** One customer record arriving at the streaming linkage pipeline
+  * (customer-table shaped). */
+final case class CustArrival(c_custkey: Long, c_name: String,
+    c_nationkey: Long, c_mktsegment: String, c_acctbal: Double)
+
+/** One golden record at block revision `rev` — identical entity fields
+  * (and values, at the final revision) to a batch q_entity_resolve row.
+  * `entity_id = -1` is the tombstone a block over the 256-member df-cut
+  * emits (the batch drops such blocks; the tombstone tells a consumer the
+  * block's earlier revisions are void). */
+final case class GoldenRecord(blk_nation: Long, blk_segment: String,
+    blk_band: Long, rev: Long, entity_id: Long, n_records: Long,
+    custkey_kept: Long, name_kept: String, nation_kept: Long,
+    cents_kept: Long, needs_review: Boolean)
+
+/** Per-block linkage state: every member seen so far + revision counter. */
+private final case class ErState(rev: Long,
+    keys: Seq[Long], names: Seq[String], cents: Seq[Long])
+
+/** Streaming ENTITY-RESOLUTION golden records ([[Streams.goldenRecords]]):
+  * maintains q_entity_resolve's output incrementally as customer records
+  * arrive. The group key is the BLOCKING key (nation × segment × $2000
+  * band), so one state instance holds one block — complete by
+  * construction, because accepted links exist only within a block and the
+  * closure can never cross blocks. Each batch that touches a block appends
+  * the arrivals to the member state and RECOMPUTES the block's golden set
+  * with the exact batch rule (Fellegi-Sunter scoring over in-block pairs,
+  * score ≥ 20 accepted, union-find closure, keep-richest survivorship,
+  * min-link clerical-review flag), emitting the full set at a bumped
+  * revision — the latest revision per block IS the current golden table,
+  * and at the final revision it bit-matches the batch query
+  * (StreamingSpec). Blocks beyond the 256-member df-cut emit a tombstone,
+  * mirroring the batch's drop. Per-block work is O(n²) pairs with n ≤ 256
+  * — the same bounded pair space as the batch's blocked self-join. */
+private[streaming] class GoldenProcessor
+    extends StatefulProcessor[(Long, String, Long), CustArrival, GoldenRecord] {
+  @transient private var st: ValueState[ErState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[ErState]("er",
+      Encoders.product[ErState], TTLConfig.NONE)
+
+  override def handleInputRows(block: (Long, String, Long),
+      rows: Iterator[CustArrival],
+      timers: TimerValues): Iterator[GoldenRecord] = {
+    val arrivals = rows.toSeq
+    if (arrivals.isEmpty) return Iterator.empty
+    val prev = if (st.exists()) st.get() else ErState(0L, Nil, Nil, Nil)
+    val keys = prev.keys ++ arrivals.map(_.c_custkey)
+    val names = prev.names ++ arrivals.map(_.c_name)
+    val cents = prev.cents ++ arrivals.map(c => Streams.balCents(c.c_acctbal))
+    val rev = prev.rev + 1
+    st.update(ErState(rev, keys, names, cents))
+    val (nat, seg, band) = block
+    if (keys.size > 256)
+      return Iterator.single(GoldenRecord(nat, seg, band, rev,
+        entity_id = -1L, n_records = keys.size.toLong, custkey_kept = -1L,
+        name_kept = "", nation_kept = -1L, cents_kept = 0L,
+        needs_review = false))
+    // the batch rule, in-block: score pairs, accept >= 20, close, survive
+    val ms = keys.indices.map(i => (keys(i), names(i), cents(i))).sortBy(_._1)
+    val links = for {
+      i <- ms.indices
+      j <- (i + 1) until ms.size
+      nd = graft.expressions.MyersLev.distance(
+        org.apache.spark.unsafe.types.UTF8String.fromString(ms(i)._2),
+        org.apache.spark.unsafe.types.UTF8String.fromString(ms(j)._2))
+      bd = math.abs(ms(i)._3 - ms(j)._3)
+      if nd <= 2 || bd <= 1000
+      score = (if (nd <= 2) 24L else -8L) + (if (bd <= 1000) 16L else -4L)
+      if score >= 20L
+    } yield (ms(i)._1, ms(j)._1, score)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    links.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byCluster = ms.filter(m => parent.contains(m._1) ||
+        links.exists(l => l._1 == m._1 || l._2 == m._1))
+      .groupBy(m => find(m._1))
+    val minLink = links.groupBy(l => find(l._1))
+      .map { case (c, ls) => c -> ls.map(_._3).min }
+    byCluster.toSeq.sortBy(_._1).iterator.map { case (cluster, mem) =>
+      // keep-richest survivorship: cents DESC, key ASC (the batch's
+      // max(struct(cents, -key, ...)) ordering)
+      val kept = mem.maxBy(m => (m._3, -m._1))
+      GoldenRecord(nat, seg, band, rev, cluster, mem.size.toLong,
+        kept._1, kept._2, nat, kept._3,
+        needs_review = minLink(cluster) < 40L)
+    }
+  }
+}
+
 /** Structured Streaming surface (north-star extension — the reference is
   * batch-only, SURVEY §2.9). The transforms are written against plain
   * DataFrames/Datasets so the SAME code runs in batch (`spark.read`) and
@@ -1199,4 +1296,28 @@ object Streams {
       .transformWithState(new SessionProcessor(gapMs),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** Streaming ENTITY RESOLUTION (see [[GoldenProcessor]]): incremental
+    * golden-record maintenance over arriving customer records — the
+    * online twin of q_entity_resolve. Keyed by the BLOCKING key, which is
+    * what makes the closure shardable: linkage candidates meet only
+    * through the blocking key, so the accepted-link graph is a disjoint
+    * union of per-block graphs and transitive closure can never cross
+    * blocks — per-block state is complete state. Requires the RocksDB
+    * state store provider (as [[sessionizeTws]]). */
+  def goldenRecords(customers: Dataset[CustArrival]): Dataset[GoldenRecord] = {
+    import customers.sparkSession.implicits._
+    customers.groupByKey(c => {
+        val cents = Streams.balCents(c.c_acctbal)
+        (c.c_nationkey, c.c_mktsegment, math.max(cents, 0L) / 200000L)
+      })
+      .transformWithState(new GoldenProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Spark's `round(x * 100)` (HALF_UP on the IEEE product), the exact
+    * cents rule of q_entity_match's `b` CTE. */
+  private[streaming] def balCents(acctbal: Double): Long =
+    java.math.BigDecimal.valueOf(acctbal * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
 }

@@ -51,6 +51,22 @@ class IvfSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("searchTopK refuses an unbounded query batch before collecting it") {
+    // the guard (r13 verdict item 5): this utility collects the query side
+    // driver-side; a predicate matching more than maxQueryBatch rows must
+    // fail loudly instead of OOMing the driver
+    val e = intercept[IllegalArgumentException] {
+      Ivf.searchTopK(index, lit(true), "vec_id", "embedding",
+        k = 1, nProbe = 1, maxQueryBatch = 5)
+    }
+    assert(e.getMessage.contains("maxQueryBatch"),
+      s"guard message should name the knob: ${e.getMessage}")
+    // a batch at the cap still runs (boundary inclusive)
+    val ok = Ivf.searchTopK(index, col("vec_id") < 5, "vec_id", "embedding",
+      k = 1, nProbe = 1, maxQueryBatch = 5)
+    assert(ok.count() > 0)
+  }
+
   test("learnedCellRanks: fixed-point means are partitioning-invariant") {
     // the claim behind the oracle-ability of q_ann_ivf_learned: integer-sum
     // (1e-6-grid) centroid means do not depend on aggregation order, so a

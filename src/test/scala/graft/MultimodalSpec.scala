@@ -164,4 +164,37 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.isEmpty, s"frame counts off: ${bad.collect().mkString(",")}")
     assert(frames.filter(size(col("feature")) =!= 8).isEmpty)
   }
+
+  test("aHash64: planted near-identical P6 frames land within the Hamming bound") {
+    import graft.engine.Codecs
+    import graft.engine.Codecs.Raster
+    def gray(w: Int, h: Int)(f: (Int, Int) => Int): Raster = {
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (f(x, y) & 0xff).toByte
+        val s = (y * w + x) * 3
+        rgb(s) = v; rgb(s + 1) = v; rgb(s + 2) = v
+      }
+      Raster(w, h, rgb)
+    }
+    // a "video": frame 1 = gradient scene, frame 2 = the SAME scene one
+    // tick later (a small local change — consecutive-frame near-dup),
+    // frame 3 = an unrelated scene (reversed gradient)
+    val base = gray(32, 32)((x, _) => x * 8)
+    val near = gray(32, 32)((x, y) => if (x < 4 && y < 4) x * 8 + 60 else x * 8)
+    val far = gray(32, 32)((x, _) => 248 - x * 8)
+    val container = Codecs.encodePpmFrames(Seq(base, near, far))
+    val frames = Codecs.decodePpmFrames(container)
+    assert(frames.size == 3)
+    val h = frames.map(Codecs.aHash64)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // determinism: re-decode hashes identically
+    assert(Codecs.decodePpmFrames(container).map(Codecs.aHash64) == h)
+    assert(ham(h(0), h(1)) <= 6,
+      s"near-identical frames must land within Hamming 6 (got ${ham(h(0), h(1))})")
+    assert(ham(h(0), h(2)) >= 20,
+      s"unrelated frames must be far (got ${ham(h(0), h(2))})")
+    // exact copy: Hamming 0 by construction
+    assert(ham(h(0), Codecs.aHash64(base)) == 0)
+  }
 }

@@ -663,4 +663,95 @@ class SimilaritySpec extends SparkSpec {
     assert(got((3L, 3L)) == ((2L, 2000000L, 4000000L)))
     assert(got.size == 6, "upper triangle only: C(4,2) = 6 cells for d=3")
   }
+
+  test("q_ann_ivfpq: coarse-cell isolation, structure, recall vs exact truth") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.engine.Tables.t(spark, sf, "embeddings")
+    val rows = graft.queries.SimilarityQueries.annIvfPq.build(spark, sf)
+      .select("qid", "vec_id", "adist", "dist_exact", "rk")
+      .as[(Long, Long, Double, Double, Int)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._5).sorted == (1 to rs.size), s"query $qid ranks ${rs.map(_._5)}")
+      val sorted = rs.sortBy(_._5)
+      assert(sorted.map(_._3) == sorted.map(_._3).sorted,
+        s"query $qid: adist not monotone in rank")
+      rs.foreach { r =>
+        assert(r._3 >= 0.0 && r._4 >= 0.0, s"negative distance on $r")
+        assert(r._2 != qid, "self-match must be excluded")
+      }
+    }
+    // the composition's whole point: every candidate shares the query's
+    // coarse cell — a cross-cell result means the IVF restriction is lost
+    val lab = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    rows.foreach(r =>
+      assert(lab(r._1) == lab(r._2), s"cross-coarse-cell candidate $r"))
+    // recall@3 against the EXACT same-cell L2 truth isolates the
+    // quantization loss (the IVF restriction is identical on both sides)
+    val e = emb.select(col("vec_id"), col("label"),
+      graft.functions.Vectors.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("label"), col("v").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))
+    val truth = e.join(q, "label").filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        aggregate(zip_with(col("qv"), col("v"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("d2"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val hits = rows.count(r => truth.getOrElse(r._1, Set.empty).contains(r._2))
+    val recall = hits.toDouble / rows.size
+    // collapse guard, not a quality bar: the 4-subspace × 4-cell codebook
+    // is deliberately coarse (2 planes per subspace), and at sf0.001's 500
+    // vectors measures ~0.2 vs the exact same-cell L2 truth — the same
+    // quantization loss q_ann_pq carries (dist_exact grades it per pair).
+    // A recall of 0 would mean the ADC join or coarse restriction broke.
+    assert(recall >= 0.1,
+      s"IVFPQ recall@3 vs exact same-cell L2 truth collapsed: $recall")
+  }
+
+  test("q_incremental_neardup: planted cross-epoch twins resolve against the index") {
+    val rows = graft.queries.SimilarityQueries.incrementalNearDup.build(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(rows.nonEmpty)
+    val verdicts = rows.map(_._2).toSet
+    assert(verdicts == Set("dup_of_index", "dup_in_batch", "new"),
+      s"all three verdicts must occur on the planted corpus (got $verdicts)")
+    // plants append a 7-char token, so the >= 0.9 Levenshtein contract
+    // only HOLDS for base texts of >= 63 chars (1 - 7/(len+7) >= 0.9);
+    // shorter plants legitimately verify below threshold -> 'new'. Assert
+    // the contract exactly where it applies.
+    val longEnough = graft.engine.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).as("L"))
+      .as[(Long, Int)].collect().filter(_._2 >= 70).map(_._1).toSet
+    // every +8M plant of a long-enough INDEX doc must resolve against the
+    // standing index, matched to an index-epoch doc
+    rows.filter(r => r._1 >= 8000000L && r._1 < 9000000L &&
+        longEnough(r._1 - 8000000L)).foreach {
+      case (id, v, m) =>
+        assert(v == "dup_of_index", s"cross-epoch plant $id got verdict $v")
+        assert(m.exists(d => d < 8000000L && d % 5 != 0),
+          s"plant $id matched $m — not an index-epoch doc")
+    }
+    // every +9M plant of a long-enough BATCH doc: never 'new', and a
+    // dup_in_batch match must point at an EARLIER batch doc
+    rows.filter(r => r._1 >= 9000000L && longEnough(r._1 - 9000000L))
+      .foreach { case (id, v, m) =>
+        assert(v != "new", s"in-batch plant $id resolved 'new'")
+        if (v == "dup_in_batch")
+          assert(m.exists(d => d < id && (d % 5 == 0 || d >= 8000000L)),
+            s"plant $id matched $m — not an earlier batch doc")
+      }
+    assert(rows.exists(r => r._1 >= 8000000L && r._1 < 9000000L &&
+        longEnough(r._1 - 8000000L)),
+      "fixture must contain at least one long-enough cross-epoch plant")
+    // verdicts are a partition: matched_doc present iff not 'new'
+    rows.foreach { case (id, v, m) =>
+      assert((v == "new") == m.isEmpty, s"($id, $v, $m) inconsistent")
+    }
+  }
 }

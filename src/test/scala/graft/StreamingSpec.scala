@@ -1237,4 +1237,76 @@ class StreamingSpec extends SparkSpec {
         "the boundary day folded across the micro-batch split")
     } finally q.stop()
   }
+
+  test("goldenRecords: streamed entity resolution bit-matches q_entity_resolve across a split") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import graft.streaming.CustArrival
+      // one block (nation 10 / BUILDING / band 0) holding a 3-record
+      // entity whose third member arrives in the SECOND micro-batch (the
+      // cross-split merge), one clean 2-record entity in another block,
+      // and singletons that must not surface
+      val custs = Seq(
+        CustArrival(1L, "Alpha One", 10L, "BUILDING", 100.00),
+        CustArrival(2L, "Alpha One!", 10L, "BUILDING", 1500.00),
+        CustArrival(3L, "Alpha Onee", 10L, "BUILDING", 1509.00),
+        CustArrival(4L, "Beta Two", 20L, "AUTOMOBILE", 10.00),
+        CustArrival(5L, "Beta Twoo", 20L, "AUTOMOBILE", 12.00),
+        CustArrival(6L, "Zeta Solo", 10L, "BUILDING", 50.00),
+        CustArrival(7L, "Alpha One", 30L, "BUILDING", 100.00))
+      val (b1, b2) = (custs.filter(_.c_custkey <= 2) :+ custs(3) :+ custs(6),
+        Seq(custs(2), custs(4), custs(5)))
+      val in = MemoryStream[CustArrival]
+      val q = Streams.goldenRecords(in.toDS())
+        .writeStream.format("memory").queryName("golden")
+        .outputMode("append").start()
+      try {
+        in.addData(b1)
+        q.processAllAvailable()
+        in.addData(b2)
+        q.processAllAvailable()
+        val all = spark.table("golden")
+          .as[graft.streaming.GoldenRecord].collect().toSeq
+        // interim revision: the {1,2} cluster existed before member 3 merged in
+        assert(all.exists(g => g.entity_id == 1L && g.n_records == 2L),
+          "first batch must emit the pre-merge 2-record entity")
+        // final state: latest revision per block, tombstones excluded
+        val latest = all.groupBy(g => (g.blk_nation, g.blk_segment, g.blk_band))
+          .flatMap { case (_, gs) =>
+            val mx = gs.map(_.rev).max
+            gs.filter(g => g.rev == mx && g.entity_id >= 0)
+          }
+          .map(g => (g.entity_id, g.n_records, g.custkey_kept, g.name_kept,
+            g.nation_kept, g.cents_kept, g.needs_review))
+          .toSet
+        // the batch query over the same records, through the parquet contract
+        val dir = java.nio.file.Files.createTempDirectory("stream-er").toString
+        custs.toDF().write.mode("overwrite").parquet(s"$dir/customer.parquet")
+        val batch = graft.queries.AdvancedJoinQueries.entityResolve
+          .build(spark, dir)
+          .select(col("entity_id"), col("n_records"), col("custkey_kept"),
+            col("name_kept"), col("nation_kept"), col("cents_kept"),
+            col("needs_review"))
+          .as[(Long, Long, Long, String, Long, Long, Boolean)]
+          .collect().toSet
+        assert(batch.nonEmpty, "fixture must produce batch entities")
+        assert(latest == batch,
+          s"stream-only: ${latest diff batch}, batch-only: ${batch diff latest}")
+        // the cross-split merge happened: entity 1 is a 3-record cluster
+        // flagged for review (its weakest link is 'possible'-strength)
+        assert(latest.exists(r => r._1 == 1L && r._2 == 3L && r._7),
+          s"expected the merged 3-record entity flagged for review: $latest")
+        assert(latest.exists(r => r._1 == 4L && r._2 == 2L && !r._7),
+          s"expected the clean 2-record entity: $latest")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
