@@ -9,8 +9,10 @@ object Registry {
       EventQueries.all ++ ScalarQueries.all ++ AdvancedJoinQueries.all ++
       CorpusQueries.all ++ CurationQueries.all ++ ClassifyQueries.all ++
       GraphQueries.all ++ ProfileQueries.all ++ SequenceQueries.all ++
-      LakehouseQueries.all ++ AuditQueries.all
-  // (Graph/Profile/Sequence/Lakehouse/AuditQueries are the round-10 additions)
+      LakehouseQueries.all ++ AuditQueries.all ++ RankQueries.all ++
+      SurvivalQueries.all
+  // (Graph/Profile/Sequence/Lakehouse/AuditQueries are the round-10
+  // additions; RankQueries the round-14 rank/robust-statistics wave)
 
   def queries = all.map(q => q.name -> q.build).toMap
   def oracleSql = all.flatMap(q => q.oracle.map(q.name -> _)).toMap
