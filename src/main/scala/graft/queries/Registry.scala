@@ -10,7 +10,7 @@ object Registry {
       CorpusQueries.all ++ CurationQueries.all ++ ClassifyQueries.all ++
       GraphQueries.all ++ ProfileQueries.all ++ SequenceQueries.all ++
       LakehouseQueries.all ++ AuditQueries.all ++ RankQueries.all ++
-      SurvivalQueries.all
+      SurvivalQueries.all ++ SpectralQueries.all
   // (Graph/Profile/Sequence/Lakehouse/AuditQueries are the round-10
   // additions; RankQueries the round-14 rank/robust-statistics wave)
 

@@ -1880,9 +1880,12 @@ object SimilarityQueries {
     * plan constant, not data-dependent) feeding a map-side-combined
     * 2080-group aggregation; the 64 per-dim sums aggregate in the same
     * pass from the diagonal cells and join back by BROADCAST. */
-  val gramMatrix: Q = Q(
-    "q_gram_matrix",
-    """WITH q AS (
+  /** Shared DuckDB CTE chain for second-moment reductions: milli-quantized
+    * components (q, comp) and the in-row upper-triangle product cells —
+    * single-sourced between q_gram_matrix and the spectral queries
+    * ([[SpectralQueries]]), so the matrix iterated IS the matrix reported. */
+  private[queries] val gramCellCtes =
+    """q AS (
       |  SELECT vec_id,
       |         list_transform(embedding,
       |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
@@ -1893,7 +1896,31 @@ object SimilarityQueries {
       |cells AS (
       |  SELECT a.i AS i, b.i AS j, a.x * b.x AS p
       |  FROM comp a JOIN comp b
-      |    ON a.vec_id = b.vec_id AND a.i <= b.i),
+      |    ON a.vec_id = b.vec_id AND a.i <= b.i)""".stripMargin
+
+  /** Spark twin of the q CTE: (vec_id, qv) with milli-quantized integer
+    * components. */
+  private[queries] def quantizedVecs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("qv"))
+
+  /** Spark twin of the cells CTE: the in-row upper-triangle expansion into
+    * 1-based (i, j, qᵢ·qⱼ) product cells (constant C(d+1,2) fan-out). */
+  private[queries] def gramTriCells(
+      q: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    q.select(explode(expr(
+      """flatten(transform(qv, (x, i) ->
+        |  transform(slice(qv, i + 1, size(qv)), (y, j) ->
+        |    struct(i + 1 AS i, i + j + 1 AS j, x * y AS p))))""".stripMargin))
+      .as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+
+  val gramMatrix: Q = Q(
+    "q_gram_matrix",
+    s"""WITH $gramCellCtes,
       |g AS (
       |  SELECT i, j, COUNT(*) AS n, CAST(SUM(p) AS HUGEINT) AS dot
       |  FROM cells GROUP BY i, j),
@@ -1904,17 +1931,9 @@ object SimilarityQueries {
       |       CAST(g.n * g.dot - mi.s * mj.s AS BIGINT) AS cov_num
       |FROM g JOIN marg mi ON mi.i = g.i JOIN marg mj ON mj.i = g.j
       |ORDER BY i, j""".stripMargin) { (s, dir) =>
-    val q = t(s, dir, "embeddings")
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-          .as("qv"))
+    val q = quantizedVecs(s, dir)
     // in-row upper-triangle expansion: 1-based (i, j, q_i * q_j) structs
-    val cells = q.select(explode(expr(
-      """flatten(transform(qv, (x, i) ->
-        |  transform(slice(qv, i + 1, size(qv)), (y, j) ->
-        |    struct(i + 1 AS i, i + j + 1 AS j, x * y AS p))))""".stripMargin))
-      .as("c"))
-      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+    val cells = gramTriCells(q)
     val g = cells.groupBy("i", "j")
       .agg(count(lit(1)).as("n"), sum(col("p")).cast("decimal(38,0)").as("dot"))
     val sums = q.select(explode(expr(

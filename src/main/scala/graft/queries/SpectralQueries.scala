@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables.t
+
+/** Iterative linear algebra as declared queries — POWER ITERATION run
+  * twice: on the dense embedding Gram matrix (the leading PCA direction
+  * every whitening / OPQ-style rotation / drift monitor starts from) and
+  * on the sparse event-type transition matrix (the stationary distribution
+  * of user navigation — PageRank's little sibling). Both are fixed-depth
+  * (8 rounds) integer recurrences: matvec in DECIMAL(38,0)/HUGEINT, one
+  * normalizing integral division per component per round (both engines'
+  * integer division TRUNCATES toward zero — the recurrence is DEFINED over
+  * truncating division, the q_holt_forecast contract, so bit-equality
+  * needs no offset machinery). The oracle unrolls the same eight rounds as
+  * chained CTEs; determinism comes from the fixed all-ones / uniform seed.
+  *
+  * The scale split: the DATA-sized stage is a one-pass reduction (Gram
+  * cells / transition counts — map-side combined); every iteration after
+  * it touches only DIMENSION-sized state (64 components / k event types),
+  * so 8 rounds cost 8 tiny jobs regardless of corpus size — the only
+  * defensible way to iterate at 100 TB. */
+object SpectralQueries {
+
+  /** Unrolled oracle iteration k: matvec against v{k-1}, max-abs
+    * normalize back to ±10⁶ ppm. MATERIALIZED is load-bearing: DuckDB
+    * inlines plain CTEs per reference, and the r→m + r→v double
+    * reference would re-expand the whole Gram pipeline exponentially
+    * across the eight unrolled rounds (the oracle-side analogue of the
+    * Spark twin's eager localCheckpoint). */
+  private def pcaIter(k: Int): String = {
+    val prev = s"v${k - 1}"
+    s"""r$k AS MATERIALIZED (
+       |  SELECT g.i, SUM(g.g * $prev.v) AS raw
+       |  FROM g JOIN $prev ON $prev.i = g.j GROUP BY g.i),
+       |m$k AS (SELECT MAX(ABS(raw)) AS mx FROM r$k),
+       |v$k AS MATERIALIZED (
+       |  SELECT i, CASE WHEN mx = 0 THEN CAST(0 AS HUGEINT)
+       |                 ELSE (raw * 1000000) // mx END AS v
+       |  FROM r$k CROSS JOIN m$k)""".stripMargin
+  }
+
+  /** LEADING PRINCIPAL DIRECTION (power iteration) — 8 rounds of
+    * v ← normalize(G·v) on the 64×64 embedding Gram matrix, seeded
+    * all-ones; normalization is v·10⁶ DIV max|component| (truncating),
+    * so every state is an exact integer in ±10⁶. The Rayleigh quotient
+    * λ = ⌊vᵀGv / vᵀv⌋ rides along from one extra matvec — the dominant
+    * eigenvalue estimate in milli² dot units. The Gram chain is
+    * single-sourced with q_gram_matrix ([[SimilarityQueries.gramCellCtes]]
+    * / gramTriCells), so the matrix iterated IS the matrix reported.
+    *
+    * Headroom: |G| ≤ d·N·(10³·‖x‖∞)² — matvec·10⁶ stays inside 38 digits
+    * to N ≈ 10¹⁸ vectors; λ fits BIGINT to N ≈ 10⁹ (then widen the
+    * column). Fixed 8 rounds is the CONTRACT (a deterministic transform,
+    * like q_pagerank's fixed rounds), not a convergence promise — the
+    * spec grades closeness to the true eigenvector on a spiked fixture.
+    *
+    * Shape at 100 TB: the corpus is touched ONCE (the 2080-cell in-row
+    * expansion → map-side-combined aggregation); the mirrored full
+    * matrix is 4096 rows, eagerly checkpointed so the eight
+    * dimension-sized rounds (join + 64-group agg + 1-row max, broadcast
+    * back) never re-run the reduction. */
+  val pcaPower: Q = Q(
+    "q_pca_power",
+    s"""WITH ${SimilarityQueries.gramCellCtes},
+      |gu AS (SELECT i, j, CAST(SUM(p) AS HUGEINT) AS g
+      |       FROM cells GROUP BY i, j),
+      |g AS MATERIALIZED (
+      |      SELECT i, j, g FROM gu
+      |      UNION ALL
+      |      SELECT j AS i, i AS j, g FROM gu WHERE i <> j),
+      |v0 AS (SELECT DISTINCT i, CAST(1000000 AS HUGEINT) AS v FROM g),
+      |${(1 to 8).map(pcaIter).mkString(",\n")},
+      |r9 AS (
+      |  SELECT g.i, SUM(g.g * v8.v) AS raw
+      |  FROM g JOIN v8 ON v8.i = g.j GROUP BY g.i),
+      |ray AS (
+      |  SELECT SUM(v8.v * r9.raw) AS vgv, SUM(v8.v * v8.v) AS vv
+      |  FROM v8 JOIN r9 ON r9.i = v8.i)
+      |SELECT CAST(v8.i AS BIGINT) AS i, CAST(v8.v AS BIGINT) AS v_ppm,
+      |       CAST(vgv // vv AS BIGINT) AS lambda
+      |FROM v8 CROSS JOIN ray ORDER BY i""".stripMargin) { (s, dir) =>
+    val gu = SimilarityQueries.gramTriCells(SimilarityQueries.quantizedVecs(s, dir))
+      .groupBy("i", "j").agg(sum(col("p")).cast("decimal(38,0)").as("g"))
+    // mirror to the full symmetric matrix ONCE and checkpoint: the corpus
+    // reduction must not re-execute per iteration round
+    val g = gu.unionAll(gu.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("g")))
+      .localCheckpoint(true)
+    def matvec(v: DataFrame): DataFrame =
+      g.join(v.select(col("i").as("j"), col("v")), "j")
+        .groupBy("i")
+        .agg(sum(col("g") * col("v")).cast("decimal(38,0)").as("raw"))
+    var v = g.select("i").distinct()
+      .select(col("i"), lit(1000000L).cast("decimal(38,0)").as("v"))
+    for (_ <- 1 to 8) {
+      val raw = matvec(v)
+      val mx = raw.agg(max(abs(col("raw"))).as("mx"))
+      v = raw.crossJoin(broadcast(mx))
+        .select(col("i"),
+          expr("""CASE WHEN mx = 0 THEN CAST(0 AS DECIMAL(38,0))
+                 |     ELSE CAST((raw * 1000000) DIV mx AS DECIMAL(38,0))
+                 |END""".stripMargin).as("v"))
+        .localCheckpoint(true) // dimension-sized state; bounds plan depth
+    }
+    val r9 = matvec(v)
+    val ray = v.join(r9, "i")
+      .agg(sum(col("v") * col("raw")).cast("decimal(38,0)").as("vgv"),
+        sum(col("v") * col("v")).cast("decimal(38,0)").as("vv"))
+    v.crossJoin(broadcast(ray))
+      .select(col("i").cast("long").as("i"), col("v").cast("long").as("v_ppm"),
+        expr("CAST(vgv DIV vv AS BIGINT)").as("lambda"))
+      .orderBy("i")
+  }
+
+  /** Unrolled oracle iteration k for the chain: mass flows along the
+    * ppm transition rows, one truncating DIV 10⁶ per destination. */
+  private def chainIter(k: Int): String = {
+    val prev = s"pi${k - 1}"
+    s"""pi$k AS (
+       |  SELECT s.st, COALESCE(SUM($prev.pi * p.p_ppm), 0) // 1000000 AS pi
+       |  FROM states s
+       |  LEFT JOIN p ON p.b = s.st
+       |  LEFT JOIN $prev ON $prev.st = p.a
+       |  GROUP BY s.st)""".stripMargin
+  }
+
+  /** MARKOV STATIONARY DISTRIBUTION — 8 power-iteration rounds of
+    * π ← πP on the event-type transition chain (q_event_transitions'
+    * counts, row-normalized to ppm by truncating division), seeded
+    * uniform 10⁶ DIV k. The state space is the SOURCE types (a type with
+    * no outgoing transition would absorb mass the chain can't return;
+    * transitions into non-source types drop their mass — declared, and
+    * ppm truncation bleeds ≤ k ppm per round by construction, so the
+    * readout is a near-stationary vector, not a normalized probability).
+    * Emits π₀ and π₈ plus each state's outgoing mass so drift from
+    * uniform is readable in one row.
+    *
+    * Shape at 100 TB: transition counting is one fact scan + a per-user
+    * LEAD window (user-keyed, bounded frames) + a k²-group aggregation;
+    * the eight rounds then touch only the k²-row chain — dimension-sized,
+    * like [[pcaPower]]. */
+  val markovStationary: Q = Q(
+    "q_markov_stationary",
+    s"""WITH tr AS (
+      |  SELECT user_id, event_type,
+      |         LEAD(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS nxt
+      |  FROM events),
+      |cnt AS (
+      |  SELECT event_type AS a, nxt AS b, COUNT(*) AS c
+      |  FROM tr WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT a, SUM(c) AS n FROM cnt GROUP BY a),
+      |p AS MATERIALIZED (
+      |  SELECT cnt.a, cnt.b, (cnt.c * 1000000) // tot.n AS p_ppm
+      |  FROM cnt JOIN tot USING (a)),
+      |states AS (SELECT a AS st FROM tot),
+      |kk AS (SELECT COUNT(*) AS k FROM states),
+      |pi0 AS (SELECT st, 1000000 // k AS pi FROM states CROSS JOIN kk),
+      |${(1 to 8).map(chainIter).mkString(",\n")}
+      |SELECT pi8.st AS event_type, CAST(tot.n AS BIGINT) AS n_out,
+      |       CAST(pi0.pi AS BIGINT) AS pi0_ppm,
+      |       CAST(pi8.pi AS BIGINT) AS pi8_ppm
+      |FROM pi8 JOIN pi0 ON pi0.st = pi8.st JOIN tot ON tot.a = pi8.st
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(byUser).as("nxt"))
+    val cnt = tr.filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("a"), col("nxt").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("a").agg(sum(col("c")).as("n"))
+    // the k²-row chain: computed once, checkpointed, iterated on
+    val p = cnt.join(tot, "a")
+      .select(col("a"), col("b"), expr("(c * 1000000) DIV n").as("p_ppm"))
+      .localCheckpoint(true)
+    val states = tot.select(col("a").as("st")).localCheckpoint(true)
+    val kk = states.agg(count(lit(1)).as("k"))
+    var pi = states.crossJoin(broadcast(kk))
+      .select(col("st"), expr("1000000 DIV k").as("pi"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 8) {
+      pi = states
+        .join(p, p("b") === states("st"), "left")
+        .join(pi.select(col("st").as("ps"), col("pi")),
+          col("ps") === col("a"), "left")
+        .groupBy(states("st"))
+        .agg(expr("COALESCE(SUM(pi * p_ppm), 0) DIV 1000000").as("pi"))
+        .localCheckpoint(true) // k-row state
+    }
+    val pi0 = states.crossJoin(broadcast(kk))
+      .select(col("st"), expr("CAST(1000000 DIV k AS BIGINT)").as("pi0_ppm"))
+    pi.join(pi0, "st").join(tot.select(col("a").as("st"), col("n")), "st")
+      .select(col("st").as("event_type"), col("n").cast("long").as("n_out"),
+        col("pi0_ppm"), col("pi").cast("long").as("pi8_ppm"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(pcaPower, markovStationary)
+}
