@@ -1066,9 +1066,128 @@ object SequenceQueries {
       .orderBy("cohort", "age_weeks")
   }
 
+  /** SAX SYMBOLIC MOTIFS — Symbolic Aggregate approXimation (Lin & Keogh)
+    * of each type's daily volume series, then motif counting: (1) PAA —
+    * non-overlapping 3-day frames reduce to their integer-micro mean
+    * (x ≥ 0 so truncate ≡ floor; a short tail frame averages over its own
+    * length); (2) DISCRETIZE — each frame becomes one of four symbols by
+    * the series' own POSITIONAL quartiles (the value at 1-based rank
+    * ⌈k·n/4⌉ of the (v, frame)-sorted PAA values — data-driven
+    * breakpoints, the SAX equiprobability idea without assuming
+    * Gaussianity, and exact in both engines because the breakpoint is a
+    * selected element, never an interpolated one); (3) MOTIFS — sliding
+    * 3-symbol words per type, top-3 by count (ties lexicographic). The
+    * result is the "shape vocabulary" of each series — the preprocessing
+    * step behind time-series indexing, motif discovery, and anomaly
+    * grammars at a fraction of the raw-series cost.
+    *
+    * Shape at 100 TB: one fact scan → (type, day) counts; PAA is a
+    * (type, frame) aggregation over the calendar-bounded grid; ranks,
+    * breakpoints, word assembly, and the top-3 window all run per type
+    * over frame-counted rows — dimension-sized after the first
+    * aggregation, like every daily-grid query in this file. */
+  val saxMotifs: Q = Q(
+    "q_sax_motifs",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+      |cal AS (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+      |        FROM span),
+      |grid AS (
+      |  SELECT ty.event_type, cal.d, COALESCE(daily.cnt, 0) AS x
+      |  FROM (SELECT DISTINCT event_type FROM daily) ty
+      |  CROSS JOIN cal
+      |  LEFT JOIN daily ON daily.event_type = ty.event_type AND daily.d = cal.d),
+      |g2 AS (
+      |  SELECT event_type, x,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) - 1 AS i
+      |  FROM grid),
+      |paa AS (
+      |  SELECT event_type, i // 3 AS f,
+      |         (SUM(x) * 1000000) // COUNT(*) AS v
+      |  FROM g2 GROUP BY event_type, i // 3),
+      |rk AS (
+      |  SELECT event_type, f, v,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, f) AS rn,
+      |         COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM paa),
+      |bp AS (
+      |  SELECT event_type,
+      |         MAX(CASE WHEN rn = (1 * n + 3) // 4 THEN v END) AS b1,
+      |         MAX(CASE WHEN rn = (2 * n + 3) // 4 THEN v END) AS b2,
+      |         MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS b3
+      |  FROM rk GROUP BY event_type),
+      |sym AS (
+      |  SELECT p.event_type, p.f,
+      |         CASE WHEN p.v <= bp.b1 THEN 0 WHEN p.v <= bp.b2 THEN 1
+      |              WHEN p.v <= bp.b3 THEN 2 ELSE 3 END AS sy
+      |  FROM paa p JOIN bp USING (event_type)),
+      |words AS (
+      |  SELECT event_type, word FROM (
+      |    SELECT event_type,
+      |           CAST(sy AS VARCHAR) || CAST(LEAD(sy, 1) OVER w AS VARCHAR)
+      |             || CAST(LEAD(sy, 2) OVER w AS VARCHAR) AS word,
+      |           LEAD(sy, 2) OVER w AS ok
+      |    FROM sym WINDOW w AS (PARTITION BY event_type ORDER BY f))
+      |  WHERE ok IS NOT NULL),
+      |wc AS (SELECT event_type, word, COUNT(*) AS cnt FROM words GROUP BY 1, 2)
+      |SELECT event_type, word, CAST(cnt AS BIGINT) AS cnt,
+      |       CAST(rn AS BIGINT) AS rank
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |                                   ORDER BY cnt DESC, word) AS rn
+      |      FROM wc)
+      |WHERE rn <= 3
+      |ORDER BY event_type, rank""".stripMargin) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val cal = span.select(
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val grid = daily.select("event_type").distinct()
+      .crossJoin(broadcast(cal)) // types x calendar: broadcast-sized
+      .join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+    val byDay = Window.partitionBy("event_type").orderBy("d")
+    val paa = grid
+      .withColumn("i", row_number().over(byDay).cast("long") - 1)
+      .groupBy(col("event_type"), expr("i DIV 3").as("f"))
+      .agg(expr("(SUM(x) * 1000000) DIV COUNT(*)").as("v"))
+    val byV = Window.partitionBy("event_type").orderBy("v", "f")
+    val perTy = Window.partitionBy("event_type")
+    val rk = paa
+      .withColumn("rn", row_number().over(byV).cast("long"))
+      .withColumn("n", count(lit(1)).over(perTy))
+    val bp = rk.groupBy("event_type").agg(
+      max(when(expr("rn = (1 * n + 3) DIV 4"), col("v"))).as("b1"),
+      max(when(expr("rn = (2 * n + 3) DIV 4"), col("v"))).as("b2"),
+      max(when(expr("rn = (3 * n + 3) DIV 4"), col("v"))).as("b3"))
+    val sym = paa.join(broadcast(bp), "event_type") // types x 1 row
+      .select(col("event_type"), col("f"),
+        when(col("v") <= col("b1"), 0).when(col("v") <= col("b2"), 1)
+          .when(col("v") <= col("b3"), 2).otherwise(3).as("sy"))
+    val byF = Window.partitionBy("event_type").orderBy("f")
+    val words = sym
+      .withColumn("word", concat(col("sy").cast("string"),
+        lead(col("sy"), 1).over(byF).cast("string"),
+        lead(col("sy"), 2).over(byF).cast("string")))
+      .withColumn("ok", lead(col("sy"), 2).over(byF))
+      .filter(col("ok").isNotNull)
+    val wc = words.groupBy("event_type", "word").agg(count(lit(1)).as("cnt"))
+    val top = Window.partitionBy("event_type")
+      .orderBy(col("cnt").desc, col("word").asc)
+    wc.withColumn("rank", row_number().over(top).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("event_type"), col("word"), col("cnt").cast("long").as("cnt"),
+        col("rank"))
+      .orderBy("event_type", "rank")
+  }
+
   val all: Seq[Q] =
     Seq(eventTransitions, ohlcBars, lastTouchAttribution, conversionTime,
       cusumChangepoint, pivotEvents, meltEvents, eventPaths, streakIslands,
       ewmaDaily, seasonalProfile, autocorr, stlDecompose, holtForecast,
-      multiTouch, seasonalAnomaly, forecastBacktest, cohortLtv)
+      multiTouch, seasonalAnomaly, forecastBacktest, cohortLtv, saxMotifs)
 }

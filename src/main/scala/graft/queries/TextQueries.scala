@@ -917,9 +917,64 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** PHRASE SEARCH over a POSITIONAL INVERTED INDEX — the exact-phrase
+    * complement of q_keyword_search/q_bm25_search (bag-of-words can't tell
+    * "data base" from "base data"): the corpus is exploded ONCE into
+    * (doc, position, bigram) postings, the query phrase is mined from the
+    * corpus itself (its most frequent token bigram, count ties broken
+    * lexicographically — self-contained, no fixture constant), and
+    * matching docs report occurrence counts and the FIRST hit position —
+    * the snippet anchor a search UI needs. Bigrams are built in-row
+    * (adjacent-token concat inside the token array — no self-join to
+    * reassemble adjacency); tokens are the corpus convention
+    * (lowercased, whitespace-split, q_token_counts).
+    *
+    * Shape at 100 TB: one scan → in-row bigram expansion →
+    * map-side-combined vocabulary count; the top-1 pick is
+    * TakeOrdered(1) (never a global window); the phrase probe joins the
+    * postings by BROADCAST of the 1-row phrase. A multi-term query
+    * phrase generalizes to the same postings equi-join on (term,
+    * position offset). */
+  val phraseSearch: Q = Q(
+    "q_phrase_search",
+    """WITH dts AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |big AS (
+      |  SELECT d.doc_id, u.pos, d.ts[u.pos] || ' ' || d.ts[u.pos + 1] AS bg
+      |  FROM dts d, UNNEST(range(1, len(d.ts))) AS u(pos)),
+      |top1 AS (
+      |  SELECT bg AS phrase FROM (
+      |    SELECT bg, COUNT(*) AS c,
+      |           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bg) AS rn
+      |    FROM big GROUP BY bg) WHERE rn = 1)
+      |SELECT b.doc_id, t.phrase,
+      |       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |       CAST(MIN(b.pos) AS BIGINT) AS first_pos
+      |FROM big b JOIN top1 t ON b.bg = t.phrase
+      |GROUP BY b.doc_id, t.phrase
+      |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+    val dts = t(s, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+    val big = dts
+      .select(col("doc_id"), posexplode(expr(
+        "transform(slice(ts, 1, size(ts) - 1), (x, i) -> concat(x, ' ', ts[i + 1]))"))
+        .as(Seq("p0", "bg")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("bg"))
+    val top1 = big.groupBy("bg").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bg").asc).limit(1) // TakeOrdered, no window
+      .select(col("bg").as("phrase"))
+    big.join(broadcast(top1), col("bg") === col("phrase"))
+      .groupBy("doc_id", "phrase")
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("pos")).as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(dedupExact, textStats, langId, docProfile, jaccardNearDup, mediaMeta,
       tokenCounts, fingerprintRolling, winnowFingerprint, trainSplit,
       shuffleOrder, packShards, chunkDocs, dedupNormalized, labelMismatch,
-      incrementalDedup, frameSample, containmentNearDup, imageNearDup)
+      incrementalDedup, frameSample, containmentNearDup, imageNearDup,
+      phraseSearch)
 }

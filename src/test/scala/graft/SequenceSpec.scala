@@ -434,4 +434,25 @@ class SequenceSpec extends SparkSpec {
       assert(n > 0 && np >= 0 && np <= n && rec >= 0 && (lab == 0L || lab == 1L))
     }
   }
+
+  test("sax motifs: PAA means, positional quartiles, and word ranks") {
+    // 13 days of 'view': frames of 3 days -> PAA [1e6, 3e6, 6e6, 9e6] plus
+    // a 1-day tail frame at 9e6; quartile ranks over n = 5 select
+    // b1 = 3e6 (rank 2), b2 = 6e6 (rank 3), b3 = 9e6 (rank 4) ->
+    // symbols [0,0,1,2,2] -> words 001, 012, 122 (each once, lexicographic)
+    val counts = Seq(1, 1, 1, 3, 3, 3, 6, 6, 6, 9, 9, 9, 9)
+    var id = 100L
+    val rows = counts.zipWithIndex.flatMap { case (c, day) =>
+      (0 until c).map { _ =>
+        id += 1
+        Row(id, id % 5, at(day * 1440L), "view", 1.0, "{}")
+      }
+    }
+    val d = writeEvents(rows)
+    val r = SequenceQueries.saxMotifs.build(spark, d).collect()
+      .map(x => (x.getString(0), x.getAs[Long]("rank")) ->
+        (x.getString(1), x.getAs[Long]("cnt")))
+    assert(r.toSeq.sortBy(_._1).map(_._2) ==
+      Seq(("001", 1L), ("012", 1L), ("122", 1L)))
+  }
 }

@@ -152,4 +152,24 @@ class TextSpec extends SparkSpec {
     val jac = graft.queries.TextQueries.jaccardNearDup.build(spark, dir).collect()
     assert(jac.isEmpty, s"jaccard gate unexpectedly fired: ${jac.toSeq}")
   }
+
+  test("phrase search: mines the top bigram, counts and first positions") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("phrase-spec").toString
+    Seq(
+      (1L, "the cat sat on the cat mat"),
+      (2L, "The cat ran"), // lowercased before tokenizing
+      (3L, "zz yy zz yy zz yy")) // "zz yy" also x3 -> lexicographic tie-break
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.TextQueries.phraseSearch.build(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getAs[Long]("n_occurrences"),
+        x.getAs[Long]("first_pos"))).toMap
+    // "the cat" and "zz yy" both occur 3 times; "the cat" < "zz yy"
+    assert(r.keySet == Set(1L, 2L))
+    assert(r(1L) == (("the cat", 2L, 1L)))
+    assert(r(2L) == (("the cat", 1L, 1L)))
+  }
 }
