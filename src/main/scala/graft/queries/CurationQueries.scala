@@ -959,9 +959,13 @@ object CurationQueries {
     * Shape at 100 TB: one document scan computes features, score, pred
     * and bin in-row (zero shuffles), then ONE ≤10-group aggregation; the
     * global ECE is a 1-row broadcast joined back. */
-  val scoreCalibration: Q = Q(
-    "q_score_calibration",
-    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  /** Shared DuckDB CTE chain for the calibration family: quality-score
+    * prediction, ppm squash, 10-bin reliability groups with exact
+    * positive counts — single-sourced between q_score_calibration and
+    * q_isotonic_calibration so the curve calibrated IS the curve
+    * reported. */
+  private[queries] val calibCtes =
+    """tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |f AS (
       |  SELECT doc_id,
       |         CAST(len(tk) AS BIGINT) AS n_tokens,
@@ -984,21 +988,15 @@ object CurationQueries {
       |         pred_ppm, CASE WHEN n_tokens >= 40 THEN 1 ELSE 0 END AS pos
       |  FROM p),
       |g AS (
-      |  SELECT bin, COUNT(*) AS n,
+      |  SELECT bin, COUNT(*) AS n, SUM(pos) AS pos_n,
       |         SUM(pred_ppm) // COUNT(*) AS mean_pred_ppm,
       |         SUM(pos) * 1000000 // COUNT(*) AS obs_rate_ppm
-      |  FROM b GROUP BY bin),
-      |gg AS (
-      |  SELECT bin, n, mean_pred_ppm, obs_rate_ppm,
-      |         abs(mean_pred_ppm - obs_rate_ppm) AS gap_ppm
-      |  FROM g)
-      |SELECT bin, CAST(n AS BIGINT) AS n_docs,
-      |       CAST(mean_pred_ppm AS BIGINT) AS mean_pred_ppm,
-      |       CAST(obs_rate_ppm AS BIGINT) AS obs_rate_ppm,
-      |       CAST(gap_ppm AS BIGINT) AS gap_ppm,
-      |       CAST((SELECT SUM(n * gap_ppm) FROM gg) // (SELECT SUM(n) FROM gg)
-      |            AS BIGINT) AS ece_ppm
-      |FROM gg ORDER BY bin""".stripMargin) { (s, dir) =>
+      |  FROM b GROUP BY bin)""".stripMargin
+
+  /** Spark twin of [[calibCtes]]: the 10-row reliability-bin frame
+    * (bin, n, pos_n, mean_pred_ppm, obs_rate_ppm). */
+  private[queries] def calibBinned(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val b = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"),
@@ -1017,10 +1015,27 @@ object CurationQueries {
           .as("pred_ppm"),
         when(col("n_tokens") >= 40, 1L).otherwise(0L).as("pos"))
       .withColumn("bin", expr("LEAST(pred_ppm * 10 DIV 1000000, 9L)"))
-    val g = b.groupBy("bin")
-      .agg(count(lit(1)).as("n"),
+    b.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos_n"),
         expr("SUM(pred_ppm) DIV COUNT(*)").as("mean_pred_ppm"),
         expr("SUM(pos) * 1000000 DIV COUNT(*)").as("obs_rate_ppm"))
+  }
+
+  val scoreCalibration: Q = Q(
+    "q_score_calibration",
+    s"""WITH $calibCtes,
+      |gg AS (
+      |  SELECT bin, n, mean_pred_ppm, obs_rate_ppm,
+      |         abs(mean_pred_ppm - obs_rate_ppm) AS gap_ppm
+      |  FROM g)
+      |SELECT bin, CAST(n AS BIGINT) AS n_docs,
+      |       CAST(mean_pred_ppm AS BIGINT) AS mean_pred_ppm,
+      |       CAST(obs_rate_ppm AS BIGINT) AS obs_rate_ppm,
+      |       CAST(gap_ppm AS BIGINT) AS gap_ppm,
+      |       CAST((SELECT SUM(n * gap_ppm) FROM gg) // (SELECT SUM(n) FROM gg)
+      |            AS BIGINT) AS ece_ppm
+      |FROM gg ORDER BY bin""".stripMargin) { (s, dir) =>
+    val g = calibBinned(s, dir)
       .withColumn("gap_ppm", abs(col("mean_pred_ppm") - col("obs_rate_ppm")))
     val ece = g.agg(
       expr("SUM(n * gap_ppm) DIV SUM(n)").as("ece_ppm"))
@@ -1030,9 +1045,81 @@ object CurationQueries {
       .orderBy("bin")
   }
 
+  /** ISOTONIC CALIBRATION (pool-adjacent-violators) of the quality-score
+    * classifier — the monotone-regression step that turns a reliability
+    * diagram into a usable calibration map: the PAV fit over the 10
+    * prediction bins (weights = bin counts, targets = observed positive
+    * rates), computed through the MINIMAX characterization
+    * ŷᵢ = max_{j≤i} min_{k≥i} mean(j..k) rather than sequential pooling.
+    * Block means are exact-rational (Σpos/Σn) floored to ppm per (j,k);
+    * since floor is monotone it commutes with min/max, so the floored
+    * minimax EQUALS exact PAV's block mean floored — bit-equal in both
+    * engines and faithful to the textbook fit (IsotonicSpec proves it
+    * against a BigRational pooling fold). The post-fit weighted residual
+    * (iso_ece_ppm) rides along: how much miscalibration remains AFTER the
+    * best monotone correction — the irreducible part of q_score_
+    * calibration's ECE. Bin pipeline single-sourced via [[calibCtes]]/
+    * [[calibBinned]].
+    *
+    * Shape at 100 TB: the corpus is touched once (the shared binning
+    * aggregation); the minimax runs on the FIXED 10-row bin frame —
+    * triangle enumeration via broadcast nested-loop joins over
+    * constant-bounded sides (never a data-sized cartesian), checkpointed
+    * so the scan never re-executes per self-reference. */
+  val isotonicCalibration: Q = Q(
+    "q_isotonic_calibration",
+    s"""WITH $calibCtes,
+      |pr AS (
+      |  SELECT a.bin AS j, b.bin AS k FROM g a JOIN g b ON a.bin <= b.bin),
+      |av AS (
+      |  SELECT pr.j, pr.k, SUM(m.pos_n) * 1000000 // SUM(m.n) AS a
+      |  FROM pr JOIN g m ON m.bin BETWEEN pr.j AND pr.k
+      |  GROUP BY pr.j, pr.k),
+      |mn AS (
+      |  SELECT av.j, i.bin AS i, MIN(av.a) AS v
+      |  FROM av JOIN g i ON av.j <= i.bin AND av.k >= i.bin
+      |  GROUP BY av.j, i.bin),
+      |fit AS (SELECT i, MAX(v) AS iso_ppm FROM mn GROUP BY i),
+      |o AS (
+      |  SELECT g.bin, g.n, g.mean_pred_ppm, g.obs_rate_ppm, fit.iso_ppm
+      |  FROM g JOIN fit ON fit.i = g.bin)
+      |SELECT bin, CAST(n AS BIGINT) AS n_docs,
+      |       CAST(mean_pred_ppm AS BIGINT) AS mean_pred_ppm,
+      |       CAST(obs_rate_ppm AS BIGINT) AS obs_rate_ppm,
+      |       CAST(iso_ppm AS BIGINT) AS iso_ppm,
+      |       CAST((SELECT SUM(n * abs(iso_ppm - obs_rate_ppm)) FROM o)
+      |            // (SELECT SUM(n) FROM o) AS BIGINT) AS iso_ece_ppm
+      |FROM o ORDER BY bin""".stripMargin) { (s, dir) =>
+    // the 10-row bin frame feeds four self-references: checkpoint so the
+    // corpus scan executes exactly once
+    val g = calibBinned(s, dir).localCheckpoint(true)
+    val pr = g.select(col("bin").as("j"))
+      .join(broadcast(g.select(col("bin").as("k"))), col("j") <= col("k"))
+    val av = pr
+      .join(broadcast(g.select(col("bin").as("m"), col("pos_n"),
+        col("n").as("mn"))), col("m").between(col("j"), col("k")))
+      .groupBy("j", "k")
+      .agg(expr("SUM(pos_n) * 1000000 DIV SUM(mn)").as("a"))
+    val mn = av
+      .join(broadcast(g.select(col("bin").as("i"))),
+        col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy("j", "i").agg(min(col("a")).as("v"))
+    val fit = mn.groupBy("i").agg(max(col("v")).as("iso_ppm"))
+    val o = g.join(fit, col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("mean_pred_ppm"),
+        col("obs_rate_ppm"), col("iso_ppm"))
+    val ece = o.agg(
+      expr("SUM(n * abs(iso_ppm - obs_rate_ppm)) DIV SUM(n)").as("iso_ece_ppm"))
+    o.crossJoin(broadcast(ece)) // 1-row residual readout
+      .select(col("bin"), col("n").cast("long").as("n_docs"),
+        col("mean_pred_ppm"), col("obs_rate_ppm"),
+        col("iso_ppm").cast("long").as("iso_ppm"), col("iso_ece_ppm"))
+      .orderBy("bin")
+  }
+
   val all: Seq[Q] =
     Seq(substringDedup, sourceCap, lmScore, blocklistScrub, piiScrub,
       curationReport, curriculumOrder, corpusDiff, budgetMixture,
       pipelineE2e, shardManifest, stratifiedSample, fuzzyBlocklist,
-      qualityScore, ngramNovelty, scoreCalibration)
+      qualityScore, ngramNovelty, scoreCalibration, isotonicCalibration)
 }

@@ -155,5 +155,132 @@ object StatQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(estimatorSlopes, r0Trajectory, mseAligned)
+  /** CLOSED-FORM TWO-FEATURE OLS — daily purchases regressed on daily
+    * views and clicks with intercept, solved by the NORMAL EQUATIONS with
+    * an exact 2×2 inversion over mean-cleared integer sums (the
+    * multivariate extension of A6/A7's closed-form slope, main.py's
+    * estimator family): with Sₐᵦ = n·Σab − Σa·Σb,
+    *   β₁ = (S₂₂S₁ᵧ − S₁₂S₂ᵧ)/det, β₂ = (S₁₁S₂ᵧ − S₁₂S₁ᵧ)/det,
+    *   det = S₁₁S₂₂ − S₁₂², α = (Σy − β₁Σx₁ − β₂Σx₂)/n.
+    * All sums are exact DECIMAL(38,0)/HUGEINT; betas floor to ppm via
+    * the +K·det offset (K = 10¹², slopes to ±10⁶ — both engines truncate,
+    * the offset realizes floor on negative numerators); the intercept is
+    * computed FROM the floored betas (a declared contract, ≤ 1 ppm·Σx/n
+    * from the unrounded α). Collinear features (det = 0) yield NULL.
+    * The series is the zero-filled calendar grid (q_autocorr's
+    * convention).
+    *
+    * Headroom: numerators ~ (n²X²)² ⇒ exact through 38 digits while
+    * n·X ≲ 10⁸ (X = peak daily count; rescale counts to kilo-units
+    * upstream past that).
+    *
+    * Shape at 100 TB: one fact scan → map-side-combined daily
+    * conditional counts; the calendar join, the moment aggregation, and
+    * the solve all run over grid-bounded rows — a single scalar row out. */
+  val ols2Daily: Q = Q(
+    "q_ols2_daily",
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d,
+      |         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y,
+      |         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x1,
+      |         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x2
+      |  FROM events GROUP BY 1),
+      |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+      |cal AS (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+      |        FROM span),
+      |grid AS (
+      |  SELECT cal.d, COALESCE(daily.y, 0) AS y,
+      |         COALESCE(daily.x1, 0) AS x1, COALESCE(daily.x2, 0) AS x2
+      |  FROM cal LEFT JOIN daily ON daily.d = cal.d),
+      |st AS (
+      |  SELECT COUNT(*) AS n,
+      |         SUM(CAST(x1 AS HUGEINT)) AS s1, SUM(CAST(x2 AS HUGEINT)) AS s2,
+      |         SUM(CAST(y AS HUGEINT)) AS sy,
+      |         SUM(CAST(x1 AS HUGEINT) * x1) AS q11,
+      |         SUM(CAST(x1 AS HUGEINT) * x2) AS q12,
+      |         SUM(CAST(x2 AS HUGEINT) * x2) AS q22,
+      |         SUM(CAST(x1 AS HUGEINT) * y) AS p1y,
+      |         SUM(CAST(x2 AS HUGEINT) * y) AS p2y
+      |  FROM grid),
+      |f AS (
+      |  SELECT n, s1, s2, sy,
+      |         n * q11 - s1 * s1 AS a11, n * q12 - s1 * s2 AS a12,
+      |         n * q22 - s2 * s2 AS a22,
+      |         n * p1y - s1 * sy AS b1, n * p2y - s2 * sy AS b2
+      |  FROM st),
+      |g AS (
+      |  SELECT n, s1, s2, sy,
+      |         a11 * a22 - a12 * a12 AS det,
+      |         a22 * b1 - a12 * b2 AS n1, a11 * b2 - a12 * b1 AS n2
+      |  FROM f),
+      |r AS (
+      |  SELECT n, s1, s2, sy, det,
+      |         CASE WHEN det = 0 THEN NULL
+      |              ELSE (n1 * 1000000 + 1000000000000 * det) // det
+      |                   - 1000000000000 END AS beta_view_ppm,
+      |         CASE WHEN det = 0 THEN NULL
+      |              ELSE (n2 * 1000000 + 1000000000000 * det) // det
+      |                   - 1000000000000 END AS beta_click_ppm
+      |  FROM g)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |       CAST(beta_view_ppm AS BIGINT) AS beta_view_ppm,
+      |       CAST(beta_click_ppm AS BIGINT) AS beta_click_ppm,
+      |       CAST(CASE WHEN det = 0 THEN NULL
+      |            ELSE (sy * 1000000 - beta_view_ppm * s1 - beta_click_ppm * s2
+      |                  + 1000000000000 * n) // n - 1000000000000 END
+      |            AS BIGINT) AS alpha_ppm
+      |FROM r""".stripMargin) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x1"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x2"))
+    val span = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val cal = span.select(
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val grid = cal.join(daily, Seq("d"), "left")
+      .select(coalesce(col("y"), lit(0L)).cast("decimal(38,0)").as("y"),
+        coalesce(col("x1"), lit(0L)).cast("decimal(38,0)").as("x1"),
+        coalesce(col("x2"), lit(0L)).cast("decimal(38,0)").as("x2"))
+    grid.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x1")).cast("decimal(38,0)").as("s1"),
+      sum(col("x2")).cast("decimal(38,0)").as("s2"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum(col("x1") * col("x1")).cast("decimal(38,0)").as("q11"),
+      sum(col("x1") * col("x2")).cast("decimal(38,0)").as("q12"),
+      sum(col("x2") * col("x2")).cast("decimal(38,0)").as("q22"),
+      sum(col("x1") * col("y")).cast("decimal(38,0)").as("p1y"),
+      sum(col("x2") * col("y")).cast("decimal(38,0)").as("p2y"))
+      .select(col("n"), col("s1"), col("s2"), col("sy"),
+        expr("n * q11 - s1 * s1").as("a11"),
+        expr("n * q12 - s1 * s2").as("a12"),
+        expr("n * q22 - s2 * s2").as("a22"),
+        expr("n * p1y - s1 * sy").as("b1"),
+        expr("n * p2y - s2 * sy").as("b2"))
+      .select(col("n"), col("s1"), col("s2"), col("sy"),
+        expr("a11 * a22 - a12 * a12").as("det"),
+        expr("a22 * b1 - a12 * b2").as("n1"),
+        expr("a11 * b2 - a12 * b1").as("n2"))
+      .select(col("n"), col("s1"), col("s2"), col("sy"), col("det"),
+        expr("""CASE WHEN det = 0 THEN NULL
+               |     ELSE (n1 * 1000000 + 1000000000000 * det) DIV det
+               |          - 1000000000000 END""".stripMargin)
+          .as("beta_view_ppm"),
+        expr("""CASE WHEN det = 0 THEN NULL
+               |     ELSE (n2 * 1000000 + 1000000000000 * det) DIV det
+               |          - 1000000000000 END""".stripMargin)
+          .as("beta_click_ppm"))
+      .select(col("n").cast("long").as("n_days"),
+        col("beta_view_ppm").cast("long").as("beta_view_ppm"),
+        col("beta_click_ppm").cast("long").as("beta_click_ppm"),
+        expr("""CAST(CASE WHEN det = 0 THEN NULL
+               |     ELSE (sy * 1000000 - beta_view_ppm * s1
+               |           - beta_click_ppm * s2
+               |           + 1000000000000 * n) DIV n - 1000000000000 END
+               |     AS BIGINT)""".stripMargin).as("alpha_ppm"))
+  }
+
+  val all: Seq[Q] = Seq(estimatorSlopes, r0Trajectory, mseAligned, ols2Daily)
 }
