@@ -109,6 +109,7 @@ object StreamBench {
           name == "hll_group_regs" ||
           name == "bloom_words" || name == "cms_registers" ||
           name == "transitions" || name == "anomaly" ||
+          name == "user_lifetimes" ||
           name == "ohlc" || name == "streaks" ||
           name == "pit_lookup" || name == "concurrency" ||
           name == "scd2_apply" || name == "bitmap_registers" ||
@@ -161,6 +162,10 @@ object StreamBench {
       },
       run("transitions", nEvents)(df =>
         streaming.Streams.eventTransitions(
+          df.select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type")).as[streaming.TransEvent]).toDF()),
+      run("user_lifetimes", nEvents)(df =>
+        streaming.Streams.userLifetimes(
           df.select(col("event_id"), col("user_id"), col("ts"),
             col("event_type")).as[streaming.TransEvent]).toDF()),
       run("anomaly", nEvents)(df =>

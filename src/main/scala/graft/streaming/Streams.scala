@@ -131,6 +131,63 @@ private[streaming] class TransitionProcessor
   }
 }
 
+/** One user's lifetime summary from the streaming maintainer (batch:
+  * q_survival_km's user-grain aggregation): acquisition cohort = the
+  * FIRST event's type, plus the activity-day extremes. `revision` rises
+  * per emission; the latest revision per user is the current state. */
+final case class UserLifetime(user_id: Long, cohort: String,
+    first_day: java.sql.Date, last_day: java.sql.Date, revision: Long)
+
+/** Per-user survival state: the first event's (micros, id, type) — the
+  * (ts, event_id) tiebreak is the batch cohort rule — and epoch-day
+  * extremes. Five fields per user, constant size. */
+final case class SurvState(firstUs: Long, firstId: Long, cohort: String,
+    minDay: Long, maxDay: Long, rev: Long)
+
+/** Streaming USER-LIFETIME maintenance: the incremental twin of the
+  * user-grain aggregation under q_survival_km (first/last activity day +
+  * first-event cohort). Order-insensitive by construction — min/max folds
+  * and a (ts, event_id)-minimal pick commute with any arrival order, so
+  * the latest state bit-matches the batch aggregate across ANY micro-batch
+  * split, including out-of-order cross-batch arrival (StreamingSpec). The
+  * survival curve itself is a calendar-grid-sized batch read over this
+  * state table — the data-sized half is what streams. */
+private[streaming] class LifetimeProcessor
+    extends StatefulProcessor[Long, TransEvent, UserLifetime] {
+  @transient private var st: ValueState[SurvState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[SurvState]("life",
+      Encoders.product[SurvState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[TransEvent],
+      timers: TimerValues): Iterator[UserLifetime] = {
+    var s = if (st.exists()) st.get() else null
+    rows.foreach { e =>
+      val us = Streams.micros(e.ts)
+      val day = Math.floorDiv(us, 86400000000L) // UTC epoch day
+      s =
+        if (s == null) SurvState(us, e.event_id, e.event_type, day, day, 0L)
+        else {
+          val keep = us < s.firstUs ||
+            (us == s.firstUs && e.event_id < s.firstId)
+          SurvState(
+            if (keep) us else s.firstUs,
+            if (keep) e.event_id else s.firstId,
+            if (keep) e.event_type else s.cohort,
+            math.min(s.minDay, day), math.max(s.maxDay, day), s.rev)
+        }
+    }
+    val out = s.copy(rev = s.rev + 1)
+    st.update(out)
+    Iterator(UserLifetime(user, out.cohort, toDate(out.minDay),
+      toDate(out.maxDay), out.rev))
+  }
+
+  private def toDate(epochDay: Long): java.sql.Date =
+    java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(epochDay))
+}
+
 /** Event row for the streaming anomaly detector (batch: q_anomaly_zscore). */
 final case class AnomEvent(event_id: Long, user_id: Long,
     ts: java.sql.Timestamp, value: Double)
@@ -1206,6 +1263,17 @@ object Streams {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new TransitionProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming user-lifetime maintenance (see [[LifetimeProcessor]]):
+    * the incremental twin of q_survival_km's user-grain aggregation —
+    * five fields of state per user, order-insensitive folds. Requires
+    * the RocksDB state store provider (as [[sessionizeTws]]). */
+  def userLifetimes(events: Dataset[TransEvent]): Dataset[UserLifetime] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new LifetimeProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -1309,4 +1309,61 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("userLifetimes: state bit-matches the batch user aggregation under out-of-order cross-batch arrival") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // batch truth: q_survival_km's user-grain aggregation (first/last
+      // activity day + first-event cohort by the (ts, event_id) tiebreak)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val batch = graft.engine.Tables.t(spark, sf, "events")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("first_d"),
+          max(to_date(col("ts"))).as("last_d"),
+          min(when(col("rn") === 1, col("event_type"))).as("cohort"))
+        .collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[String]("cohort"), r.getAs[java.sql.Date]("first_d").toString,
+            r.getAs[java.sql.Date]("last_d").toString)).toMap
+      // stream the SAME events with the LATE half first: every user's
+      // first event arrives in batch 2, so the cohort pick must correct
+      // already-written state, not just extend it
+      val events = graft.engine.Tables.t(spark, sf, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .orderBy("ts", "event_id")
+        .as[graft.streaming.TransEvent].collect()
+      val (early, late) = events.splitAt(events.length / 2)
+      val in = MemoryStream[graft.streaming.TransEvent]
+      val q = graft.streaming.Streams.userLifetimes(in.toDS())
+        .writeStream.format("memory").queryName("lifetimes")
+        .outputMode("append").start()
+      try {
+        in.addData(late.toIndexedSeq) // later events FIRST
+        q.processAllAvailable()
+        in.addData(early.toIndexedSeq)
+        q.processAllAvailable()
+        val streamed = spark.table("lifetimes")
+          .orderBy(col("revision").desc)
+          .collect()
+          .map(r => r.getAs[Long]("user_id") ->
+            (r.getAs[String]("cohort"),
+              r.getAs[java.sql.Date]("first_day").toString,
+              r.getAs[java.sql.Date]("last_day").toString))
+          .groupBy(_._1).view.mapValues(_.head._2).toMap
+        assert(streamed == batch,
+          s"diff: ${(streamed.toSet diff batch.toSet).take(3)} vs " +
+            s"${(batch.toSet diff streamed.toSet).take(3)}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
