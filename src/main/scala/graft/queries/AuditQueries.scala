@@ -562,7 +562,77 @@ object AuditQueries {
     }
   }
 
+  /** L-DIVERSITY AUDIT — the step after [[kAnonymity]] in the
+    * re-identification tower: k-anonymity bounds how well an attacker can
+    * SINGLE OUT a row, but a class whose sensitive attribute is uniform
+    * leaks it to every member anyway (the homogeneity attack); distinct
+    * l-diversity requires every quasi-identifier class to contain at
+    * least l distinct sensitive values. Here the sensitive attribute is
+    * o_orderpriority and the QI ladder generalizes (status, order month)
+    * → (status): per level, the class count, the minimum distinct
+    * sensitive values in any class, the classes and rows below l = 3,
+    * and the verdict. All counts exact — the entropy variant needs logs,
+    * so the exact contract reports the distinct form (the one Machanavajjhala
+    * et al. call out as the practical default).
+    *
+    * Shape at 100 TB: one scan per level → (QI, sensitive)-keyed
+    * pre-aggregation, then a class-keyed distinct count — two map-side-
+    * combinable shuffles per level, class-bounded output. */
+  val lDiversity: Q = {
+    val l = 3
+    Q(
+      "q_l_diversity",
+      s"""WITH b AS (
+        |  SELECT o_orderstatus AS st,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        |         o_orderpriority AS sens
+        |  FROM orders),
+        |c0 AS (
+        |  SELECT st, mon, COUNT(*) AS sz, COUNT(DISTINCT sens) AS nd
+        |  FROM b GROUP BY st, mon),
+        |c1 AS (
+        |  SELECT st, COUNT(*) AS sz, COUNT(DISTINCT sens) AS nd
+        |  FROM b GROUP BY st),
+        |r AS (
+        |  SELECT 0 AS level, 'status,month' AS qi, COUNT(*) AS n_classes,
+        |         CAST(MIN(nd) AS BIGINT) AS min_distinct,
+        |         CAST(SUM(CASE WHEN nd < $l THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS classes_below_l,
+        |         CAST(SUM(CASE WHEN nd < $l THEN sz ELSE 0 END) AS BIGINT)
+        |           AS rows_at_risk
+        |  FROM c0
+        |  UNION ALL
+        |  SELECT 1, 'status', COUNT(*), CAST(MIN(nd) AS BIGINT),
+        |         CAST(SUM(CASE WHEN nd < $l THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(SUM(CASE WHEN nd < $l THEN sz ELSE 0 END) AS BIGINT)
+        |  FROM c1)
+        |SELECT CAST(level AS BIGINT) AS level, qi,
+        |       CAST(n_classes AS BIGINT) AS n_classes, min_distinct,
+        |       classes_below_l, rows_at_risk,
+        |       classes_below_l = 0 AS l_diverse
+        |FROM r ORDER BY level""".stripMargin) { (s, dir) =>
+      val b = t(s, dir, "orders")
+        .select(col("o_orderstatus").as("st"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mon"),
+          col("o_orderpriority").as("sens"))
+      def level(lvl: Int, qi: String, keys: Seq[String]): DataFrame =
+        b.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("sz"), countDistinct(col("sens")).as("nd"))
+          .agg(count(lit(1)).as("n_classes"),
+            min(col("nd")).as("min_distinct"),
+            sum(when(col("nd") < l, 1L).otherwise(0L)).as("classes_below_l"),
+            sum(when(col("nd") < l, col("sz")).otherwise(0L)).as("rows_at_risk"))
+          .select(lit(lvl.toLong).as("level"), lit(qi).as("qi"),
+            col("n_classes"), col("min_distinct"), col("classes_below_l"),
+            col("rows_at_risk"))
+      level(0, "status,month", Seq("st", "mon"))
+        .unionByName(level(1, "status", Seq("st")))
+        .withColumn("l_diverse", col("classes_below_l") === 0L)
+        .orderBy("level")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(fkIntegrity, orderReconcile, abLift, rfmSegments, benfordGate,
-      expectations, kAnonymity)
+      expectations, kAnonymity, lDiversity)
 }

@@ -11,6 +11,8 @@ object Registry {
       GraphQueries.all ++ ProfileQueries.all ++ SequenceQueries.all ++
       LakehouseQueries.all ++ AuditQueries.all ++ RankQueries.all ++
       SurvivalQueries.all ++ SpectralQueries.all
+  // (RankQueries/SurvivalQueries/SpectralQueries are the round-14 waves;
+  //  q_l_diversity, q_mrl_recall et al. live in their domain files)
   // (Graph/Profile/Sequence/Lakehouse/AuditQueries are the round-10
   // additions; RankQueries the round-14 rank/robust-statistics wave)
 

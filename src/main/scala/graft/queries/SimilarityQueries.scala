@@ -2127,11 +2127,103 @@ object SimilarityQueries {
     }
   }
 
+  /** MATRYOSHKA TRUNCATION EVAL (q_mrl_recall) — retrieval quality of
+    * DIMENSION-TRUNCATED embeddings: rank the corpus by exact L2 on the
+    * first 16 / 32 / 64 milli-quantized components and grade each
+    * truncation's top-3 against the full-dimension truth (recall@3).
+    * The question every Matryoshka/MRL deployment asks before cutting
+    * index cost 4×: how much of the neighborhood survives the prefix?
+    * All-integer value trees (quantized diffs squared — never a float
+    * norm), so the eval is bit-exact in both engines; ties break by
+    * vec_id like every ANN yardstick here.
+    *
+    * Shape at 100 TB: the established yardstick posture (q_cosine_topk):
+    * broadcast query batch, ONE corpus pass scoring all three prefixes
+    * per pair (the d=16 sum is a subexpression of d=64), per-query
+    * windows over batch-bounded rows; an EVAL query — production runs it
+    * on a sampled slice, like q_ann_recall. */
+  val mrlRecall: Q = Q(
+    "q_mrl_recall",
+    """WITH q AS (
+      |  SELECT vec_id AS qid,
+      |         list_transform(embedding,
+      |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |e AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ev
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.qid, e.vec_id,
+      |         list_sum(list_transform(range(1, 17),
+      |           i -> (q.qv[i] - e.ev[i]) * (q.qv[i] - e.ev[i]))) AS d16,
+      |         list_sum(list_transform(range(1, 33),
+      |           i -> (q.qv[i] - e.ev[i]) * (q.qv[i] - e.ev[i]))) AS d32,
+      |         list_sum(list_transform(range(1, 65),
+      |           i -> (q.qv[i] - e.ev[i]) * (q.qv[i] - e.ev[i]))) AS d64
+      |  FROM q, e WHERE e.vec_id <> q.qid),
+      |un AS (
+      |  SELECT qid, vec_id, 16 AS dim, d16 AS d2 FROM scored
+      |  UNION ALL
+      |  SELECT qid, vec_id, 32, d32 FROM scored
+      |  UNION ALL
+      |  SELECT qid, vec_id, 64, d64 FROM scored),
+      |rk AS (
+      |  SELECT qid, vec_id, dim,
+      |         ROW_NUMBER() OVER (PARTITION BY qid, dim
+      |                            ORDER BY d2, vec_id) AS rk
+      |  FROM un),
+      |top3 AS (SELECT qid, vec_id, dim FROM rk WHERE rk <= 3),
+      |nq AS (SELECT COUNT(*) AS n FROM q),
+      |hits AS (
+      |  SELECT t.dim, COUNT(*) AS n_hits
+      |  FROM top3 t JOIN top3 f
+      |    ON f.dim = 64 AND f.qid = t.qid AND f.vec_id = t.vec_id
+      |  GROUP BY t.dim)
+      |SELECT CAST(hits.dim AS BIGINT) AS dim,
+      |       CAST(nq.n AS BIGINT) AS n_queries,
+      |       CAST(n_hits AS BIGINT) AS n_hits,
+      |       CAST(n_hits * 1000000 // (3 * nq.n) AS BIGINT) AS recall_ppm
+      |FROM hits CROSS JOIN nq
+      |ORDER BY dim""".stripMargin) { (s, dir) =>
+    val q = quantizedVecs(s, dir).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("qv"))
+    val e = quantizedVecs(s, dir)
+      .select(col("vec_id"), col("qv").as("ev"))
+    def d2(d: Int) = expr(
+      s"""aggregate(sequence(0, ${d - 1}), 0L,
+         |  (a, i) -> a + (qv[i] - ev[i]) * (qv[i] - ev[i]))""".stripMargin)
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), d2(16).as("d16"), d2(32).as("d32"),
+        d2(64).as("d64"))
+    val un = scored.select(col("qid"), col("vec_id"), lit(16L).as("dim"),
+        col("d16").as("d2"))
+      .unionAll(scored.select(col("qid"), col("vec_id"), lit(32L).as("dim"),
+        col("d32").as("d2")))
+      .unionAll(scored.select(col("qid"), col("vec_id"), lit(64L).as("dim"),
+        col("d64").as("d2")))
+    val w = Window.partitionBy("qid", "dim").orderBy(col("d2"), col("vec_id"))
+    val top3 = un.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).select("qid", "vec_id", "dim")
+    val truth = top3.filter(col("dim") === 64L)
+      .select(col("qid").as("fq"), col("vec_id").as("fv"))
+    val nq = q.agg(count(lit(1)).as("n"))
+    top3.join(truth, col("fq") === col("qid") && col("fv") === col("vec_id"))
+      .groupBy("dim").agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(nq)) // 1-row query-batch size
+      .select(col("dim"), col("n").cast("long").as("n_queries"),
+        col("n_hits").cast("long").as("n_hits"),
+        expr("CAST(n_hits * 1000000 DIV (3 * n) AS BIGINT)").as("recall_ppm"))
+      .orderBy("dim")
+  }
+
   val all: Seq[Q] =
     Seq(cosineTopK, annIvf, annIvfLearned, annInt8, annLsh, minhashNearDup,
       simhashNearDup, embedNearDup, dedupComponents, dedupCanonical,
       nearDupVerify, winnowPairs, quantizeRoundtrip, annRecall, splitLeakage,
       annPq, annIvfPq, dedupStats, semDedup, sparseCosine, rougeOverlap,
       gridCluster, clusterFolds, mmrDiversify, gramMatrix, minhashRecall,
-      incrementalNearDup)
+      incrementalNearDup, mrlRecall)
 }

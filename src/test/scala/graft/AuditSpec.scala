@@ -270,4 +270,32 @@ class AuditSpec extends SparkSpec {
     val ab = AuditQueries.abLift.build(spark, sf).collect().head
     assert(ab.getLong(0) > 0 && ab.getLong(2) > 0, "both arms populated")
   }
+
+  test("l-diversity: homogeneous class flagged at fine QI, cured by generalizing") {
+    val d = Files.createTempDirectory("graft-ldiv").toString
+    val dt = java.sql.Date.valueOf(_: String)
+    writeTable(d, "orders", StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+      StructField("o_orderdate", DateType), StructField("o_orderpriority", StringType))),
+      Seq(
+        // class (O, Jan): 3 distinct priorities -> diverse
+        Row(1L, "O", dt("2024-01-05"), "1-URGENT"),
+        Row(2L, "O", dt("2024-01-09"), "2-HIGH"),
+        Row(3L, "O", dt("2024-01-20"), "3-MEDIUM"),
+        // class (O, Feb): uniform priority -> homogeneity attack, 2 rows at risk
+        Row(4L, "O", dt("2024-02-02"), "1-URGENT"),
+        Row(5L, "O", dt("2024-02-14"), "1-URGENT"),
+        // class (F, Jan): only 2 distinct -> below l = 3, 3 rows at risk
+        Row(6L, "F", dt("2024-01-03"), "2-HIGH"),
+        Row(7L, "F", dt("2024-01-04"), "2-HIGH"),
+        Row(8L, "F", dt("2024-01-11"), "5-LOW")))
+    val got = graft.queries.AuditQueries.lDiversity.build(spark, d).collect()
+      .map(r => r.getAs[Long]("level") ->
+        (r.getAs[Long]("n_classes"), r.getAs[Long]("min_distinct"),
+          r.getAs[Long]("classes_below_l"), r.getAs[Long]("rows_at_risk"),
+          r.getAs[Boolean]("l_diverse"))).toMap
+    assert(got(0L) == ((3L, 1L, 2L, 5L, false)))
+    // generalized to status alone: O has 3 distinct, F still only 2
+    assert(got(1L) == ((2L, 2L, 1L, 3L, false)))
+  }
 }

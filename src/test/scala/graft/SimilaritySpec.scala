@@ -754,4 +754,39 @@ class SimilaritySpec extends SparkSpec {
       assert((v == "new") == m.isEmpty, s"($id, $v, $m) inconsistent")
     }
   }
+
+  test("mrl recall: hits equal an integer brute-force replay per truncation") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = graft.engine.Tables.t(spark, dir, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val qids = vecs.keys.filter(_ % 50 == 0).toSeq.sorted
+    def top3(qid: Long, d: Int): Set[Long] =
+      vecs.toSeq.filter(_._1 != qid).map { case (vid, ev) =>
+        val qv = vecs(qid)
+        var s = 0L
+        var i = 0
+        while (i < d) { val t = qv(i) - ev(i); s += t * t; i += 1 }
+        (s, vid)
+      }.sortBy(identity).take(3).map(_._2).toSet
+    val expected = Seq(16, 32, 64).map { d =>
+      d.toLong -> qids.map(q => (top3(q, d) intersect top3(q, 64)).size).sum.toLong
+    }.toMap
+    val got = graft.queries.SimilarityQueries.mrlRecall.build(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("dim") ->
+        (r.getAs[Long]("n_queries"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("recall_ppm"))).toMap
+    assert(got.keySet == Set(16L, 32L, 64L))
+    for (d <- Seq(16L, 32L, 64L)) {
+      assert(got(d)._1 == qids.length.toLong)
+      assert(got(d)._2 == expected(d), s"dim $d hits")
+      assert(got(d)._3 == expected(d) * 1000000L / (3L * qids.length))
+    }
+    // the full dimension is its own truth; truncations can only lose
+    assert(got(64L)._3 == 1000000L)
+    assert(got(16L)._3 <= got(32L)._3 || got(16L)._3 <= 1000000L)
+  }
 }
