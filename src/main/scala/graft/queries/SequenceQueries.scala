@@ -24,6 +24,12 @@ final case class HwIn(event_type: String, d: java.sql.Date, x: Long)
 final case class HwOut(event_type: String, d: java.sql.Date, x: Long,
     level_micro: Long, trend_micro: Long, forecast_next_micro: Long)
 
+/** One Holt-Winters day: level/trend/seasonal state plus the one-step
+  * forecast (level + trend + the seasonal that applies tomorrow). */
+final case class HwsOut(event_type: String, d: java.sql.Date, x: Long,
+    level_micro: Long, trend_micro: Long, seasonal_micro: Long,
+    forecast_next_micro: Long)
+
 object SequenceQueries {
 
   /** MARKOV TRANSITION MATRIX — counts and exact-ppm probabilities of each
@@ -840,6 +846,98 @@ object SequenceQueries {
     }.toDF()
   }
 
+  /** HOLT-WINTERS ADDITIVE SEASONAL FORECAST — triple exponential
+    * smoothing (Winters 1960), the weekly-seasonal capstone of the
+    * forecasting family ([[holtForecast]] is its no-seasonal half): with
+    * dyadic coefficients α = 1/2, β = 1/4, γ = 1/2 and period m = 7, in
+    * integer micro-units under TRUNCATING division at every step (the
+    * Holt contract — both engines truncate, no offset machinery):
+    *   l_t = ⌊(10⁶x_t − s_{t−7} + l_{t−1} + b_{t−1}) / 2⌋
+    *   b_t = ⌊((l_t − l_{t−1}) + 3·b_{t−1}) / 4⌋
+    *   s_t = ⌊((10⁶x_t − l_t) + s_{t−7}) / 2⌋
+    * seeded l₀ = 10⁶x₀, b₀ = 0, first-week seasonals 0; each day emits
+    * the one-step forecast l + b + s_{t−6} (the seasonal that applies
+    * tomorrow). The rotating 7-slot seasonal buffer is the entire extra
+    * state — seven longs in the fold, seven columns in the oracle's
+    * recursive CTE.
+    *
+    * Shape at 100 TB: identical to [[holtForecast]] — one fact scan →
+    * map-side-combined (type, day) counts; the fold touches only the
+    * calendar-bounded grid, one task per type. */
+  val hwSeasonal: Q = Q(
+    "q_hw_seasonal",
+    s"""WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+      |cal AS (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+      |        FROM span),
+      |grid AS (
+      |  SELECT ty.event_type, cal.d, COALESCE(daily.cnt, 0) AS x,
+      |         ROW_NUMBER() OVER (PARTITION BY ty.event_type
+      |                            ORDER BY cal.d) AS rn
+      |  FROM (SELECT DISTINCT event_type FROM daily) ty
+      |  CROSS JOIN cal
+      |  LEFT JOIN daily ON daily.event_type = ty.event_type AND daily.d = cal.d),
+      |hw AS (
+      |  SELECT event_type, rn, d, x,
+      |         1000000 * x AS l, CAST(0 AS BIGINT) AS b,
+      |         CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
+      |         CAST(0 AS BIGINT) AS s3, CAST(0 AS BIGINT) AS s4,
+      |         CAST(0 AS BIGINT) AS s5, CAST(0 AS BIGINT) AS s6,
+      |         CAST(0 AS BIGINT) AS s7
+      |  FROM grid WHERE rn = 1
+      |  UNION ALL
+      |  SELECT g.event_type, g.rn, g.d, g.x,
+      |         (1000000 * g.x - hw.s1 + hw.l + hw.b) // 2 AS l,
+      |         (((1000000 * g.x - hw.s1 + hw.l + hw.b) // 2) - hw.l
+      |          + 3 * hw.b) // 4 AS b,
+      |         hw.s2, hw.s3, hw.s4, hw.s5, hw.s6, hw.s7,
+      |         ((1000000 * g.x - (1000000 * g.x - hw.s1 + hw.l + hw.b) // 2)
+      |          + hw.s1) // 2 AS s7
+      |  FROM hw JOIN grid g
+      |    ON g.event_type = hw.event_type AND g.rn = hw.rn + 1)
+      |SELECT event_type, d, CAST(x AS BIGINT) AS x,
+      |       CAST(l AS BIGINT) AS level_micro, CAST(b AS BIGINT) AS trend_micro,
+      |       CAST(s7 AS BIGINT) AS seasonal_micro,
+      |       CAST(l + b + s1 AS BIGINT) AS forecast_next_micro
+      |FROM hw ORDER BY event_type, d""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val cal = span.select(
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val grid = daily.select("event_type").distinct()
+      .crossJoin(broadcast(cal)) // types x calendar: broadcast-sized
+      .join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+      .as[HwIn]
+    grid.groupByKey(_.event_type).flatMapGroups {
+      (ty: String, it: Iterator[HwIn]) =>
+        val series = it.toArray.sortBy(_.d.getTime) // calendar-bounded
+        var l = 1000000L * series.head.x
+        var b = 0L
+        val sbuf = new Array[Long](7) // s_{t-6..t}, oldest first
+        series.iterator.zipWithIndex.map { case (row, i) =>
+          if (i > 0) {
+            val sold = sbuf(0)
+            val xm = 1000000L * row.x
+            val l1 = (xm - sold + l + b) / 2L
+            b = ((l1 - l) + 3L * b) / 4L
+            val snew = ((xm - l1) + sold) / 2L
+            l = l1
+            System.arraycopy(sbuf, 1, sbuf, 0, 6)
+            sbuf(6) = snew
+          }
+          HwsOut(ty, row.d, row.x, l, b, sbuf(6), l + b + sbuf(0))
+        }
+    }.toDF()
+      .orderBy("event_type", "d")
+  }
+
   /** MULTI-TOUCH (linear) ATTRIBUTION — the credit-splitting complement
     * of [[lastTouchAttribution]]: every view/click in the 2 hours
     * STRICTLY before a purchase shares the conversion credit equally
@@ -1189,5 +1287,6 @@ object SequenceQueries {
     Seq(eventTransitions, ohlcBars, lastTouchAttribution, conversionTime,
       cusumChangepoint, pivotEvents, meltEvents, eventPaths, streakIslands,
       ewmaDaily, seasonalProfile, autocorr, stlDecompose, holtForecast,
-      multiTouch, seasonalAnomaly, forecastBacktest, cohortLtv, saxMotifs)
+      multiTouch, seasonalAnomaly, forecastBacktest, cohortLtv, saxMotifs,
+      hwSeasonal)
 }

@@ -455,4 +455,45 @@ class SequenceSpec extends SparkSpec {
     assert(r.toSeq.sortBy(_._1).map(_._2) ==
       Seq(("001", 1L), ("012", 1L), ("122", 1L)))
   }
+
+  test("holt-winters: query equals an independent replay of the recurrence") {
+    // 3 weekly cycles with a ramp: x = [2,4,6,8,10,12,14] + 7 * week
+    val counts = (0 until 21).map(i => 2 * (i % 7 + 1) + 7 * (i / 7))
+    var id = 500L
+    val rows = counts.zipWithIndex.flatMap { case (c, day) =>
+      (0 until c).map { _ =>
+        id += 1
+        Row(id, id % 4, at(day * 1440L), "view", 1.0, "{}")
+      }
+    }
+    val d = writeEvents(rows)
+    val got = SequenceQueries.hwSeasonal.build(spark, d).collect()
+      .map(x => (x.getAs[java.sql.Date]("d").toString,
+        x.getAs[Long]("level_micro"), x.getAs[Long]("trend_micro"),
+        x.getAs[Long]("seasonal_micro"), x.getAs[Long]("forecast_next_micro")))
+    // independent replay, Long arithmetic, truncating division
+    var l = 1000000L * counts.head
+    var b = 0L
+    val sb = Array.fill(7)(0L)
+    val want = counts.zipWithIndex.map { case (x, i) =>
+      if (i > 0) {
+        val sold = sb(0)
+        val xm = 1000000L * x
+        val l1 = (xm - sold + l + b) / 2L
+        b = ((l1 - l) + 3L * b) / 4L
+        val snew = ((xm - l1) + sold) / 2L
+        l = l1
+        System.arraycopy(sb, 1, sb, 0, 6)
+        sb(6) = snew
+      }
+      (java.time.LocalDate.parse("2024-01-01").plusDays(i).toString,
+        l, b, sb(6), l + b + sb(0))
+    }
+    assert(got.toSeq == want)
+    // with a stable weekly shape the seasonals separate: the busiest day
+    // of the last week carries a clearly higher seasonal state than the
+    // quietest (full monotonicity needs more than 3 γ = 1/2 updates)
+    val lastWeek = got.takeRight(7).map(_._4)
+    assert(lastWeek.last > lastWeek.head, lastWeek.toString)
+  }
 }
