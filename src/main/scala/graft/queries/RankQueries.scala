@@ -456,5 +456,84 @@ object RankQueries {
       .orderBy("type_a", "type_b", "lag")
   }
 
-  val all: Seq[Q] = Seq(spearmanCorr, kendallTau, theilSenSlope, rankXcorr)
+  /** MANN-WHITNEY U — the rank-based two-sample test between every
+    * unordered pair of event types' daily volumes: pool the two series,
+    * rank the POOLED multiset with doubled mid-ranks (ties split evenly,
+    * the file-head convention), and read off the doubled U statistic
+    * 2U_a = ΣR2_a − 2·n_a(n_a+1)/2 = R2_a − n_a(n_a+1), which counts
+    * (a > b) pairs twice and ties once — exact integers throughout. The
+    * headline readout is the COMMON-LANGUAGE EFFECT SIZE
+    * P(a > b) + ½P(a = b) = U_a/(n_a·n_b) in ppm: "on a random day pair,
+    * how often is a busier than b?" — the distribution-free answer to
+    * "did the error stream run hotter than the purchase stream?", robust
+    * to the spikes that wreck a t-test. u2_a + u2_b = 2·n_a·n_b rides as
+    * the built-in identity check.
+    *
+    * Shape at 100 TB: the pooled ranking runs per PAIR over 2T
+    * calendar-bounded rows (k² pairs × 2T — grid-sized, keyed windows);
+    * one aggregation per (pair, side) ends it. */
+  val mannWhitney: Q = Q(
+    "q_mann_whitney",
+    s"""WITH $gridCtes,
+      |tp AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb
+      |  FROM (SELECT DISTINCT event_type FROM grid) a
+      |  JOIN (SELECT DISTINCT event_type FROM grid) b
+      |    ON a.event_type < b.event_type),
+      |pool AS (
+      |  SELECT tp.ta, tp.tb, 0 AS side, g.x
+      |  FROM tp JOIN grid g ON g.event_type = tp.ta
+      |  UNION ALL
+      |  SELECT tp.ta, tp.tb, 1 AS side, g.x
+      |  FROM tp JOIN grid g ON g.event_type = tp.tb),
+      |rk AS (
+      |  SELECT ta, tb, side,
+      |         2 * RANK() OVER (PARTITION BY ta, tb ORDER BY x)
+      |           + COUNT(*) OVER (PARTITION BY ta, tb, x) - 1 AS r2
+      |  FROM pool),
+      |st AS (
+      |  SELECT ta, tb, side, COUNT(*) AS n, SUM(r2) AS sr2
+      |  FROM rk GROUP BY ta, tb, side),
+      |u AS (
+      |  SELECT a.ta, a.tb, a.n AS n_a, b.n AS n_b,
+      |         a.sr2 - a.n * (a.n + 1) AS u2_a,
+      |         b.sr2 - b.n * (b.n + 1) AS u2_b
+      |  FROM st a JOIN st b
+      |    ON a.ta = b.ta AND a.tb = b.tb AND a.side = 0 AND b.side = 1)
+      |SELECT ta AS type_a, tb AS type_b, CAST(n_a AS BIGINT) AS n_days,
+      |       CAST(u2_a AS BIGINT) AS u2_a, CAST(u2_b AS BIGINT) AS u2_b,
+      |       CAST(u2_a * 1000000 // (2 * n_a * n_b) AS BIGINT) AS cles_ppm
+      |FROM u ORDER BY type_a, type_b""".stripMargin) { (s, dir) =>
+    val g = gridFrame(s, dir)
+    val ty = g.select("event_type").distinct()
+    val tp = ty.select(col("event_type").as("ta"))
+      .join(broadcast(ty.select(col("event_type").as("tb"))),
+        col("ta") < col("tb"))
+    val pool = tp.join(g, col("event_type") === col("ta"))
+      .select(col("ta"), col("tb"), lit(0).as("side"), col("x"))
+      .unionAll(tp.join(g, col("event_type") === col("tb"))
+        .select(col("ta"), col("tb"), lit(1).as("side"), col("x")))
+    val byX = Window.partitionBy("ta", "tb").orderBy("x")
+    val ties = Window.partitionBy("ta", "tb", "x")
+    val rk = pool.select(col("ta"), col("tb"), col("side"),
+      (lit(2L) * rank().over(byX) + count(lit(1)).over(ties) - 1).as("r2"))
+    val st = rk.groupBy("ta", "tb", "side")
+      .agg(count(lit(1)).as("n"), sum(col("r2")).as("sr2"))
+    val a = st.filter(col("side") === 0).select(col("ta"), col("tb"),
+      col("n").as("n_a"), (col("sr2") - col("n") * (col("n") + 1)).as("u2_a"))
+    val b = st.filter(col("side") === 1).select(col("ta").as("tb2"),
+      col("tb").as("tb3"), col("n").as("n_b"),
+      (col("sr2") - col("n") * (col("n") + 1)).as("u2_b"))
+    a.join(b, col("ta") === col("tb2") && col("tb") === col("tb3"))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n_a").cast("long").as("n_days"),
+        col("u2_a").cast("long").as("u2_a"),
+        col("u2_b").cast("long").as("u2_b"),
+        expr("CAST(u2_a * 1000000 DIV (2 * n_a * n_b) AS BIGINT)")
+          .as("cles_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val all: Seq[Q] =
+    Seq(spearmanCorr, kendallTau, theilSenSlope, rankXcorr, mannWhitney)
 }

@@ -282,5 +282,97 @@ object StatQueries {
                |     AS BIGINT)""".stripMargin).as("alpha_ppm"))
   }
 
-  val all: Seq[Q] = Seq(estimatorSlopes, r0Trajectory, mseAligned, ols2Daily)
+  /** ONE-WAY ANOVA — does mean daily volume differ across event types?
+    * The BALANCED decomposition (every type spans the same zero-filled
+    * calendar grid of T days, so group sizes are equal by construction)
+    * in fraction-cleared integers: with S_g = Σ_days x, Q = ΣΣx²,
+    *   A = k·ΣS_g² − (ΣS_g)²  ( = kT·SSB — between-groups, cleared)
+    *   B = T·Q − ΣS_g²        ( = T·SSW — within-groups, cleared)
+    *   F = A·(N−k) / (k(k−1)·B),  η² = SSB/(SSB+SSW) = A / (A + k·B)
+    * F in milli and η² in ppm by truncating division (nonnegative
+    * numerators — floor ≡ truncate); all intermediates DECIMAL(38,0)/
+    * HUGEINT. A constant corpus (B = 0) yields NULL by contract. The
+    * hypothesis-testing tower's missing k-sample member next to
+    * q_ks_drift (two-sample), q_drift_chisq (categorical) and
+    * q_mann_whitney (rank two-sample).
+    *
+    * Headroom: A·(N−k)·10³ ≤ k³T³X²·10³ — exact through 38 digits for
+    * T = 10⁴ days at X ≤ ~10⁹ daily events.
+    *
+    * Shape at 100 TB: one fact scan → (type, day) counts; per-type
+    * sums/squares aggregate grid-bounded rows; one k-row reduction ends
+    * it — a single scalar row out. */
+  val anovaDaily: Q = Q(
+    "q_anova_daily",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+      |cal AS (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+      |        FROM span),
+      |grid AS (
+      |  SELECT ty.event_type, cal.d, COALESCE(daily.cnt, 0) AS x
+      |  FROM (SELECT DISTINCT event_type FROM daily) ty
+      |  CROSS JOIN cal
+      |  LEFT JOIN daily ON daily.event_type = ty.event_type AND daily.d = cal.d),
+      |pg AS (
+      |  SELECT event_type, COUNT(*) AS t,
+      |         SUM(CAST(x AS HUGEINT)) AS sg,
+      |         SUM(CAST(x AS HUGEINT) * x) AS qg
+      |  FROM grid GROUP BY event_type),
+      |st AS (
+      |  SELECT COUNT(*) AS k, MIN(t) AS t,
+      |         SUM(sg * sg) AS ss2, SUM(sg) AS stot, SUM(qg) AS q
+      |  FROM pg),
+      |f AS (
+      |  SELECT k, t, k * t AS n,
+      |         k * ss2 - stot * stot AS a,
+      |         t * q - ss2 AS b
+      |  FROM st)
+      |SELECT CAST(k AS BIGINT) AS k_groups, CAST(t AS BIGINT) AS n_days,
+      |       CAST(a AS BIGINT) AS ssb_num, CAST(b AS BIGINT) AS ssw_num,
+      |       CASE WHEN b = 0 THEN NULL
+      |            ELSE CAST((a * (n - k) * 1000) // (k * (k - 1) * b)
+      |                      AS BIGINT) END AS f_milli,
+      |       CASE WHEN a + k * b = 0 THEN NULL
+      |            ELSE CAST((a * 1000000) // (a + k * b) AS BIGINT)
+      |       END AS eta2_ppm
+      |FROM f""".stripMargin) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val cal = span.select(
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val grid = daily.select("event_type").distinct()
+      .crossJoin(broadcast(cal)) // types x calendar: broadcast-sized
+      .join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"),
+        coalesce(col("cnt"), lit(0L)).cast("decimal(38,0)").as("x"))
+    grid.groupBy("event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("t"),
+        sum(col("x")).cast("decimal(38,0)").as("sg"),
+        sum(col("x") * col("x")).cast("decimal(38,0)").as("qg"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("k"),
+        min(col("t")).as("t"),
+        sum(col("sg") * col("sg")).cast("decimal(38,0)").as("ss2"),
+        sum(col("sg")).cast("decimal(38,0)").as("stot"),
+        sum(col("qg")).cast("decimal(38,0)").as("q"))
+      .select(col("k"), col("t"), expr("k * t").as("n"),
+        expr("k * ss2 - stot * stot").as("a"),
+        expr("t * q - ss2").as("b"))
+      .select(col("k").cast("long").as("k_groups"),
+        col("t").cast("long").as("n_days"),
+        col("a").cast("long").as("ssb_num"),
+        col("b").cast("long").as("ssw_num"),
+        expr("""CASE WHEN b = 0 THEN NULL
+               |     ELSE CAST((a * (n - k) * 1000) DIV (k * (k - 1) * b)
+               |               AS BIGINT) END""".stripMargin).as("f_milli"),
+        expr("""CASE WHEN a + k * b = 0 THEN NULL
+               |     ELSE CAST((a * 1000000) DIV (a + k * b) AS BIGINT)
+               |END""".stripMargin).as("eta2_ppm"))
+  }
+
+  val all: Seq[Q] =
+    Seq(estimatorSlopes, r0Trajectory, mseAligned, ols2Daily, anovaDaily)
 }

@@ -110,4 +110,42 @@ class RankSpec extends SparkSpec {
       .forall(x => math.abs(x.getAs[Long]("rho2_signed_ppm")) < best))
     assert(rows.map(_.getAs[Long]("is_best")).sum == 1L)
   }
+
+  test("mann-whitney: separation, ties as halves, and the U identity") {
+    val d = writeCounts(Map(
+      "view" -> Seq(1, 2, 3),
+      "error" -> Seq(4, 5, 6), // fully above view -> CLES(view) = 0
+      "signup" -> Seq(3, 3, 1))) // ties with view at 1 and 3
+    val r = RankQueries.mannWhitney.build(spark, d).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getAs[Long]("u2_a"), x.getAs[Long]("u2_b"),
+          x.getAs[Long]("cles_ppm"))).toMap
+    // 2U_a + 2U_b = 2 n_a n_b = 18 on every pair
+    assert(r.values.forall(v => v._1 + v._2 == 18L))
+    // error dominates view: U(error over view... a = error side) counts
+    // (error > view) twice: all 9 pairs -> u2_a = 18, CLES = 1
+    assert(r(("error", "view"))  == ((18L, 0L, 1000000L)))
+    // signup [3,3,1] vs view [1,2,3]: (signup > view) pairs = (3,1),(3,2)
+    // from each 3 -> 4, doubled = 8; ties (3,3),(3,3),(1,1) -> 3; u2 = 11
+    assert(r(("signup", "view"))._1 == 11L)
+    assert(r(("signup", "view"))._3 == 11000000L / 18L)
+  }
+
+  test("anova: textbook two-group decomposition, exact milli/ppm") {
+    val d = writeCounts(Map(
+      "view" -> Seq(1, 2, 3),
+      "error" -> Seq(4, 5, 6)))
+    val r = graft.queries.StatQueries.anovaDaily.build(spark, d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("k_groups") == 2L)
+    assert(row.getAs[Long]("n_days") == 3L)
+    // A = k*sum(S^2) - (sum S)^2 = 2*261 - 441 = 81; B = T*Q - sum(S^2) = 12
+    assert(row.getAs[Long]("ssb_num") == 81L)
+    assert(row.getAs[Long]("ssw_num") == 12L)
+    // F = SSB/(k-1) / (SSW/(N-k)) = 13.5/1.0 = 13.5
+    assert(row.getAs[Long]("f_milli") == 13500L)
+    // eta^2 = 13.5 / 17.5
+    assert(row.getAs[Long]("eta2_ppm") == 81L * 1000000L / 105L)
+  }
 }
