@@ -54,9 +54,9 @@ import org.apache.spark.sql.functions._
   * candidate-generation step has gone quadratic — the failure mode the
   * fixed-SF bench can never see. Known deliberate exceptions, documented
   * rather than hidden: the brute-force EVAL queries (q_cosine_topk,
-  * q_knn_classify, and q_ann_recall's ground-truth half) score a query
-  * BATCH that grows with the corpus (vec_id % 50) against the whole
-  * corpus, so their work is Theta(N^2/50) BY DESIGN — they exist as the
+  * q_knn_classify, q_mrl_recall, and q_ann_recall's ground-truth half)
+  * score a query BATCH that grows with the corpus (vec_id % 50) against
+  * the whole corpus, so their work is Theta(N^2/50) BY DESIGN — they exist as the
   * yardstick the ANN paths approximate; the production shape fixes the
   * query batch (then cost is linear in N) or uses the ANN paths whose
   * per-query candidates are cell-bounded. The `fixed_batch` block
@@ -104,6 +104,7 @@ object ScaleProbe {
     "q_fuzzy_blocklist", "q_bm25_search", "q_bpe_train", "q_quality_score",
     "q_bpe_encode", "q_containment_neardup", "q_dedup_stats",
     "q_ngram_novelty", "q_sparse_cosine", "q_rouge_overlap",
+    "q_phrase_search", "q_isotonic_calibration",
     "q_source_overlap", "q_cluster_folds", "q_feature_hash",
     "q_score_calibration", "q_minhash_recall", "q_incremental_neardup",
     "q_image_neardup")
@@ -114,7 +115,8 @@ object ScaleProbe {
     "q_ann_ivf_learned", "q_ann_recall", "q_embed_neardup",
     "q_quantize_roundtrip", "q_knn_classify", "q_ncm_classify",
     "q_semantic_decontaminate", "q_ann_pq", "q_ann_ivfpq", "q_semdedup",
-    "q_grid_cluster", "q_mmr_diversify", "q_gram_matrix")
+    "q_grid_cluster", "q_mmr_diversify", "q_gram_matrix", "q_pca_power",
+    "q_mrl_recall")
 
   /** Queries that read ONLY the events table (replicated input #3). */
   private[graft] val EvQueries = Seq(
@@ -132,7 +134,10 @@ object ScaleProbe {
     "q_gini_by_type", "q_label_windows", "q_bootstrap_ci",
     "q_incremental_agg", "q_autocorr", "q_stl_decompose", "q_dp_counts",
     "q_holt_forecast", "q_multitouch", "q_seasonal_anomaly",
-    "q_forecast_backtest", "q_cohort_ltv", "q_kll_quantiles")
+    "q_forecast_backtest", "q_cohort_ltv", "q_kll_quantiles",
+    "q_spearman_corr", "q_kendall_tau", "q_theilsen_slope", "q_rank_xcorr",
+    "q_mann_whitney", "q_survival_km", "q_markov_stationary", "q_sax_motifs",
+    "q_hw_seasonal", "q_ols2_daily", "q_anova_daily")
 
   /** Queries that read the STAR-SCHEMA tables (lineitem / orders / part /
     * supplier / customer — replicated input #4): the graph family (the
@@ -167,7 +172,8 @@ object ScaleProbe {
     "q_fk_integrity", "q_order_reconcile",
     "q_table_profile", "q_zorder_layout", "q_skyline", "q_key_skew_report",
     "q_bucket_join", "q_zorder_write", "q_link_predict", "q_benford_gate",
-    "q_entity_match", "q_modularity", "q_kanonymity", "q_entity_resolve")
+    "q_entity_match", "q_modularity", "q_kanonymity", "q_entity_resolve",
+    "q_l_diversity")
 
   /** The remaining parquet surface — multi-table joins, the TPC-H-style
     * relational core, the window/stat/pipeline kernels — probed against
@@ -362,6 +368,14 @@ object ScaleProbe {
     queries.SimilarityQueries.ivfPqSearchTopK(spark, dir,
       col("vec_id") % 50 === 0 && col("vec_id") < Stride)
 
+  /** The Matryoshka truncation eval (q_mrl_recall's pipeline) with the
+    * query batch pinned to the base replica: constant batch against the
+    * growing corpus — cost linear in N, the form a production eval runs
+    * on a sampled slice. */
+  private def fixedBatchMrl(spark: SparkSession, dir: String): DataFrame =
+    queries.SimilarityQueries.mrlRecallFor(spark, dir,
+      col("vec_id") % 50 === 0 && col("vec_id") < Stride)
+
   /** The listener-bus drain sentinel: a SHUFFLE-FREE job (single result
     * stage over a 1-element RDD) whose stage-completed event marks the
     * point where every event from preceding jobs has been delivered (the
@@ -469,7 +483,9 @@ object ScaleProbe {
     val fixedRows =
       Seq(("cosine_bruteforce", fixedBatchCosine _),
           ("ann_ivf_learned", fixedBatchIvf _),
-          ("ann_pq", fixedBatchPq _)).flatMap { case (name, build) =>
+          ("ann_pq", fixedBatchPq _),
+          ("ann_ivfpq", fixedBatchIvfPq _),
+          ("mrl_recall", fixedBatchMrl _)).flatMap { case (name, build) =>
         try {
           def benchFixed(dir: String): Double = {
             def once(): Double = {

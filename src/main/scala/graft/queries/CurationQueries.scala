@@ -1021,6 +1021,11 @@ object CurationQueries {
         expr("SUM(pos) * 1000000 DIV COUNT(*)").as("obs_rate_ppm"))
   }
 
+  /** RELIABILITY DIAGRAM + ECE for the q_quality_score classifier (see
+    * the family doc above [[calibCtes]]): 10 prediction bins, per-bin
+    * mean prediction vs observed long-doc rate, and the mass-weighted
+    * expected calibration error — all exact ppm. The isotonic query fits
+    * the monotone correction on the SAME bins. */
   val scoreCalibration: Q = Q(
     "q_score_calibration",
     s"""WITH $calibCtes,

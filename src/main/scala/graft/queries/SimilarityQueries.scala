@@ -1918,6 +1918,13 @@ object SimilarityQueries {
       .as("c"))
       .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
 
+  /** EMBEDDING GRAM / COVARIANCE MATRIX readout (see the family doc
+    * above [[gramCellCtes]]): the 64×64 upper-triangle second-moment
+    * matrix G[i,j] = Σ qᵢqⱼ over milli-quantized components plus the
+    * exact covariance numerator n·G − Sᵢ·Sⱼ in DECIMAL(38,0)/HUGEINT —
+    * one corpus pass, the constant 2080× in-row cell expansion into a
+    * map-side-combined aggregation, per-dim sums joined back by
+    * broadcast. The spectral queries iterate exactly this matrix. */
   val gramMatrix: Q = Q(
     "q_gram_matrix",
     s"""WITH $gramCellCtes,
@@ -2142,6 +2149,44 @@ object SimilarityQueries {
     * per pair (the d=16 sum is a subexpression of d=64), per-query
     * windows over batch-bounded rows; an EVAL query — production runs it
     * on a sampled slice, like q_ann_recall. */
+  /** [[mrlRecall]]'s pipeline with the query batch parametrized — the
+    * declared query uses the growing %50 yardstick batch; ScaleProbe's
+    * fixed_batch block pins the batch to measure the linear production
+    * form. */
+  def mrlRecallFor(s: SparkSession, dir: String,
+      queryPred: org.apache.spark.sql.Column): DataFrame = {
+    val q = quantizedVecs(s, dir).filter(queryPred)
+      .select(col("vec_id").as("qid"), col("qv"))
+    val e = quantizedVecs(s, dir)
+      .select(col("vec_id"), col("qv").as("ev"))
+    def d2(d: Int) = expr(
+      s"""aggregate(sequence(0, ${d - 1}), 0L,
+         |  (a, i) -> a + (qv[i] - ev[i]) * (qv[i] - ev[i]))""".stripMargin)
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), d2(16).as("d16"), d2(32).as("d32"),
+        d2(64).as("d64"))
+    val un = scored.select(col("qid"), col("vec_id"), lit(16L).as("dim"),
+        col("d16").as("d2"))
+      .unionAll(scored.select(col("qid"), col("vec_id"), lit(32L).as("dim"),
+        col("d32").as("d2")))
+      .unionAll(scored.select(col("qid"), col("vec_id"), lit(64L).as("dim"),
+        col("d64").as("d2")))
+    val w = Window.partitionBy("qid", "dim").orderBy(col("d2"), col("vec_id"))
+    val top3 = un.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).select("qid", "vec_id", "dim")
+    val truth = top3.filter(col("dim") === 64L)
+      .select(col("qid").as("fq"), col("vec_id").as("fv"))
+    val nq = q.agg(count(lit(1)).as("n"))
+    top3.join(truth, col("fq") === col("qid") && col("fv") === col("vec_id"))
+      .groupBy("dim").agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(nq)) // 1-row query-batch size
+      .select(col("dim"), col("n").cast("long").as("n_queries"),
+        col("n_hits").cast("long").as("n_hits"),
+        expr("CAST(n_hits * 1000000 DIV (3 * n) AS BIGINT)").as("recall_ppm"))
+      .orderBy("dim")
+  }
+
   val mrlRecall: Q = Q(
     "q_mrl_recall",
     """WITH q AS (
@@ -2187,36 +2232,7 @@ object SimilarityQueries {
       |       CAST(n_hits * 1000000 // (3 * nq.n) AS BIGINT) AS recall_ppm
       |FROM hits CROSS JOIN nq
       |ORDER BY dim""".stripMargin) { (s, dir) =>
-    val q = quantizedVecs(s, dir).filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), col("qv"))
-    val e = quantizedVecs(s, dir)
-      .select(col("vec_id"), col("qv").as("ev"))
-    def d2(d: Int) = expr(
-      s"""aggregate(sequence(0, ${d - 1}), 0L,
-         |  (a, i) -> a + (qv[i] - ev[i]) * (qv[i] - ev[i]))""".stripMargin)
-    val scored = e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), d2(16).as("d16"), d2(32).as("d32"),
-        d2(64).as("d64"))
-    val un = scored.select(col("qid"), col("vec_id"), lit(16L).as("dim"),
-        col("d16").as("d2"))
-      .unionAll(scored.select(col("qid"), col("vec_id"), lit(32L).as("dim"),
-        col("d32").as("d2")))
-      .unionAll(scored.select(col("qid"), col("vec_id"), lit(64L).as("dim"),
-        col("d64").as("d2")))
-    val w = Window.partitionBy("qid", "dim").orderBy(col("d2"), col("vec_id"))
-    val top3 = un.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3).select("qid", "vec_id", "dim")
-    val truth = top3.filter(col("dim") === 64L)
-      .select(col("qid").as("fq"), col("vec_id").as("fv"))
-    val nq = q.agg(count(lit(1)).as("n"))
-    top3.join(truth, col("fq") === col("qid") && col("fv") === col("vec_id"))
-      .groupBy("dim").agg(count(lit(1)).as("n_hits"))
-      .crossJoin(broadcast(nq)) // 1-row query-batch size
-      .select(col("dim"), col("n").cast("long").as("n_queries"),
-        col("n_hits").cast("long").as("n_hits"),
-        expr("CAST(n_hits * 1000000 DIV (3 * n) AS BIGINT)").as("recall_ppm"))
-      .orderBy("dim")
+    mrlRecallFor(s, dir, col("vec_id") % 50 === 0)
   }
 
   val all: Seq[Q] =

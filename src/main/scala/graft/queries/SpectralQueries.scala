@@ -95,7 +95,7 @@ object SpectralQueries {
         .agg(sum(col("g") * col("v")).cast("decimal(38,0)").as("raw"))
     var v = g.select("i").distinct()
       .select(col("i"), lit(1000000L).cast("decimal(38,0)").as("v"))
-    for (_ <- 1 to 8) {
+    for (k <- 1 to 8) {
       val raw = matvec(v)
       val mx = raw.agg(max(abs(col("raw"))).as("mx"))
       v = raw.crossJoin(broadcast(mx))
@@ -103,7 +103,9 @@ object SpectralQueries {
           expr("""CASE WHEN mx = 0 THEN CAST(0 AS DECIMAL(38,0))
                  |     ELSE CAST((raw * 1000000) DIV mx AS DECIMAL(38,0))
                  |END""".stripMargin).as("v"))
-        .localCheckpoint(true) // dimension-sized state; bounds plan depth
+      // dimension-sized state: checkpoint every SECOND round — enough to
+      // bound plan depth, half the eager-job overhead of per-round cuts
+      if (k % 2 == 0) v = v.localCheckpoint(true)
     }
     val r9 = matvec(v)
     val ray = v.join(r9, "i")
@@ -183,14 +185,15 @@ object SpectralQueries {
     var pi = states.crossJoin(broadcast(kk))
       .select(col("st"), expr("1000000 DIV k").as("pi"))
       .localCheckpoint(true)
-    for (_ <- 1 to 8) {
+    for (k <- 1 to 8) {
       pi = states
         .join(p, p("b") === states("st"), "left")
         .join(pi.select(col("st").as("ps"), col("pi")),
           col("ps") === col("a"), "left")
         .groupBy(states("st"))
         .agg(expr("COALESCE(SUM(pi * p_ppm), 0) DIV 1000000").as("pi"))
-        .localCheckpoint(true) // k-row state
+      // k-row state: every second round bounds depth at half the job cost
+      if (k % 2 == 0) pi = pi.localCheckpoint(true)
     }
     val pi0 = states.crossJoin(broadcast(kk))
       .select(col("st"), expr("CAST(1000000 DIV k AS BIGINT)").as("pi0_ppm"))
