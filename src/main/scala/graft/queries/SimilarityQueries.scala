@@ -2134,21 +2134,6 @@ object SimilarityQueries {
     }
   }
 
-  /** MATRYOSHKA TRUNCATION EVAL (q_mrl_recall) — retrieval quality of
-    * DIMENSION-TRUNCATED embeddings: rank the corpus by exact L2 on the
-    * first 16 / 32 / 64 milli-quantized components and grade each
-    * truncation's top-3 against the full-dimension truth (recall@3).
-    * The question every Matryoshka/MRL deployment asks before cutting
-    * index cost 4×: how much of the neighborhood survives the prefix?
-    * All-integer value trees (quantized diffs squared — never a float
-    * norm), so the eval is bit-exact in both engines; ties break by
-    * vec_id like every ANN yardstick here.
-    *
-    * Shape at 100 TB: the established yardstick posture (q_cosine_topk):
-    * broadcast query batch, ONE corpus pass scoring all three prefixes
-    * per pair (the d=16 sum is a subexpression of d=64), per-query
-    * windows over batch-bounded rows; an EVAL query — production runs it
-    * on a sampled slice, like q_ann_recall. */
   /** [[mrlRecall]]'s pipeline with the query batch parametrized — the
     * declared query uses the growing %50 yardstick batch; ScaleProbe's
     * fixed_batch block pins the batch to measure the linear production
@@ -2187,6 +2172,21 @@ object SimilarityQueries {
       .orderBy("dim")
   }
 
+  /** MATRYOSHKA TRUNCATION EVAL (q_mrl_recall) — retrieval quality of
+    * DIMENSION-TRUNCATED embeddings: rank the corpus by exact L2 on the
+    * first 16 / 32 / 64 milli-quantized components and grade each
+    * truncation's top-3 against the full-dimension truth (recall@3).
+    * The question every Matryoshka/MRL deployment asks before cutting
+    * index cost 4×: how much of the neighborhood survives the prefix?
+    * All-integer value trees (quantized diffs squared — never a float
+    * norm), so the eval is bit-exact in both engines; ties break by
+    * vec_id like every ANN yardstick here.
+    *
+    * Shape at 100 TB: the established yardstick posture (q_cosine_topk):
+    * broadcast query batch, ONE corpus pass scoring all three prefixes
+    * per pair (the d=16 sum is a subexpression of d=64), per-query
+    * windows over batch-bounded rows; an EVAL query — production runs it
+    * on a sampled slice, like q_ann_recall. */
   val mrlRecall: Q = Q(
     "q_mrl_recall",
     """WITH q AS (
