@@ -71,8 +71,16 @@ object Dedup {
   def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // checkpoint the RAW edges once: sym AND the label seed both derive
     // from them, and the caller's edge plan is often an expensive candidate
-    // pipeline (e.g. MinHash banding) that must not re-execute per consumer
-    val e = edges.toDF("a", "b").localCheckpoint(eager = true)
+    // pipeline (e.g. MinHash banding) that must not re-execute per consumer.
+    // The keyed repartition (no explicit count — AQE sizes it by bytes)
+    // NORMALIZES the checkpoint's partitioning: callers hand edges at
+    // whatever width their candidate scoring ran at (often deliberately
+    // wide for a compute-dense kernel), and every loop round would
+    // otherwise re-scan that many partitions per hop — task-count
+    // overhead, not data, dominating the closure (measured: a 32-wide
+    // edge checkpoint nearly doubled q_entity_resolve's loop).
+    val e = edges.toDF("a", "b").repartition(col("a"))
+      .localCheckpoint(eager = true)
     // undirected: propagate both ways. No distinct and no checkpoint of its
     // own — duplicate edges cannot change a min aggregate (they only add
     // rows the map-side partial min collapses), sym is a narrow map over
@@ -116,25 +124,30 @@ object Dedup {
     // (they originate as ids in the seed), so the lookup always hits; the
     // left join + coalesce is belt-and-braces. `chg` folds the jump's
     // changes into the incoming flag.
-    def compress(labels: DataFrame): DataFrame = compressStep(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // TWO hops + one jump per driver round trip: the loop's cost on
-      // shallow graphs is job latency, not data, so batching the count-job
-      // count down matters. Convergence reads the final flag, which folds
-      // the second hop's and the jump's — a changeless second hop means
-      // the propagation fixpoint was reached whatever the first hop did,
-      // and at that fixpoint the jump is a no-op. The lazy checkpoint is
-      // materialized (all partitions — count, not a short-circuiting
-      // limit) by the same action that reads the flag, and also bounds
-      // lineage growth across rounds.
-      // the jump only joins from round 2 on: a shallow graph (the common
-      // near-dup case) converges in round 1 and never pays the extra
-      // shuffle pair; a deep one starts doubling one round late, which
-      // costs O(1) extra rounds against its O(log diameter) total
-      val hopped = propagate(propagate(labels).drop("chg"))
-      val next = (if (i < 1) hopped else compress(hopped))
+      // Round 1 is ONE hop, later rounds are two hops + one jump per
+      // driver round trip. The seed already realizes the first
+      // propagation (min of self and direct neighbors), so a SHALLOW
+      // graph — the common near-dup case: planted twins, accepted entity
+      // links — is at its fixpoint before the loop starts and round 1
+      // only needs the cheapest possible confirmation (one hop, two
+      // keyed shuffles; the second hop and the jump would be no-ops on
+      // it). A deep graph pays one extra round trip and then doubles as
+      // before — O(1) against its O(log diameter) total. Convergence
+      // reads the final flag, which folds the last hop's and the jump's
+      // — a changeless last hop means the propagation fixpoint was
+      // reached whatever earlier hops did, and at that fixpoint the jump
+      // is a no-op. The lazy checkpoint is materialized (all partitions
+      // — count, not a short-circuiting limit) by the same action that
+      // reads the flag, and also bounds lineage growth across rounds.
+      // (An optimization round also tried batching TWO double-hop+jump
+      // halves per count job — it regressed every shallow-graph consumer
+      // by the extra hops and bought the deep graphs nothing: per-round
+      // stage execution, not the driver trip, is the dominant term.)
+      val next = (if (i < 1) propagate(labels)
+        else compressStep(propagate(propagate(labels).drop("chg"))))
         .localCheckpoint(eager = false)
       val changed = next.filter(col("chg")).count()
       labels = next.drop("chg")

@@ -60,6 +60,31 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     testdataTables.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
 
+  /** Spread a NARROW frame across the session's full parallelism before a
+    * compute-dense per-row kernel (md5 MinHash signatures, shingle/gram
+    * in-row expansions, multi-distinct Expand passes). A small input — one
+    * parquet row group, a dimension-sized table — scans as 1-3 partitions,
+    * and every stage fused onto that scan then runs at that width no
+    * matter how many cores the session has (guide §2.5 input skew: fix at
+    * the source or repartition right after the read; measured here: the
+    * 2-task md5 signature stage was >60% of every dedup-family query).
+    * The exchange ships the RAW rows once — a narrow payload, cheap
+    * relative to the kernel it unlocks — and hashes on caller-supplied
+    * key columns (deterministic under retries, unlike rand-derived keys;
+    * unique ids give far more distinct values than partitions, so the
+    * hash spreads evenly). Width = defaultParallelism, which tracks the
+    * session's actual core budget (local[N] → N, a cluster → total
+    * executor cores) — scale-adaptive, never a constant tuned to one
+    * machine. At 100 TB a fact-table scan is already thousands of
+    * partitions wide and this exchange is pure overhead — so it belongs
+    * ONLY in front of kernels whose input is small relative to the
+    * compute they fan out (signature/expansion stages), which is where
+    * the engine applies it. */
+  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    require(keys.nonEmpty, "spread needs deterministic hash keys")
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+  }
+
   /** JSON-lines scan with an ENFORCED schema (pass an existing table's
     * `.schema`): inferring it would cost a full extra pass over the data (a
     * non-starter at scale) and can silently widen types between runs;

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Det.dsum
+import graft.engine.Tables
 import graft.engine.Tables.t
 
 /** Operators Spark's join menu lacks natively, re-expressed Spark-first
@@ -231,7 +232,16 @@ object AdvancedJoinQueries {
     val blockKey = Seq("c_nationkey", "c_mktsegment", "band")
     val ok = b.groupBy(blockKey.map(col): _*).agg(count(lit(1)).as("n_b"))
       .filter(col("n_b") <= 256).drop("n_b") // df-cut: oversized blocks out
-    val bb = b.join(ok, blockKey)
+    // the blocking self-join's inputs get an EXPLICIT-width exchange on
+    // the block key: it satisfies the join's distribution (so no second
+    // shuffle), and — unlike planner-inserted exchanges — an explicit
+    // partition count is exempt from AQE byte-based coalescing, which
+    // otherwise shrank the join + pair-enumeration + Levenshtein stage
+    // to ONE task (a few hundred KB of slim rows fanning out into the
+    // O(len²)-per-pair kernel; measured 1.7-2.0s of a 6.3s query on one
+    // core, guide §2.5). Both join sides derive from the same exchange,
+    // so the self-join reuses it.
+    val bb = Tables.spread(b.join(ok, blockKey), blockKey.map(col): _*)
     val a2 = bb.select(col("c_custkey").as("custkey_b"),
       col("c_name").as("name_b"), col("c_nationkey"), col("c_mktsegment"),
       col("band"), col("cents").as("cents_b"))

@@ -81,8 +81,9 @@ object CorpusQueries {
       .unionAll(corpus.filter(col("doc_id") % 31 === 5).crossJoin(broadcast(b0))
         .select((col("doc_id") + 3000000).as("doc_id"),
           concat(col("text"), lit(" "), col("btext")).as("text")))
-    val ng = planted.select(col("doc_id"),
-      ngramKeys(split(col("text"), " "), 8).as("ngs"))
+    // spread before the md5-8-gram kernel (1-2 scan partitions otherwise)
+    val ng = graft.engine.Tables.spread(planted, col("doc_id"))
+      .select(col("doc_id"), ngramKeys(split(col("text"), " "), 8).as("ngs"))
     val bk = bench
       .select(explode(ngramKeys(split(col("text"), " "), 8)).as("k"))
       .distinct()
@@ -650,36 +651,50 @@ object CorpusQueries {
   }
 
   /** One greedy left-to-right merge of the 1-row pair frame `top`
-    * (columns l, r) over a (word, pos, sym, carry...) symbol frame —
-    * the Spark twin of [[bpeRoundCte]]/[[bpeEncRoundCte]]'s merge half:
-    * matching positions island by (pos - row_number), even offsets within
-    * an island merge ("aaaa" under (a,a) -> "aa aa"), the right half of a
-    * merged pair drops via a lag on kept. Carry columns pass through
-    * untouched; lineage is cut per round with a lazy localCheckpoint (the
-    * Dedup.components posture — linear in rounds, not exponential). */
-  private def applyBpeMerge(
-      syms: DataFrame, top: DataFrame, carry: Seq[String]): DataFrame = {
-    val byPos = Window.partitionBy("word").orderBy("pos")
-    val p = syms.withColumn("nxt", lead(col("sym"), 1).over(byPos))
-    val mk = p.crossJoin(broadcast(top.select("l", "r"))) // 1-row pair
-      .withColumn("m",
-        when(col("sym") === col("l") && col("nxt") === col("r"), 1)
-          .otherwise(0))
-    val g = mk.withColumn("grp", col("pos") -
-      row_number().over(Window.partitionBy("word", "m").orderBy("pos")))
-    val k = g.withColumn("kept",
-      when(col("m") === 1 &&
-        (col("pos") - min(col("pos"))
-          .over(Window.partitionBy("word", "m", "grp"))) % 2 === 0, 1)
-        .otherwise(0))
-    val d = k.withColumn("pk", lag(col("kept"), 1).over(byPos))
-    d.filter(coalesce(col("pk"), lit(0)) === 0)
-      .select(col("word") +: carry.map(col) :+
-        row_number().over(byPos).as("pos") :+
-        when(col("kept") === 1, concat(col("sym"), col("nxt")))
-          .otherwise(col("sym")).as("sym"): _*)
+    * (columns l, r) over a (word, syms ARRAY<STRING>, carry...) frame —
+    * the Spark twin of [[bpeRoundCte]]/[[bpeEncRoundCte]]'s merge half,
+    * as an IN-ROW fold: walk the word's symbol array once with a
+    * skip-next flag, merging each leftmost match and consuming its right
+    * half — exactly the gaps-and-islands semantics ("aaaa" under (a,a)
+    * -> "aa aa"; BpeTrainSpec pins the overlap run), with ZERO window
+    * functions. The word's symbol stream is bounded by word length, so
+    * the per-word state is a bounded array — the same in-row altitude as
+    * the gram/pair expansions (the previous 4-windows-per-round form
+    * paid ~5 exchanges per merge round over a vocab-bounded frame: pure
+    * stage-latency overhead at every scale). Lineage is cut per round by
+    * the caller's lazy localCheckpoint (the Dedup.components posture),
+    * which also keeps `syms` an attribute — a lambda-body reference to
+    * an inlined expression would re-evaluate it per element. */
+  private def applyBpeMerge(syms: DataFrame, top: DataFrame): DataFrame =
+    syms.crossJoin(broadcast(top.select("l", "r"))) // 1-row pair
+      .withColumn("syms", expr(
+        """aggregate(sequence(1, size(syms)),
+          |  named_struct('o', CAST(array() AS ARRAY<STRING>), 's', false),
+          |  (st, i) -> CASE
+          |    WHEN st.s THEN named_struct('o', st.o, 's', false)
+          |    WHEN i < size(syms) AND element_at(syms, i) = l
+          |         AND element_at(syms, i + 1) = r
+          |      THEN named_struct('o', array_append(st.o, concat(l, r)),
+          |                        's', true)
+          |    ELSE named_struct('o', array_append(st.o, element_at(syms, i)),
+          |                      's', false)
+          |  END,
+          |  st -> st.o)""".stripMargin))
+      .drop("l", "r")
+
+  /** Round winner: adjacent-pair counts over the symbol arrays (freq-
+    * weighted), top-1 by (count DESC, l, r) — zip-of-shifted-slices, one
+    * keyed aggregation, TakeOrdered; lazily checkpointed because the
+    * NEXT round's plan and the readout both consume it. */
+  private def bpePairTop(syms: DataFrame): DataFrame =
+    syms.select(col("freq"), explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("pc"))
+      .orderBy(col("pc").desc, col("l"), col("r")).limit(1)
       .localCheckpoint(eager = false)
-  }
 
   /** BPE MERGE TRAINING — the iterative fixed point q_bpe_pairs only
     * samples once: N rounds of (count adjacent symbol pairs, pick the top
@@ -736,18 +751,12 @@ object CorpusQueries {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word")).limit(BpeVocabCap)
     var syms = vocab
-      .select(col("word"), col("freq"),
-        explode(sequence(lit(1), length(col("word")))).as("pos"))
-      .withColumn("sym", expr("substring(word, pos, 1)"))
-    val byPos = Window.partitionBy("word").orderBy("pos")
+      .select(col("word"), col("freq"), expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms"))
     val tops = (1 to BpeRounds).map { _ =>
-      val p = syms.withColumn("nxt", lead(col("sym"), 1).over(byPos))
-      val top = p.filter(col("nxt").isNotNull)
-        .groupBy(col("sym").as("l"), col("nxt").as("r"))
-        .agg(sum(col("freq")).as("pc"))
-        .orderBy(col("pc").desc, col("l"), col("r")).limit(1)
-        .localCheckpoint(eager = false)
-      syms = applyBpeMerge(syms, top, carry = Seq("freq"))
+      val top = bpePairTop(syms)
+      syms = applyBpeMerge(syms, top).localCheckpoint(eager = false)
       top
     }
     (syms, tops)
@@ -801,11 +810,15 @@ object CorpusQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
     var esyms = dtok.select("word").distinct()
-      .select(col("word"),
-        explode(sequence(lit(1), length(col("word")))).as("pos"))
-      .withColumn("sym", expr("substring(word, pos, 1)"))
-    tops.foreach { top => esyms = applyBpeMerge(esyms, top, carry = Nil) }
-    val enc = esyms.groupBy("word").agg(count(lit(1)).as("n_sym"))
+      .select(col("word"), expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms"))
+    tops.foreach { top =>
+      esyms = applyBpeMerge(esyms, top).localCheckpoint(eager = false)
+    }
+    // one row per word already — the symbol count is the array size (the
+    // exploded form needed a per-word re-aggregation here)
+    val enc = esyms.select(col("word"), size(col("syms")).cast("long").as("n_sym"))
     dtok.join(enc, Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),

@@ -62,8 +62,9 @@ object CurationQueries {
       |       COALESCE(a.cleaned, '') AS cleaned_text
       |FROM tk t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
     graft.engine.Curation
-      .substringDedup(t(s, dir, "documents"), "doc_id", "text",
-        n = 8, minDocs = 2)
+      .substringDedup(
+        graft.engine.Tables.spread(t(s, dir, "documents"), col("doc_id")),
+        "doc_id", "text", n = 8, minDocs = 2)
       .orderBy("doc_id")
   }
 
@@ -919,7 +920,9 @@ object CurationQueries {
         .crossJoin(broadcast(b0)) // 1-row splice source
         .select((col("doc_id") + 3000000L).as("doc_id"),
           concat(col("text"), lit(" "), col("btext")).as("text")))
-    val tk = planted.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    // spread before the md5-8-gram kernel (1-2 scan partitions otherwise)
+    val tk = graft.engine.Tables.spread(planted, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
     val ex = tk
       .select(col("doc_id"), explode(Text.ngramMd5Keys(col("tk"), 8)).as("k"))
       // feeds the first-occurrence aggregation AND the join-back — one

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.engine.Tables
 import graft.engine.Tables.t
 
 /** Graph analytics over the co-purchase graph (parts linked by appearing in
@@ -52,8 +53,20 @@ object GraphQueries {
     * per-order bound (TPC-H caps lines at 7) is what makes the collected
     * array safe — this is the bounded-by-data-model collect the engine
     * allows, unlike a per-user event collect. */
-  private def pairCounts(b: DataFrame): DataFrame =
-    b.groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("ps"))
+  private def pairCounts(b: DataFrame, spreadInput: Boolean = true): DataFrame =
+    // spread BEFORE the groupBy (raw-basket path): the explicit hash
+    // exchange on the same key satisfies the aggregation's distribution,
+    // so no second shuffle — and it moves the collect_set + C(k,2)
+    // expansion off the scan stage (a single-row-group file scans
+    // single-threaded, and AQE byte-coalescing shrank the post-shuffle
+    // expansion to 4 tasks: ~1.9s of every graph query ran on <4 of 32
+    // cores; guide §2.4/§2.5). The DISTINCT-basket path passes
+    // spreadInput = false: its input is already post-exchange at AQE
+    // width, and replacing the aggregation's own exchange (which enjoys a
+    // map-side partial collect_set) with a raw-row exchange was measured
+    // as a pure regression there (+7.5MB shuffle, +0.6-1.0s each).
+    (if (spreadInput) Tables.spread(b, col("ok")) else b)
+      .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("ps"))
       .select(explode(expr(
         """flatten(transform(ps, (x, i) ->
           |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"""
@@ -109,7 +122,7 @@ object GraphQueries {
     val b = baskets(s, dir)
     val nb = b.agg(countDistinct(col("ok")).as("n_baskets"))
     val item = b.groupBy(col("pk")).agg(count(lit(1)).as("ni"))
-    pairCounts(b).filter(col("nij") >= 2)
+    pairCounts(b, spreadInput = false).filter(col("nij") >= 2)
       .join(broadcast(item.as("i1")), col("p1") === col("i1.pk"))
       .join(broadcast(item.as("i2")), col("p2") === col("i2.pk"))
       .crossJoin(nb) // 1-row aggregate side
@@ -439,7 +452,7 @@ object GraphQueries {
     val item = b.groupBy(col("pk")).agg(count(lit(1)).as("ni"))
     // both union branches read r — cut once so the basket self-join
     // doesn't run twice
-    val r = pairCounts(b).filter(col("nij") >= 2)
+    val r = pairCounts(b, spreadInput = false).filter(col("nij") >= 2)
       .join(broadcast(item.as("i1")), col("p1") === col("i1.pk"))
       .join(broadcast(item.as("i2")), col("p2") === col("i2.pk"))
       .crossJoin(nb)
@@ -543,7 +556,7 @@ object GraphQueries {
     val b = baskets(s, dir)
     val nb = b.agg(countDistinct(col("ok")).as("n_baskets"))
     val item = b.groupBy(col("pk")).agg(count(lit(1)).as("ni"))
-    val r = pairCounts(b).filter(col("nij") >= 2)
+    val r = pairCounts(b, spreadInput = false).filter(col("nij") >= 2)
       .join(broadcast(item.as("i1")), col("p1") === col("i1.pk"))
       .join(broadcast(item.as("i2")), col("p2") === col("i2.pk"))
       .crossJoin(nb)

@@ -76,6 +76,10 @@ object ProfileQueries {
       |UNION ALL SELECT 'l_shipdate', n_rows, CAST(nn_sd AS BIGINT), CAST(nd_sd AS BIGINT),
       |       NULL, NULL, NULL, NULL, mn_sd, mx_sd FROM a
       |ORDER BY col_name""".stripMargin) { (s, dir) =>
+    // (An optimization round measured a spread of the fact rows ahead of
+    // the multi-distinct Expand: 3.9s -> 2.6s locally, but it ships the
+    // WHOLE table through an extra exchange (+45MB shuffle at sf0.1) —
+    // not a trade a 100-TB profile pass should make, reverted.)
     val li = t(s, dir, "lineitem")
     def nulls(c: String) = (count(lit(1)) - count(col(c))).as(s"nn_$c")
     def nd(c: String) = countDistinct(col(c)).as(s"nd_$c")

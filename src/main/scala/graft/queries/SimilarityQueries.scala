@@ -228,7 +228,10 @@ object SimilarityQueries {
             concat(col("text"), lit(" simtwin")).as("text")))
         .unionAll(docs.filter(col("doc_id") % 20 === 0)
           .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
-      val sig = Similarity.simhashSignature(planted, "doc_id", "text", bits,
+      // spread before the md5 token-hash + 32-bitsum kernel: the scan is
+      // 1-2 partitions and the signature stage otherwise runs there
+      val sig = Similarity.simhashSignature(
+        Tables.spread(planted, col("doc_id")), "doc_id", "text", bits,
         graft.functions.Text.md5Hash32)
       Similarity.simhashNearDupPairs(sig, "doc_id", bits, bands, maxHamming = 3)
         .orderBy("d1", "d2")
@@ -414,10 +417,21 @@ object SimilarityQueries {
   private def minhashPlantedAndPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     def build(): (DataFrame, DataFrame) = {
       val planted = plantedDocs(s, dir)
-      val sig = Similarity.withMinhashSignature(planted, "text", k = MinhashK)
+      // spread before the md5 signature kernel: the documents scan is 1-2
+      // partitions and the per-row shingle+digest work otherwise runs on
+      // that many cores (measured: the 2-task signature stage was the
+      // single largest slice of every dedup-family query at sf0.1)
+      val sig = Similarity.withMinhashSignature(
+          Tables.spread(planted, col("doc_id")), "text", k = MinhashK)
         .drop("text")
+      // LAZY checkpoint: several consumers (ROUGE's two overlap joins +
+      // its readout, recall grading) reference the pair frame more than
+      // once per query, and each reference otherwise re-runs the band
+      // self-join + distinct; lazy, so single-consumer queries pay only
+      // the in-passing cache write
       val pairs = Similarity.lshCandidatePairs(sig, "doc_id", k = MinhashK,
         bands = MinhashBands, bandKey = cols => concat_ws(",", cols: _*))
+        .localCheckpoint(false)
       (planted, pairs)
     }
     if (!shareCtes) build()
@@ -702,7 +716,9 @@ object SimilarityQueries {
       |FROM scored
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
     val planted = plantedDocs(s, dir)
-    val fp = Similarity.winnowSelectedHashes(planted, "doc_id", "text")
+    // spread before the winnowing kernel (1-2 scan partitions otherwise)
+    val fp = Similarity.winnowSelectedHashes(
+      Tables.spread(planted, col("doc_id")), "doc_id", "text")
     val kept = Similarity.dropHotKeys(fp, Seq("fph"), 200)
     val pairs = kept.select(col("doc_id").as("d1"), col("fph"))
       .join(kept.select(col("doc_id").as("d2"), col("fph").as("fph2")),
@@ -1558,9 +1574,17 @@ object SimilarityQueries {
       |FROM scored
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
     val (planted, pairs) = minhashPlantedAndPairs(s, dir)
-    val tk = planted.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // spread before the gram expansions (the 2-partition doc scan
+    // otherwise runs them on 2 cores), and LAZILY checkpoint each count
+    // table: uc/bc feed three consumers apiece (per-doc totals + both
+    // sides of the overlap self-join), which re-executed the whole
+    // explode + aggregate pipeline per reference (measured: two identical
+    // 1.5s 2-task stages side by side in one job)
+    val tk = Tables.spread(planted, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val uc = tk.select(col("doc_id"), explode(col("toks")).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val un = uc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
     // bigrams via the zip-of-shifted-slices form: empty for 1-token docs
     val bigrams = zip_with(
@@ -1569,6 +1593,7 @@ object SimilarityQueries {
       (a, b) => concat(a, lit(" "), b))
     val bc = tk.select(col("doc_id"), explode(bigrams).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val bn = bc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
     def overlap(g: DataFrame): DataFrame =
       pairs
@@ -1683,8 +1708,42 @@ object SimilarityQueries {
     val edges = a.join(broadcast(b),
       abs(col("cxa") - col("cxb")) <= 1 && abs(col("cya") - col("cyb")) <= 1)
       .select(col("ca").as("a"), col("cb").as("b"))
-    val comp = Dedup.components(edges)
-      .withColumnRenamed("id", "cell").withColumnRenamed("comp", "cluster")
+    // The cell graph is STRUCTURALLY bounded (≤64 nodes of an 8×8 grid),
+    // so its transitive closure runs IN-ROW over one collected row
+    // instead of the iterative Dedup.components driver loop (~25 jobs of
+    // keyed shuffles for a 64-node graph — pure latency): labels live in
+    // rank space, eight propagate(min over neighbors)+compress(lab[lab])
+    // rounds fold inside ONE aggregate expression (pointer jumping:
+    // 2^8 ≥ any path in a 64-node graph, so the fold reaches the same
+    // min-reachable-id fixpoint the loop converges to). The accumulator
+    // and the let-bound propagated vector are lambda variables —
+    // evaluated state, immune to projection-collapse re-evaluation.
+    val one = edges.agg(collect_list(struct(col("a"), col("b"))).as("es"))
+      .select(col("es"), expr(
+        "array_sort(array_distinct(flatten(transform(es, e -> array(e.a, e.b)))))")
+        .as("ds"))
+      .repartition(1) // es/ds as attributes for the lambda bodies below
+      .withColumn("adj", expr(
+        """transform(ds, v -> concat(
+          |  transform(filter(es, e -> e.b = v),
+          |    e -> CAST(array_position(ds, e.a) - 1 AS INT)),
+          |  transform(filter(es, e -> e.a = v AND e.b != v),
+          |    e -> CAST(array_position(ds, e.b) - 1 AS INT))))""".stripMargin))
+      .repartition(1) // adj as attribute for the fold
+      .withColumn("lab", expr(
+        """aggregate(sequence(1, 8),
+          |  transform(sequence(0, size(ds) - 1), i -> i),
+          |  (lab, r) -> element_at(transform(array(
+          |      transform(sequence(0, size(ds) - 1), i ->
+          |        aggregate(element_at(adj, i + 1), element_at(lab, i + 1),
+          |          (m, j) -> least(m, element_at(lab, j + 1))))),
+          |    p -> transform(sequence(0, size(ds) - 1), i ->
+          |      element_at(p, element_at(p, i + 1) + 1))), 1))""".stripMargin))
+    val comp = one
+      .select(explode(expr(
+        """zip_with(ds, transform(lab, l -> element_at(ds, l + 1)),
+          |  (c, cl) -> struct(c AS cell, cl AS cluster))""".stripMargin)).as("z"))
+      .select(col("z.cell").as("cell"), col("z.cluster").as("cluster"))
     val clustered = comp.join(core.select("cell", "n"), "cell")
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_cells"), sum(col("n")).cast("long").as("n_points"))
@@ -1939,8 +1998,10 @@ object SimilarityQueries {
       |FROM g JOIN marg mi ON mi.i = g.i JOIN marg mj ON mj.i = g.j
       |ORDER BY i, j""".stripMargin) { (s, dir) =>
     val q = quantizedVecs(s, dir)
-    // in-row upper-triangle expansion: 1-based (i, j, q_i * q_j) structs
-    val cells = gramTriCells(q)
+    // in-row upper-triangle expansion: 1-based (i, j, q_i * q_j) structs.
+    // The corpus is spread to full parallelism first — the single-row-group
+    // scan otherwise runs the 2080× expansion on 1-2 cores (guide §2.5)
+    val cells = gramTriCells(Tables.spread(q, col("vec_id")))
     val g = cells.groupBy("i", "j")
       .agg(count(lit(1)).as("n"), sum(col("p")).cast("decimal(38,0)").as("dot"))
     val sums = q.select(explode(expr(
@@ -2006,7 +2067,9 @@ object SimilarityQueries {
       |            ELSE n_hits * 1000000 // n_truth END AS BIGINT) AS recall_ppm
       |FROM tc, cc, hc""".stripMargin) { (s, dir) =>
     val (planted, cand) = minhashPlantedAndPairs(s, dir)
-    val toks = planted.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // spread before the shingle expansion (1-2 scan partitions otherwise)
+    val toks = Tables.spread(planted, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val dsh = toks.select(col("doc_id"), explode(expr(
       """CASE WHEN size(toks) < 3 THEN array(array_join(toks, ' '))
         |ELSE transform(sequence(0, size(toks) - 3),
@@ -2026,6 +2089,9 @@ object SimilarityQueries {
       .join(sz.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
       .filter(expr("inter * 1000000 DIV (n1 + n2 - inter) >= 500000"))
       .select("d1", "d2")
+      // read by the truth count AND the hit join — lazily checkpointed so
+      // the block self-join runs once, not twice
+      .localCheckpoint(false)
     val tc = truth.agg(count(lit(1)).as("n_truth"))
     val cc = cand.agg(count(lit(1)).as("n_cand"))
     val hc = truth.join(cand, Seq("d1", "d2")).agg(count(lit(1)).as("n_hits"))
@@ -2108,7 +2174,9 @@ object SimilarityQueries {
         .unionAll(docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 13 === 2)
           .select((col("doc_id") + 9000000).as("doc_id"),
             concat(col("text"), lit(" nearbt")).as("text")))
-      val sig = Similarity.withMinhashSignature(planted, "text", k = MinhashK)
+      // spread before the md5 signature kernel (1-2 scan partitions)
+      val sig = Similarity.withMinhashSignature(
+          Tables.spread(planted, col("doc_id")), "text", k = MinhashK)
         .drop("text")
       val pairs = Similarity.lshCandidatePairs(sig, "doc_id", k = MinhashK,
         bands = MinhashBands, bandKey = cols => concat_ws(",", cols: _*))
@@ -2142,7 +2210,9 @@ object SimilarityQueries {
       queryPred: org.apache.spark.sql.Column): DataFrame = {
     val q = quantizedVecs(s, dir).filter(queryPred)
       .select(col("vec_id").as("qid"), col("qv"))
-    val e = quantizedVecs(s, dir)
+    // spread the corpus side: the single-row-group scan otherwise runs
+    // the three-prefix L2 scoring against the broadcast batch on one core
+    val e = Tables.spread(quantizedVecs(s, dir), col("vec_id"))
       .select(col("vec_id"), col("qv").as("ev"))
     def d2(d: Int) = expr(
       s"""aggregate(sequence(0, ${d - 1}), 0L,

@@ -58,10 +58,15 @@ object SpectralQueries {
     * spec grades closeness to the true eigenvector on a spiked fixture.
     *
     * Shape at 100 TB: the corpus is touched ONCE (the 2080-cell in-row
-    * expansion → map-side-combined aggregation); the mirrored full
-    * matrix is 4096 rows, eagerly checkpointed so the eight
-    * dimension-sized rounds (join + 64-group agg + 1-row max, broadcast
-    * back) never re-run the reduction. */
+    * expansion → map-side-combined aggregation); the reduced triangle is
+    * dimension-bounded (2080 cells whatever the corpus size), so the
+    * eight rounds then run as higher-order functions over ONE row
+    * holding the sorted triangle — a single Catalyst plan whose
+    * per-round cost is 64×64 decimal multiply-adds, with one-row
+    * exchange barriers between rounds so each matvec evaluates exactly
+    * once (the previous per-round join + aggregate + checkpoint loop
+    * spent ~3s of a 4.6s bench entry in driver planning across 47
+    * jobs). */
   val pcaPower: Q = Q(
     "q_pca_power",
     s"""WITH ${SimilarityQueries.gramCellCtes},
@@ -82,37 +87,88 @@ object SpectralQueries {
       |SELECT CAST(v8.i AS BIGINT) AS i, CAST(v8.v AS BIGINT) AS v_ppm,
       |       CAST(vgv // vv AS BIGINT) AS lambda
       |FROM v8 CROSS JOIN ray ORDER BY i""".stripMargin) { (s, dir) =>
-    val gu = SimilarityQueries.gramTriCells(SimilarityQueries.quantizedVecs(s, dir))
+    // The corpus rows are spread to full parallelism before the 2080×
+    // in-row cell expansion (the expansion, not the scan, is the cost —
+    // guide §2.5), reduced to the 2080-cell triangle by ONE map-side-
+    // combined aggregation — the only data-sized stage.
+    val gu = SimilarityQueries.gramTriCells(
+        graft.engine.Tables.spread(SimilarityQueries.quantizedVecs(s, dir),
+          col("vec_id")))
       .groupBy("i", "j").agg(sum(col("p")).cast("decimal(38,0)").as("g"))
-    // mirror to the full symmetric matrix ONCE and checkpoint: the corpus
-    // reduction must not re-execute per iteration round
-    val g = gu.unionAll(gu.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("g")))
-      .localCheckpoint(true)
-    def matvec(v: DataFrame): DataFrame =
-      g.join(v.select(col("i").as("j"), col("v")), "j")
-        .groupBy("i")
-        .agg(sum(col("g") * col("v")).cast("decimal(38,0)").as("raw"))
-    var v = g.select("i").distinct()
-      .select(col("i"), lit(1000000L).cast("decimal(38,0)").as("v"))
-    for (k <- 1 to 8) {
-      val raw = matvec(v)
-      val mx = raw.agg(max(abs(col("raw"))).as("mx"))
-      v = raw.crossJoin(broadcast(mx))
-        .select(col("i"),
-          expr("""CASE WHEN mx = 0 THEN CAST(0 AS DECIMAL(38,0))
-                 |     ELSE CAST((raw * 1000000) DIV mx AS DECIMAL(38,0))
-                 |END""".stripMargin).as("v"))
-      // dimension-sized state: checkpoint every SECOND round — enough to
-      // bound plan depth, half the eager-job overhead of per-round cuts
-      if (k % 2 == 0) v = v.localCheckpoint(true)
-    }
-    val r9 = matvec(v)
-    val ray = v.join(r9, "i")
-      .agg(sum(col("v") * col("raw")).cast("decimal(38,0)").as("vgv"),
-        sum(col("v") * col("v")).cast("decimal(38,0)").as("vv"))
-    v.crossJoin(broadcast(ray))
-      .select(col("i").cast("long").as("i"), col("v").cast("long").as("v_ppm"),
+    // The iteration state is DIMENSION-sized (64 components), so the eight
+    // rounds run as higher-order functions over ONE row holding the sorted
+    // triangle — one Catalyst plan, no per-round driver round trips (the
+    // previous per-round join + aggregate + checkpoint loop spent ~3s of a
+    // 4.6s query in driver planning across 47 jobs). Same value tree:
+    // DECIMAL(38,0) products/sums, DIV truncates identically, and the
+    // complete triangle means every join row of the old shape has its
+    // positional twin here.
+    // The triangle lands as ONE sorted array: cells sorted by (i, j) ARE
+    // the row-major upper triangle over the rank space, because the
+    // in-row expansion emits every (i, j) pair i <= j of every vector —
+    // the triangle over the observed index set is complete by
+    // construction, so positions need no map probe (a map's element_at
+    // is a LINEAR scan of 2080 entries — measured ~300ms per matvec).
+    val one = gu
+      .agg(sort_array(collect_list(struct(col("i"), col("j"), col("g"))))
+        .as("cells"))
+      .select(
+        expr("transform(cells, c -> c.g)").as("tri"),
+        expr("array_sort(array_distinct(flatten(transform(cells, c -> array(c.i, c.j)))))")
+          .as("ds"))
+      // one-row exchange barrier: tri/ds must be ATTRIBUTES before the
+      // fold below references them inside lambda bodies (an inlined
+      // expression would re-evaluate per element)
+      .repartition(1)
+    // G(rank a, rank b) = tri[p*n - p*(p+1)/2 + q], p = min, q = max —
+    // O(1) positional indexing into the sorted triangle. `vec` must be a
+    // LAMBDA VARIABLE or attribute: a lambda-body reference to an inlined
+    // expression re-evaluates it per element (measured 6.3s for one
+    // collapsed round chain).
+    def matvec(vec: String): String =
+      s"""transform(sequence(0, size(ds) - 1), a ->
+         |  aggregate(sequence(0, size(ds) - 1), CAST(0 AS DECIMAL(38,0)),
+         |    (acc, b) -> acc + element_at(tri, CAST(
+         |        least(a, b) * size(ds) - (least(a, b) * (least(a, b) + 1)) DIV 2
+         |          + greatest(a, b) + 1 AS INT)) *
+         |      element_at($vec, b + 1)))""".stripMargin
+    // All eight rounds fold inside ONE aggregate expression: the running
+    // vector is the fold's accumulator — a lambda variable, evaluated
+    // state, immune to the projection-collapse re-evaluation trap — and
+    // each round's matvec / max-abs bind once through the
+    // single-element-array `transform` let idiom (transform(array(x),
+    // raw -> ...) evaluates x exactly once and names it). One Catalyst
+    // plan, one projection, zero per-round shuffles or driver trips —
+    // the per-round join + aggregate + checkpoint loop this replaces
+    // spent ~3s of a 4.6s bench entry in driver planning across 47 jobs.
+    val rounds = s"""
+      |aggregate(sequence(1, 8),
+      |  transform(ds, x -> CAST(1000000 AS DECIMAL(38,0))),
+      |  (v, r) -> element_at(transform(array(${matvec("v")}),
+      |    raw -> element_at(transform(array(array_max(transform(raw, x -> abs(x)))),
+      |      mx -> transform(raw, x ->
+      |        CASE WHEN mx = 0 THEN CAST(0 AS DECIMAL(38,0))
+      |             ELSE CAST((x * 1000000) DIV mx AS DECIMAL(38,0)) END)),
+      |      1)),
+      |    1))""".stripMargin
+    one
+      .withColumn("v", expr(rounds))
+      // one-row exchange barrier so v/tri/ds are attributes for the
+      // readout below (its lambdas reference v per element)
+      .repartition(1)
+      .withColumn("r9", expr(matvec("v")))
+      .repartition(1) // r9/v as attributes before the lambda-heavy readout
+      .withColumn("vgv", expr(
+        """aggregate(sequence(0, size(ds) - 1), CAST(0 AS DECIMAL(38,0)),
+          |  (acc, a) -> acc + element_at(v, a + 1) * element_at(r9, a + 1))"""
+          .stripMargin))
+      .withColumn("vv", expr(
+        """aggregate(v, CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + x * x)"""
+          .stripMargin))
+      .select(explode(arrays_zip(col("ds"), col("v"))).as("z"),
+        col("vgv"), col("vv"))
+      .select(col("z.ds").cast("long").as("i"),
+        col("z.v").cast("long").as("v_ppm"),
         expr("CAST(vgv DIV vv AS BIGINT)").as("lambda"))
       .orderBy("i")
   }
@@ -176,28 +232,55 @@ object SpectralQueries {
       .groupBy(col("event_type").as("a"), col("nxt").as("b"))
       .agg(count(lit(1)).as("c"))
     val tot = cnt.groupBy("a").agg(sum(col("c")).as("n"))
-    // the k²-row chain: computed once, checkpointed, iterated on
+    // the k²-row chain is DIMENSION-sized (k event types), so the eight
+    // rounds run as higher-order functions over ONE row holding the
+    // transition rows and the sorted state list — a single Catalyst plan
+    // with one-row exchange barriers between rounds, replacing the
+    // per-round double-join + aggregate + eager-checkpoint loop that
+    // spent most of a 3.4s bench entry in driver planning across 58
+    // jobs (the q_pca_power treatment). Value trees are identical: the
+    // old left joins summed exactly the (a, b) rows present in `p` with
+    // COALESCE(.., 0) for states with no inflow — here every state
+    // aggregates the same present rows, missing ones contribute the same
+    // zero via the filtered sum; DIV truncates identically.
     val p = cnt.join(tot, "a")
       .select(col("a"), col("b"), expr("(c * 1000000) DIV n").as("p_ppm"))
-      .localCheckpoint(true)
-    val states = tot.select(col("a").as("st")).localCheckpoint(true)
-    val kk = states.agg(count(lit(1)).as("k"))
-    var pi = states.crossJoin(broadcast(kk))
-      .select(col("st"), expr("1000000 DIV k").as("pi"))
-      .localCheckpoint(true)
-    for (k <- 1 to 8) {
-      pi = states
-        .join(p, p("b") === states("st"), "left")
-        .join(pi.select(col("st").as("ps"), col("pi")),
-          col("ps") === col("a"), "left")
-        .groupBy(states("st"))
-        .agg(expr("COALESCE(SUM(pi * p_ppm), 0) DIV 1000000").as("pi"))
-      // k-row state: every second round bounds depth at half the job cost
-      if (k % 2 == 0) pi = pi.localCheckpoint(true)
-    }
-    val pi0 = states.crossJoin(broadcast(kk))
-      .select(col("st"), expr("CAST(1000000 DIV k AS BIGINT)").as("pi0_ppm"))
-    pi.join(pi0, "st").join(tot.select(col("a").as("st"), col("n")), "st")
+    val one = p
+      .agg(collect_list(struct(col("a"), col("b"), col("p_ppm"))).as("tr"))
+      .select(col("tr"),
+        expr("array_sort(array_distinct(transform(tr, t -> t.a)))").as("ds"))
+      // one-row exchange barrier: tr/ds must be ATTRIBUTES before the
+      // fold references them inside lambda bodies (an inlined expression
+      // would re-evaluate per element — the q_pca_power lesson)
+      .repartition(1)
+    // pi(st) for the next round: sum of pi[a] * p_ppm over transitions
+    // (a, st), then DIV 1e6 — transitions probe the state RANK via
+    // array_position on the small sorted state list. All eight rounds
+    // fold inside ONE aggregate expression: the running pi vector is the
+    // fold's accumulator (a lambda variable — evaluated state, never
+    // re-inlined), so the whole iteration is one projection with no
+    // per-round shuffles or driver trips (the per-round double-join +
+    // aggregate + checkpoint loop this replaces spent most of a 3.4s
+    // bench entry across 58 jobs).
+    def step(vec: String): String =
+      s"""transform(ds, st ->
+         |  aggregate(filter(tr, t -> t.b = st), 0L,
+         |    (acc, t) -> acc + element_at($vec,
+         |      CAST(array_position(ds, t.a) AS INT)) * t.p_ppm) DIV 1000000)"""
+        .stripMargin
+    val rounds = s"""
+      |aggregate(sequence(1, 8),
+      |  transform(ds, st -> 1000000 DIV CAST(size(ds) AS BIGINT)),
+      |  (pi, r) -> ${step("pi")})""".stripMargin
+    val it = one.withColumn("kk", size(col("ds")))
+      .withColumn("pi", expr(rounds))
+    val outN = tot.select(col("a").as("st"), col("n"))
+    it
+      .select(explode(arrays_zip(col("ds"), col("pi"))).as("z"), col("kk"))
+      .select(col("z.ds").as("st"),
+        expr("CAST(1000000 DIV CAST(kk AS BIGINT) AS BIGINT)").as("pi0_ppm"),
+        col("z.pi").as("pi"))
+      .join(outN, "st")
       .select(col("st").as("event_type"), col("n").cast("long").as("n_out"),
         col("pi0_ppm"), col("pi").cast("long").as("pi8_ppm"))
       .orderBy("event_type")

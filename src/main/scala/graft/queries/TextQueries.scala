@@ -598,7 +598,9 @@ object TextQueries {
       |  FROM fp GROUP BY doc_id) a ON a.doc_id = s.doc_id
       |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
     graft.engine.Similarity
-      .winnowFingerprints(t(s, dir, "documents"), "doc_id", "text")
+      .winnowFingerprints(
+        graft.engine.Tables.spread(t(s, dir, "documents"), col("doc_id")),
+        "doc_id", "text")
       .orderBy("doc_id")
   }
 
